@@ -1,0 +1,284 @@
+"""Port of the reference's 13-test suite (BI5DataSourceTestSuite, `T`)
+to the PySpark bi5 source, plus pushdown-pruning tests for the scale
+path.  Golden-value tests run against both synthesized fixtures and
+(when present) the reference's own resource tree."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.errors.exceptions.captured import AnalysisException
+from pyspark.sql import functions as F
+
+from tests.conftest import REFERENCE_RESOURCES, reference_fixtures_available
+
+UTC = dt.timezone.utc
+DIGITS_EUR = 5
+DIGITS_JPY = 3
+
+
+def read_bi5(spark, path=None, **options):
+    r = spark.read.format("bi5")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path) if path is not None else r.load()
+
+
+def rows_equal(row, expected):
+    ticker, ts, ask, bid, askv, bidv = expected
+    assert row.ticker == ticker
+    assert row.ts.replace(tzinfo=UTC) == ts.replace(tzinfo=UTC)
+    assert (row.ask, row.bid, row.ask_volume, row.bid_volume) == (ask, bid, askv, bidv)
+
+
+# ---- option validation (T:164-214): exact reference error messages ----
+
+
+class TestOptionValidation:
+    def test_missing_path(self, spark):
+        with pytest.raises(AnalysisException, match=r"'path' must be specified for BI5 data\."):
+            read_bi5(spark).count()
+
+    def test_wrong_path(self, spark):
+        with pytest.raises(AnalysisException, match="Invalid path"):
+            read_bi5(spark, "bumba", digits=1).count()
+
+    def test_missing_digits(self, spark, bi5_tree):
+        with pytest.raises(
+            AnalysisException, match="'digits' should be the digits for the currency"
+        ):
+            read_bi5(spark, bi5_tree).count()
+
+    def test_negative_digits(self, spark, bi5_tree):
+        with pytest.raises(AnalysisException, match="digits cannot be smaller than 0"):
+            read_bi5(spark, bi5_tree, digits=-1).count()
+
+    @pytest.mark.parametrize("january", [-1, 2])
+    def test_january_out_of_range(self, spark, bi5_tree, january):
+        with pytest.raises(AnalysisException, match="january can only be 0 or 1"):
+            read_bi5(spark, bi5_tree, digits=DIGITS_EUR, january=january).count()
+
+
+# ---- dirty-input tolerance (T:178-186) ----
+
+
+class TestDirtyInputs:
+    def test_wrong_file_extension(self, spark, bi5_tree):
+        df = read_bi5(
+            spark, os.path.join(bi5_tree, "EURUSD/2019/11/31/test.document.txt"), digits=1
+        )
+        assert df.count() == 0
+
+    def test_wrong_file_data(self, spark, bi5_tree):
+        df = read_bi5(
+            spark, os.path.join(bi5_tree, "EURUSD/2019/11/31/01h_ticks.bi5"), digits=1
+        )
+        assert df.count() == 0
+
+    def test_empty_file(self, spark, bi5_tree):
+        df = read_bi5(
+            spark, os.path.join(bi5_tree, "USDJPY/2020/12/1/00h_ticks.bi5"), digits=3
+        )
+        assert df.count() == 0
+
+
+# ---- schema (T:41-43 / DS24:57-66) ----
+
+
+def test_schema(spark, bi5_tree):
+    df = read_bi5(spark, bi5_tree, digits=DIGITS_EUR)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("ticker", "string"),
+        ("ts", "timestamp"),
+        ("ask", "double"),
+        ("bid", "double"),
+        ("ask_volume", "double"),
+        ("bid_volume", "double"),
+    ]
+
+
+# ---- synthesized-fixture golden scans ----
+
+
+class TestSynthesizedScans:
+    def test_eurusd_tree(self, spark, bi5_tree):
+        df = read_bi5(spark, os.path.join(bi5_tree, "EURUSD"), digits=DIGITS_EUR)
+        df.cache()
+        try:
+            assert df.count() == 5
+            first = df.orderBy("ts").limit(1).collect()[0]
+            rows_equal(
+                first,
+                ("EURUSD", dt.datetime(2019, 12, 31, 15, 0, 0, 90_000), 1.12207, 1.12198, 1.5, 2.25),
+            )
+            last = df.orderBy(F.desc("ts")).limit(1).collect()[0]
+            assert last.ts == dt.datetime(2020, 4, 3, 0, 59, 59, 36_000)
+            assert last.ask == 1.08429
+        finally:
+            df.unpersist()
+
+    def test_usdjpy_january1(self, spark, bi5_tree):
+        df = read_bi5(spark, os.path.join(bi5_tree, "USDJPY"), digits=DIGITS_JPY, january=1)
+        assert df.count() == 2
+        first = df.orderBy("ts").limit(1).collect()[0]
+        assert first.ts == dt.datetime(2020, 12, 1, 23, 0, 0, 219_000)
+        assert first.ask == 108.705
+        # float32 widening artifact must survive Arrow transport (T:115).
+        assert first.bid_volume == 1.0299999713897705
+
+    def test_subdir_partitioning_compat(self, spark, bi5_tree):
+        # Reference contract (T:223): one partition per immediate subdir.
+        df = read_bi5(
+            spark,
+            os.path.join(bi5_tree, "EURUSD"),
+            digits=DIGITS_EUR,
+            partitioning="subdir",
+        )
+        assert df.rdd.getNumPartitions() == 2  # 2019/, 2020/
+        assert df.count() == 5
+
+    def test_single_file_partition(self, spark, bi5_tree):
+        df = read_bi5(
+            spark,
+            os.path.join(bi5_tree, "EURUSD/2019/11/31/15h_ticks.bi5"),
+            digits=DIGITS_EUR,
+        )
+        assert df.rdd.getNumPartitions() == 1
+        assert df.count() == 3
+
+    def test_parquet_roundtrip(self, spark, bi5_tree, tmp_path):
+        # T:231-234 — the reference's recommended pipeline (README.md:17).
+        df = read_bi5(spark, os.path.join(bi5_tree, "EURUSD"), digits=DIGITS_EUR)
+        out = str(tmp_path / "out.parquet")
+        df.write.mode("overwrite").parquet(out)
+        back = spark.read.parquet(out)
+        assert back.count() == 5
+        assert back.schema["ts"].dataType.simpleString() == "timestamp"
+
+
+# ---- pushdown / pruning (scale path, beyond the reference) ----
+
+
+class TestPushdownPruning:
+    def test_ticker_filter_prunes_partitions(self, spark, bi5_tree):
+        df = read_bi5(spark, bi5_tree, digits=DIGITS_EUR).filter(F.col("ticker") == "USDJPY")
+        # only the 2 USDJPY .bi5 files remain as tasks
+        assert df.rdd.getNumPartitions() <= 2
+        # month-0 read of USDJPY/2020/12 ⇒ January 2021
+        assert df.count() == 2
+
+    def test_ts_range_prunes_and_is_exact(self, spark, bi5_tree):
+        df = read_bi5(spark, os.path.join(bi5_tree, "EURUSD"), digits=DIGITS_EUR)
+        filtered = df.filter(F.col("ts") >= "2020-01-01")
+        assert filtered.count() == 2
+        assert filtered.rdd.getNumPartitions() <= 1  # only the April file
+        # exactness: mid-hour cut still correct (Spark re-applies filter)
+        cut = df.filter(F.col("ts") > "2019-12-31 15:00:01")
+        assert cut.count() == 4  # drops only the 090ms record
+
+    def test_tickers_option(self, spark, bi5_tree):
+        df = read_bi5(spark, bi5_tree, digits=DIGITS_EUR, tickers="EURUSD")
+        assert df.count() == 5
+
+    def test_start_end_options(self, spark, bi5_tree):
+        df = read_bi5(
+            spark,
+            os.path.join(bi5_tree, "EURUSD"),
+            digits=DIGITS_EUR,
+            start="2020-01-01",
+            end="2020-12-31",
+        )
+        assert df.count() == 2
+
+
+# ---- reference-resource golden tests (skip when tree absent) ----
+
+
+needs_reference = pytest.mark.skipif(
+    not reference_fixtures_available(), reason="reference fixtures not present"
+)
+
+
+@needs_reference
+class TestReferenceGolden:
+    def test_single_file(self, spark):
+        df = read_bi5(
+            spark,
+            os.path.join(REFERENCE_RESOURCES, "EURUSD/2019/11/31/15h_ticks.bi5"),
+            digits=DIGITS_EUR,
+        )
+        df.cache()
+        try:
+            assert df.count() == 8816  # T:218
+            assert df.rdd.getNumPartitions() == 1
+            first = df.orderBy("ts").limit(1).collect()[0]
+            rows_equal(
+                first,
+                ("EURUSD", dt.datetime(2019, 12, 31, 15, 0, 0, 90_000), 1.12207, 1.12198, 1.5, 2.25),
+            )
+            last = df.orderBy(F.desc("ts")).limit(1).collect()[0]
+            rows_equal(
+                last,
+                (
+                    "EURUSD",
+                    dt.datetime(2019, 12, 31, 15, 59, 59, 395_000),
+                    1.1224,
+                    1.12238,
+                    0.75,
+                    0.1899999976158142,
+                ),
+            )
+        finally:
+            df.unpersist()
+
+    def test_eurusd_tree(self, spark):
+        df = read_bi5(
+            spark,
+            os.path.join(REFERENCE_RESOURCES, "EURUSD"),
+            digits=DIGITS_EUR,
+            partitioning="subdir",
+        )
+        assert df.count() == 27521  # T:223
+        assert df.rdd.getNumPartitions() == 2
+        last = df.orderBy(F.desc("ts")).limit(1).collect()[0]
+        rows_equal(
+            last,
+            (
+                "EURUSD",
+                dt.datetime(2020, 4, 3, 0, 59, 59, 36_000),
+                1.08429,
+                1.08423,
+                3.0,
+                3.369999885559082,
+            ),
+        )
+
+    def test_usdjpy_tree(self, spark):
+        df = read_bi5(
+            spark,
+            os.path.join(REFERENCE_RESOURCES, "USDJPY"),
+            digits=DIGITS_JPY,
+            january=1,
+            partitioning="subdir",
+        )
+        assert df.count() == 1454  # T:228
+        assert df.rdd.getNumPartitions() == 1
+        first = df.orderBy("ts").limit(1).collect()[0]
+        rows_equal(
+            first,
+            (
+                "USDJPY",
+                dt.datetime(2020, 12, 1, 23, 0, 0, 219_000),
+                108.705,
+                108.677,
+                1.0,
+                1.0299999713897705,
+            ),
+        )
+        last = df.orderBy(F.desc("ts")).limit(1).collect()[0]
+        rows_equal(
+            last,
+            ("USDJPY", dt.datetime(2020, 12, 1, 23, 59, 59, 213_000), 108.727, 108.723, 3.25, 1.5),
+        )
