@@ -1,0 +1,75 @@
+"""Tick-bar aggregates — the flagship domain aggregation over bi5
+tick data (SURVEY §2: "OHLC tick bars").
+
+Pure ``groupBy(window(ts), keys)`` + min_by/max_by aggregates: one
+partial-aggregated exchange, no window functions, no Python.  Works
+identically over the batch bi5 scan and a Structured Streaming source
+(the same expressions are reused in streaming/ticks.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ohlc_bars", "vwap"]
+
+
+def ohlc_bars(
+    df: DataFrame,
+    duration: str = "1 minute",
+    ts_col: str = "ts",
+    price_col: str = "bid",
+    volume_col: str | None = "bid_volume",
+    by: Sequence[str] = ("ticker",),
+) -> DataFrame:
+    """Open/high/low/close (+volume) bars per key per time bucket.
+
+    open/close use ``min_by``/``max_by`` on the timestamp — single
+    hash aggregate, unlike first/last-over-window formulations that
+    need a sort.
+    """
+    aggs = [
+        F.min_by(price_col, ts_col).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(price_col, ts_col).alias("close"),
+        F.count("*").alias("n_ticks"),
+    ]
+    if volume_col is not None:
+        aggs.append(F.sum(volume_col).alias("volume"))
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("w"), *by)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("bar_start"),
+            *by,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+            *(["volume"] if volume_col else []),
+        )
+    )
+
+
+def vwap(
+    df: DataFrame,
+    duration: str = "5 minutes",
+    ts_col: str = "ts",
+    price_col: str = "bid",
+    volume_col: str = "bid_volume",
+    by: Sequence[str] = ("ticker",),
+) -> DataFrame:
+    """Volume-weighted average price per bucket."""
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("w"), *by)
+        .agg(
+            (F.sum(F.col(price_col) * F.col(volume_col)) / F.sum(volume_col)).alias("vwap"),
+            F.sum(volume_col).alias("volume"),
+        )
+        .select(F.col("w.start").alias("bar_start"), *by, "vwap", "volume")
+    )

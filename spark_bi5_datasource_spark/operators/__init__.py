@@ -1,0 +1,31 @@
+from .asof_join import asof_join
+from .dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    with_shingles,
+)
+from .similarity import cosine_pairs, cosine_topk, rp_lsh_topk, rp_signature
+from .topk import top_k, top_k_per_group
+
+__all__ = [
+    "asof_join",
+    "cosine_pairs",
+    "cosine_topk",
+    "exact_dedup",
+    "minhash_dedup",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "rp_lsh_topk",
+    "rp_signature",
+    "simhash",
+    "simhash_pairs",
+    "top_k",
+    "top_k_per_group",
+    "with_shingles",
+]

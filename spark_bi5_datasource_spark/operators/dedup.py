@@ -1,0 +1,250 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are compositions of JVM-side built-ins (no Python UDFs in
+the hot path) so they stay inside whole-stage codegen and scale by
+shuffle on content-derived keys:
+
+* exact        — hash on key columns, one exchange
+* minhash LSH  — shingle → minhash signature → banded bucket join;
+                 candidate pairs verified with exact Jaccard
+* simhash      — 64-bit sign-aggregated token hash; near-dups via
+                 banded 16-bit chunks + hamming distance
+* n-gram Jaccard — exact similarity join via an inverted shingle
+                 index (the verification-grade baseline for minhash)
+
+The "survivor" policy everywhere is *min-id*: a row is dropped when a
+similar row with a smaller id exists.  That is a single-pass
+approximation of connected components — the standard trade-off for
+one-shot pipeline dedup (full CC needs iteration, see
+``union_find_components`` note).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "minhash_dedup",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+    "with_shingles",
+]
+
+
+def exact_dedup(
+    df: DataFrame, keys: Sequence[str], tie_break: str
+) -> DataFrame:
+    """Keep one deterministic representative per distinct key tuple
+    (lowest ``tie_break``).  One exchange on ``keys``."""
+    w = Window.partitionBy(*keys).orderBy(F.col(tie_break).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Distinct word-level n-gram shingles of a whitespace-tokenized
+    text column — array stays JVM-side (higher-order functions)."""
+    tokens = f"split({text_col}, ' ')"
+    expr = (
+        f"array_distinct(CASE WHEN size({tokens}) < {n} "
+        f"THEN array(concat_ws(' ', {tokens})) "
+        f"ELSE transform(sequence(1, size({tokens}) - {n} + 1), "
+        f"     i -> concat_ws(' ', slice({tokens}, i, {n}))) END)"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    out_col: str = "signature",
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_perm``
+    seeded xxhash64 permutations, the minimum hash over the doc's
+    shingles.  Narrow (no shuffle): per-row array expressions only."""
+    with_sh = with_shingles(df, text_col, n)
+    sig = F.expr(
+        "transform(sequence(0, {np} - 1), seed -> "
+        " array_min(transform(shingles, s -> xxhash64(s, seed))))".format(np=num_perm)
+    )
+    return with_sh.withColumn(out_col, sig).drop("shingles")
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) that collide in ≥1 LSH band.
+
+    Signature is cut into ``bands`` bands of ``num_perm/bands`` rows;
+    each band hashes to a bucket; docs sharing any (band, bucket) are
+    candidates.  Shuffles on (band, bucket) — the content-derived key
+    that makes near-dup detection linear-ish instead of quadratic.
+    """
+    rows_per_band = num_perm // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands} - 1), b -> "
+                f"named_struct('band', b, 'bucket', "
+                f" xxhash64(concat_ws(',', slice({sig_col}, b * {rows_per_band} + 1, {rows_per_band})))))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via an inverted shingle
+    index: |A∩B| from a self-join on shingle, |A∪B| from per-doc
+    distinct-shingle counts.  Returns (id_a, id_b, jaccard ≥ threshold).
+
+    This is the verification-grade exact baseline; minhash LSH is the
+    approximate scale path over the same shingle space.
+    """
+    sh = (
+        with_shingles(df, text_col, n)
+        .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc") < F.col("y.doc")))
+        .groupBy(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate removal: LSH candidates → exact-Jaccard verify →
+    min-id survivor.  Keeps every row with no verified near-dup of
+    smaller id."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    cand = minhash_lsh_pairs(sigs, id_col, num_perm, bands)
+    verified = (
+        cand.join(df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")), "id_a")
+        .join(df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")), "id_b")
+    )
+    verified = (
+        with_shingles(verified, "__ta", n, "__sa")
+        .transform(lambda d: with_shingles(d, "__tb", n, "__sb"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sa", "__sb"))
+            / F.size(F.array_union("__sa", "__sb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(
+    df: DataFrame, text_col: str, out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 of
+    each token-hash's bit, then take the sign.  Pure higher-order
+    expressions — narrow, codegen-friendly."""
+    votes = (
+        f"aggregate(split({text_col}, ' '), "
+        f" array_repeat(0, 64), "
+        f" (acc, t) -> zip_with(acc, transform(sequence(0, 63), "
+        f"   i -> CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1 THEN 1 ELSE -1 END), "
+        f"  (a, b) -> a + b))"
+    )
+    packed = (
+        f"aggregate(zip_with({votes}, sequence(0, 63), "
+        f"  (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END), "
+        f" 0L, (acc, x) -> acc | x)"
+    )
+    return df.withColumn(out_col, F.expr(packed))
+
+
+def simhash_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit
+    chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), bucket-join
+    on chunks, verify with bit_count(xor)."""
+    banded = hashed.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, 3), b -> named_struct("
+                f"'band', b, 'chunk', shiftright({hash_col}, b * 16) & 65535))"
+            )
+        ).alias("bb"),
+    ).select(id_col, hash_col, "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers (SURVEY §2 Tier C / north star):
+
+* ``cosine_topk`` — exact brute force: broadcast the (small) query
+  side, JVM-side dot products via higher-order functions, per-query
+  top-k window.  The correctness baseline; O(|Q|·|C|) but fully
+  distributed and codegen-friendly — right answer for |Q| small.
+* ``rp_lsh_topk`` — random-hyperplane LSH bucketing: sign-bit
+  signature from fixed seeded hyperplanes, candidates restricted to
+  colliding buckets (optionally multiprobe neighbors at hamming 1).
+  The 100-TB path: turns the cross product into a bucket-equi-join.
+
+Also ``cosine_pairs`` for embedding near-dup detection (threshold
+join over LSH buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_norm", "cosine_topk", "rp_signature", "rp_lsh_topk", "cosine_pairs"]
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate({v}, 0D, (acc, x) -> acc + x * x))"
+
+
+def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
+    """L2 norm as a JVM-side expression (cast to double first)."""
+    return df.withColumn("__v", F.expr(f"transform({vec_col}, x -> cast(x AS double))")).withColumn(
+        out_col, F.expr(_NORM.format(v="__v"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors in ``corpus`` for each row of
+    ``queries``.  Query side is broadcast — corpus is scanned once,
+    no shuffle of the big side; ties broken by neighbor id."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col("__v").alias("__cv"), F.col("norm").alias("__cn")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), F.col("norm").alias("__qn")
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col("query_id") != F.col("nbr_id"))
+    scored = joined.withColumn(
+        "cosine",
+        F.expr(_DOT.format(a="__cv", b="__qv")) / (F.col("__cn") * F.col("__qn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)  # fixed seed → deterministic plan
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def rp_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane sign signature packed into one long: bit i =
+    sign(v · h_i).  Hyperplanes are literal arrays baked into the plan
+    (broadcast-free, deterministic)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, h in enumerate(planes):
+        arr = "array({})".format(",".join(f"{x}D" for x in h))
+        dot = _DOT.format(a=f"transform({vec_col}, x -> cast(x AS double))", b=arr)
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN shiftleft(1L, {i}) ELSE 0L END")
+    return df.withColumn(out_col, F.expr(" | ".join(f"({b})" for b in bits)))
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 12,
+    multiprobe: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows whose LSH bucket
+    matches the query's bucket (or differs in one bit when
+    ``multiprobe``).  Equi-join on bucket replaces the cross product;
+    recall grows with multiprobe radius."""
+    c = rp_signature(with_norm(corpus, vec_col), vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col("__v").alias("__cv"),
+        F.col("norm").alias("__cn"),
+        "bucket",
+    )
+    q = rp_signature(with_norm(queries, vec_col), vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("norm").alias("__qn"),
+        "bucket",
+    )
+    if multiprobe:
+        probes = "array_union(array(bucket), transform(sequence(0, {n} - 1), i -> cast(bucket AS bigint) ^ shiftleft(1L, i)))".format(
+            n=n_planes
+        )
+        q = q.withColumn("probe", F.explode(F.expr(probes))).drop("bucket").withColumnRenamed(
+            "probe", "bucket"
+        )
+    joined = c.join(F.broadcast(q), "bucket").filter(F.col("query_id") != F.col("nbr_id"))
+    scored = joined.withColumn(
+        "cosine",
+        F.expr(_DOT.format(a="__cv", b="__qv")) / (F.col("__cn") * F.col("__qn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .distinct()
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold).
+    LSH-bucketed self-join keeps the candidate set near-linear; with
+    few planes recall is high for very similar vectors."""
+    s = rp_signature(with_norm(df, vec_col), vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("id"), F.col("__v").alias("v"), F.col("norm").alias("n"), "bucket"
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn(
+            "cosine",
+            F.expr(_DOT.format(a="a.v", b="b.v")) / (F.col("a.n") * F.col("b.n")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,27 @@
+"""Query catalog: every implemented operator exposed as a named query
+with (where expressible) a DuckDB oracle — the driver-contract surface
+(__spark_entry__.py)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .llm_ops import LLM_OPS
+from .relational import RELATIONAL
+
+# name -> (fn, oracle_sql | None, in_bench)
+CATALOG: dict[str, tuple] = {**RELATIONAL, **LLM_OPS}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql, _b) in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql, _b) in CATALOG.items() if sql is not None}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql, b) in CATALOG.items() if b}

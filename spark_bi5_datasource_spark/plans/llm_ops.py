@@ -1,0 +1,396 @@
+"""North-star LLM-pipeline query catalog (SURVEY §2 Tier C): dedup,
+similarity search, text analysis, multimodal plumbing over the
+``documents`` and ``embeddings`` fixtures.
+
+Oracle policy: every operator whose semantics are SQL-expressible gets
+an exact DuckDB oracle (n-gram Jaccard join, exact dedup, brute-force
+cosine top-k, text stats/lang-id/quality, multimodal feature shapes).
+Hash-based operators (minhash/simhash/LSH — xxhash64 has no DuckDB
+twin) are rows-only checked by the driver and covered by semantic
+pytest oracles instead (tests/test_operators.py plants known
+near-dups and asserts they are found).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS
+from ..operators import (
+    cosine_pairs,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    rp_lsh_topk,
+    simhash,
+    simhash_pairs,
+)
+from ..operators.dedup import exact_dedup
+from .tables import t
+
+LLM_OPS: dict[str, tuple] = {}
+
+
+def _q(name: str, sql: str | None, bench: bool = False):
+    def wrap(fn):
+        LLM_OPS[name] = (fn, sql, bench)
+        return fn
+
+    return wrap
+
+
+# ------------------------------------------------------------- dedup
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact text dedup, deterministic min-doc_id survivor."""
+    return exact_dedup(t(spark, sf, "documents"), ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+      FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)
+      WHERE len(tk) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ic
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+      round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (inverted shingle index) —
+    the verification-grade near-dup baseline."""
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.1
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_q("dedup_minhash", None)  # hash-based → rows-only driver check
+def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dedup: surviving docs (min-id policy).
+    Semantic oracle lives in tests/test_operators.py (planted dups)."""
+    return minhash_dedup(
+        t(spark, sf, "documents"), "doc_id", "text", n=3, num_perm=32, bands=8,
+        threshold=0.5,
+    ).select("doc_id", "lang", "source")
+
+
+@_q("dedup_minhash_candidates", None)
+def dedup_minhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs before verification (observability into the
+    banding stage)."""
+    sigs = minhash_signatures(t(spark, sf, "documents"), "doc_id", "text")
+    return minhash_lsh_pairs(sigs, "doc_id")
+
+
+@_q("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 8 of 64 bits."""
+    hashed = simhash(t(spark, sf, "documents"), "text")
+    return simhash_pairs(hashed, "doc_id", max_hamming=8)
+
+
+@_q("dedup_embedding", None)
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets (approximate
+    scale path; exact oracle twin is sim_cosine_pairs_exact)."""
+    return cosine_pairs(t(spark, sf, "embeddings"), threshold=0.5, n_planes=6)
+
+
+# -------------------------------------------------------- similarity
+
+
+_DOT_D = (
+    "list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), x -> x[1] * x[2]))"
+)
+
+
+@_q(
+    "sim_cosine_topk",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT b.vec_id AS query_id, a.vec_id AS nbr_id,
+      round({_DOT_D} / (a.nrm * b.nrm), 6) AS cosine,
+      CAST(row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, a.vec_id ASC) AS INT) AS rank
+    FROM n a, n b
+    WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+    QUALIFY rank <= 5
+    """,
+    bench=True,
+)
+def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact brute-force cosine top-5 neighbors for the first 10
+    vectors — the ANN correctness baseline."""
+    from ..operators.similarity import cosine_topk
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@_q("sim_lsh_topk", None)
+def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100-TB path; recall is
+    measured against sim_cosine_topk in tests)."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return rp_lsh_topk(emb, queries, k=5)
+
+
+@_q(
+    "sim_cosine_pairs_exact",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      round({_DOT_D} / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a, n b
+    WHERE a.vec_id < b.vec_id
+      AND {_DOT_D} / (a.nrm * b.nrm) >= 0.5
+    """,
+)
+def sim_cosine_pairs_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ 0.5 (quadratic verify baseline for
+    the LSH pair variants)."""
+    emb = t(spark, sf, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
+    ).withColumn(
+        "nrm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")))
+        .filter(F.col("cosine") >= 0.5)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+@_q(
+    "sim_label_centroids",
+    """
+    SELECT label, count(*) AS n,
+      round(SUM(CAST(embedding[1] AS DOUBLE)) / count(*), 6) AS dim0_mean
+    FROM embeddings GROUP BY label
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding stats (grouping over vector columns)."""
+    emb = t(spark, sf, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.expr("cast(embedding[0] AS double)"))
+            / F.count("*"),
+            6,
+        ).alias("dim0_mean"),
+    )
+
+
+# ------------------------------------------------------ text analysis
+
+
+def _sql_stopword_ratio(lst: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in lst)
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> lower(x) IN ({inlist})))"
+        f" / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    )
+
+
+_PUNCT_SQL = (
+    "length(regexp_replace(text, '[^.,;:!?''\"()-]', '', 'g')) "
+    "/ greatest(length(text), 1)"
+)
+_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@_q(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      round(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+            / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len,
+      round({_PUNCT_SQL}, 6) AS punct_ratio,
+      round({_sql_stopword_ratio(STOPWORDS["en"])}, 6) AS stopword_ratio
+    FROM documents
+    """,
+    bench=True,
+)
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token/char statistics — all JVM-side expressions."""
+    from ..functions.text import avg_token_len, punct_ratio, stopword_ratio, token_count
+
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(avg_token_len("text"), 6).alias("avg_token_len"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+def _sql_lang_id() -> str:
+    score_exprs = ",\n        ".join(
+        "len(list_filter(string_split(text, ' '), x -> lower(x) IN ({lst}))) AS s_{lang}".format(
+            lst=", ".join(f"'{w}'" for w in words), lang=lang
+        )
+        for lang, words in STOPWORDS.items()
+    )
+    best = "greatest({})".format(", ".join(f"s_{lang}" for lang in STOPWORDS))
+    # Alphabetically-first language wins ties — same as functions/text.py.
+    whens = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(STOPWORDS))
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_true,
+        {score_exprs}
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang_true, {best} AS best,
+        s_de, s_en, s_es, s_fr, s_zh
+      FROM scored
+    )
+    SELECT doc_id, lang_true,
+      CASE WHEN best > 0 THEN (CASE {whens} END) ELSE 'und' END AS lang_pred
+    FROM ranked
+    """
+
+
+@_q("text_langid", _sql_lang_id())
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-vote language ID vs the fixture's true lang column."""
+    from ..functions.text import lang_id
+
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        lang_id("text").alias("lang_pred"),
+    )
+
+
+@_q(
+    "text_quality_filter",
+    None,
+)
+def text_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring + percentile threshold filter: keep docs at or
+    above the median composite quality score."""
+    from ..functions.text import quality_score
+
+    docs = t(spark, sf, "documents").withColumn("quality", quality_score("text"))
+    median = docs.agg(F.expr("percentile(quality, 0.5)").alias("m"))
+    return (
+        docs.crossJoin(F.broadcast(median))
+        .filter(F.col("quality") >= F.col("m"))
+        .select("doc_id", "quality")
+    )
+
+
+@_q("text_fingerprint", None)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint (xxhash64-based —
+    no DuckDB twin, rows-only)."""
+    from ..functions.text import doc_fingerprint
+
+    return t(spark, sf, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+@_q(
+    "text_source_rollup",
+    """
+    SELECT source, lang, count(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source, lang
+    """,
+)
+def text_source_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus composition rollup — per-source/language token budget."""
+    from ..functions.text import token_count
+
+    return (
+        t(spark, sf, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------------- multimodal
+
+
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width,
+      CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-payload pipeline: documents → binary media table →
+    Arrow-batched mapInPandas feature extraction (deterministic fake
+    decode kernel; see functions/multimodal.py)."""
+    from ..functions.multimodal import documents_as_media, extract_media_features
+
+    media = documents_as_media(t(spark, sf, "documents"))
+    return extract_media_features(media, fake_decode=True).select(
+        "media_id", "kind", "n_bytes", "width", "height"
+    )

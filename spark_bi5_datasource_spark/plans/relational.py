@@ -1,0 +1,880 @@
+"""Relational query catalog — Tier B (the surface the reference's own
+tests exercise, SURVEY §2) and Tier C (full operator surface) over the
+driver's star schema.
+
+Every entry is (spark_fn, oracle_sql) with **identical output column
+names** and engine-deterministic values:
+
+* money sums go through ``CAST(x AS DECIMAL(18,…))`` before SUM (exact,
+  order-independent) and back to DOUBLE after — double summation order
+  differs between Spark partial aggregation and DuckDB, decimal does
+  not;
+* per-row double arithmetic (products, ratios) is IEEE-identical in
+  both engines, so it happens before the decimal cast;
+* every ordering/top-k has a unique tie-break key;
+* round() guards the few inherently order-sensitive aggregates
+  (stddev, percentile interpolation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import asof_join, top_k, top_k_per_group
+from .tables import t
+
+# name -> (fn(spark, sf_dir) -> DataFrame, oracle_sql | None, in_bench)
+RELATIONAL: dict[str, tuple] = {}
+
+
+def _q(name: str, sql: str | None, bench: bool = False):
+    def wrap(fn):
+        RELATIONAL[name] = (fn, sql, bench)
+        return fn
+
+    return wrap
+
+
+def _dsum(col: str, scale: int = 2, alias: str | None = None) -> F.Column:
+    """Deterministic double sum: exact decimal accumulate → double."""
+    c = F.sum(F.expr(col).cast(f"decimal(18,{scale})")).cast("double")
+    return c.alias(alias) if alias else c
+
+
+# ---------------------------------------------------------------- Tier B
+
+
+@_q("b1_scan_count", "SELECT count(*) AS cnt FROM lineitem")
+def b1_scan_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Full scan + count (T:139)."""
+    return t(spark, sf, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+@_q(
+    "b2_sort_limit",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 5
+    """,
+)
+def b2_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """Global sort + limit → TakeOrderedAndProject (T:142-147)."""
+    return top_k(
+        t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        5,
+    )
+
+
+@_q(
+    "b3_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def b3_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return top_k(
+        t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@_q(
+    "b4_except_customers",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def b4_except_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Set difference (T:77-78): customers that never ordered."""
+    c = t(spark, sf, "customer").select("c_custkey")
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+@_q(
+    "b5_groupby_count",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def b5_groupby_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash aggregate (T:71-73)."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "b6_filter_project",
+    """
+    SELECT o_orderkey, o_orderstatus, upper(o_orderpriority) AS prio_uc
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderpriority LIKE '1%'
+    """,
+)
+def b6_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicates: isin/between/like + projection (Tier B6)."""
+    return (
+        t(spark, sf, "orders")
+        .filter(
+            F.col("o_orderstatus").isin("F", "O")
+            & F.col("o_totalprice").between(1000, 200000)
+            & F.col("o_orderpriority").like("1%")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.upper("o_orderpriority").alias("prio_uc"),
+        )
+    )
+
+
+@_q(
+    "b7_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def b7_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ------------------------------------------------------- Tier C: flagship aggs
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 adapted to the fixture schema — partial+final hash agg,
+    fully pushed-down shipdate filter."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity", 2, "sum_qty"),
+        _dsum("l_extendedprice", 2, "sum_base_price"),
+        _dsum("l_extendedprice * (1 - l_discount)", 6, "sum_disc_price"),
+        _dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6, "sum_charge"),
+        (_dsum("l_quantity", 2) / F.count("*")).cast("double").alias("avg_qty"),
+        (_dsum("l_extendedprice", 2) / F.count("*")).cast("double").alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "q3_top_revenue_orders",
+    """
+    SELECT l_orderkey,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    bench=True,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum("l_extendedprice * (1 - l_discount)", 6, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@_q(
+    "q5_region_revenue",
+    """
+    SELECT r_name, n_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    bench=True,
+)
+def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: big-table equi-joins + broadcast dims.  nation/
+    region/supplier are broadcast (small side) — no shuffle of the
+    fact table for the dim joins."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dsum("l_extendedprice * (1 - l_discount)", 6, "revenue"))
+    )
+
+
+# ------------------------------------------------------------- joins
+
+
+@_q(
+    "join_broadcast_dims",
+    """
+    SELECT r_name, count(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """Star join with explicit broadcast of both dims — zero shuffle
+    of the fact side (BroadcastHashJoin)."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dsum("c_acctbal", 2, "total_acctbal"),
+        )
+    )
+
+
+@_q(
+    "join_semi",
+    """
+    SELECT c_mktsegment, count(*) AS n_active
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join: customers with at least one order."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@_q(
+    "join_anti",
+    """
+    SELECT n_name, count(*) AS n_inactive
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n_name
+    """,
+)
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join: customers that never ordered, per nation."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    n = t(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+@_q(
+    "join_left_outer",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+      CAST(coalesce(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join preserving order-less customers (null-aware agg)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@_q(
+    "join_range",
+    """
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS order_month,
+      count(*) AS n_lineitems,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY order_month
+    """,
+)
+def join_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-join + range predicate (band join): ships within 60 days."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate <= F.expr("o_orderdate + INTERVAL 60 DAY")),
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            _dsum("l_extendedprice", 2, "price_sum"),
+        )
+    )
+
+
+@_q(
+    "join_asof_events_orders",
+    """
+    SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+    FROM events e ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_events_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (tick-data semantics, SURVEY §2 Tier C): the latest
+    order at-or-before each event, via the union+last-value-window
+    composition in operators/asof_join.py."""
+    e = t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderdate",
+    )
+    joined = asof_join(e, o, on="ts", by="user_id")
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderdate").alias("last_order_date")
+    )
+
+
+# ------------------------------------------------------------ windows
+
+
+@_q(
+    "window_topk_per_segment",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+        row_number() OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group top-k = ranking window + filter (Tier B3 generalized)."""
+    return top_k_per_group(
+        t(spark, sf, "customer").select("c_mktsegment", "c_custkey", "c_acctbal"),
+        "c_mktsegment",
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        3,
+        keep_rank=True,
+    ).select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+
+
+@_q(
+    "window_lag_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY day
+    )
+    SELECT day, revenue,
+      revenue - lag(revenue) OVER (ORDER BY day) AS delta,
+      lead(revenue) OVER (ORDER BY day) AS next_revenue
+    FROM daily
+    """,
+)
+def window_lag_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic lag/lead over an aggregated series."""
+    daily = (
+        t(spark, sf, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(_dsum("o_totalprice", 2, "revenue"))
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("delta"),
+        F.lead("revenue").over(w).alias("next_revenue"),
+    )
+
+
+@_q(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative frame aggregate (rowsBetween) with total ordering."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spent"),
+    )
+
+
+# ----------------------------------------------------------- aggregates
+
+
+@_q(
+    "agg_rollup",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
+      CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS grp
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical subtotals (region → nation → grand total)."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dsum("c_acctbal", 2, "acctbal_sum"),
+            F.grouping_id().cast("int").alias("grp"),
+        )
+    )
+
+
+@_q(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS grp
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice", 2, "total"),
+            F.grouping_id().cast("int").alias("grp"),
+        )
+    )
+
+
+@_q(
+    "agg_stats",
+    """
+    SELECT l_returnflag, count(*) AS cnt,
+      min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
+      round(stddev_samp(l_quantity), 4) AS qty_stddev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        (_dsum("l_extendedprice", 2) / F.count("*")).cast("double").alias("avg_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+    )
+
+
+@_q(
+    "agg_count_distinct",
+    """
+    SELECT c_mktsegment,
+      count(DISTINCT c_nationkey) AS n_nations,
+      count(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("c_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@_q(
+    "agg_percentile",
+    """
+    SELECT o_orderstatus,
+      round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (the distributed-sort exact
+    variant; approx_percentile is the sketch path, not oracle-stable)."""
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+@_q(
+    "agg_collect_set",
+    """
+    SELECT o_orderstatus,
+      array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf: str) -> DataFrame:
+    """collect_set normalized to a sorted string (deterministic)."""
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            )
+        )
+    )
+
+
+# ------------------------------------------------------------ set ops
+
+
+@_q(
+    "setop_nations",
+    """
+    SELECT n_nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS n_nationkey FROM supplier
+    )
+    """,
+)
+def setop_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """Intersect: nations present on both customer and supplier side."""
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return c.intersect(s)
+
+
+@_q(
+    "setop_union_counts",
+    """
+    SELECT side, count(*) AS cnt FROM (
+      SELECT 'cust' AS side, c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT 'supp' AS side, s_nationkey AS k FROM supplier
+    ) GROUP BY side
+    """,
+)
+def setop_union_counts(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select(
+        F.lit("cust").alias("side"), F.col("c_nationkey").alias("k")
+    )
+    s = t(spark, sf, "supplier").select(
+        F.lit("supp").alias("side"), F.col("s_nationkey").alias("k")
+    )
+    return c.unionByName(s).groupBy("side").agg(F.count("*").alias("cnt"))
+
+
+# ------------------------------------------------------ scalar functions
+
+
+@_q(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+      upper(p_brand) AS brand_uc,
+      substring(p_name, 1, 12) AS name_prefix,
+      CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num,
+      split_part(p_type, ' ', 1) AS type_head,
+      concat(p_brand, ':', p_type) AS brand_type,
+      length(p_name) AS name_len
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """String surface: upper/substring/regexp_extract/split/concat —
+    the reference's path-regex (A6) re-expressed as column functions."""
+    return t(spark, sf, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.expr("split_part(p_type, ' ', 1)").alias("type_head"),
+        F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@_q(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+      year(o_orderdate) AS order_year,
+      month(o_orderdate) AS order_month,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start,
+      CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+@_q(
+    "scalar_json_funcs",
+    """
+    SELECT event_type,
+      count(*) AS cnt,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+      min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+      max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction over events.props (map/JSON surface)."""
+    e = t(spark, sf, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@_q(
+    "scalar_math_case",
+    """
+    SELECT l_orderkey, l_linenumber,
+      round(abs(l_extendedprice * power(10, -2)), 4) AS price_scaled,
+      CASE WHEN l_quantity < 10 THEN 'small'
+           WHEN l_quantity < 30 THEN 'medium'
+           ELSE 'large' END AS qty_bucket,
+      coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+    FROM lineitem
+    """,
+)
+def scalar_math_case(spark: SparkSession, sf: str) -> DataFrame:
+    """Math + conditional surface; the bi5 10^digits scaling as a
+    column expression (SURVEY §2 scalar functions)."""
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") * F.pow(F.lit(10), F.lit(-2))), 4).alias(
+            "price_scaled"
+        ),
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("qty_bucket"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    )
+
+
+# ----------------------------------------------------- event analytics
+
+
+@_q(
+    "events_daily_windows",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY day, event_type
+    """,
+    bench=True,
+)
+def events_daily_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming
+    window; streaming/events.py runs the same expressions on a
+    stream)."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), _dsum("value", 2, "value_sum"))
+        .select(F.col("w.start").alias("day"), "event_type", "cnt", "value_sum")
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+      CAST(max(session_id) AS BIGINT) AS n_sessions,
+      CAST(SUM(sz) AS BIGINT) AS n_events,
+      CAST(max(sz) AS BIGINT) AS max_session_events
+    FROM (
+      SELECT user_id, session_id, count(*) AS sz
+      FROM sess GROUP BY user_id, session_id
+    ) GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the batch dual of streaming session windows."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        e.withColumn(
+            "new_session",
+            F.when(
+                (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                    > 1_800_000_000
+                )
+                | F.lag("ts").over(w).isNull(),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wf))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.sum("sz").alias("n_events"),
+        F.max("sz").cast("bigint").alias("max_session_events"),
+    )
+
+
+@_q(
+    "events_ohlc",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_start, event_type,
+      arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+      arg_max(value, ts) AS close, count(*) AS n_ticks
+    FROM events GROUP BY bar_start, event_type
+    """,
+)
+def events_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC bars (flagship tick aggregate, functions/ohlc.py) applied
+    to the events fixture so the oracle can check it."""
+    from ..functions.ohlc import ohlc_bars
+
+    e = t(spark, sf, "events")
+    return ohlc_bars(
+        e, "1 day", ts_col="ts", price_col="value", volume_col=None, by=("event_type",)
+    )

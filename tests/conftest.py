@@ -91,5 +91,5 @@ def reference_fixtures_available() -> bool:
     return os.path.isdir(REFERENCE_RESOURCES)
 
 
-def testdata_available() -> bool:
+def has_testdata() -> bool:
     return os.path.isdir(TESTDATA_SF)
