@@ -55,13 +55,19 @@ def with_shingles(
     df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
 ) -> DataFrame:
     """Distinct word-level n-gram shingles of a whitespace-tokenized
-    text column — array stays JVM-side (higher-order functions)."""
-    tokens = f"split({text_col}, ' ')"
+    text column — array stays JVM-side (higher-order functions).
+
+    The token array is let-bound via ``transform(array(...), tk ->
+    ...)[0]`` so ``split`` runs once per row; referencing the split
+    textually inside the position lambda would re-split per shingle
+    (no CSE inside higher-order functions → O(tokens²) strings).
+    """
     expr = (
-        f"array_distinct(CASE WHEN size({tokens}) < {n} "
-        f"THEN array(concat_ws(' ', {tokens})) "
-        f"ELSE transform(sequence(1, size({tokens}) - {n} + 1), "
-        f"     i -> concat_ws(' ', slice({tokens}, i, {n}))) END)"
+        f"transform(array(split({text_col}, ' ')), tk -> "
+        f" array_distinct(CASE WHEN size(tk) < {n} "
+        f" THEN array(concat_ws(' ', tk)) "
+        f" ELSE transform(sequence(1, size(tk) - {n} + 1), "
+        f"      i -> concat_ws(' ', slice(tk, i, {n}))) END))[0]"
     )
     return df.withColumn(out_col, F.expr(expr))
 
@@ -76,11 +82,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: for each of ``num_perm``
     seeded xxhash64 permutations, the minimum hash over the doc's
-    shingles.  Narrow (no shuffle): per-row array expressions only."""
+    shingles.  Narrow (no shuffle): per-row array expressions only.
+
+    The shingle array is let-bound (projection collapse would
+    otherwise inline and re-evaluate the shingling per permutation).
+    """
     with_sh = with_shingles(df, text_col, n)
     sig = F.expr(
-        "transform(sequence(0, {np} - 1), seed -> "
-        " array_min(transform(shingles, s -> xxhash64(s, seed))))".format(np=num_perm)
+        "transform(array(shingles), sh -> transform(sequence(0, {np} - 1), seed -> "
+        " array_min(transform(sh, s -> xxhash64(s, seed)))))[0]".format(np=num_perm)
     )
     return with_sh.withColumn(out_col, sig).drop("shingles")
 
@@ -160,6 +170,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_rep_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Candidate pairs against each bucket's *representative* (min id):
+    O(n·bands) candidates instead of the O(bucket²) all-pairs join —
+    the property that keeps LSH dedup linear when the corpus has huge
+    near-dup clusters (exactly the 100-TB failure mode)."""
+    rows_per_band = num_perm // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands} - 1), b -> "
+                f"named_struct('band', b, 'bucket', "
+                f" xxhash64(concat_ws(',', slice({sig_col}, b * {rows_per_band} + 1, {rows_per_band})))))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    reps = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("id_a"))
+    return (
+        banded.join(reps, ["band", "bucket"])
+        .filter(F.col(id_col) > F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -171,9 +212,16 @@ def minhash_dedup(
 ) -> DataFrame:
     """Near-duplicate removal: LSH candidates → exact-Jaccard verify →
     min-id survivor.  Keeps every row with no verified near-dup of
-    smaller id."""
+    smaller id.
+
+    Candidates come from the bucket-representative pairing (see
+    ``_minhash_rep_pairs``): a doc is tested against the smallest id
+    sharing any band bucket.  One-pass approximation of connected
+    components — a doc similar only to a non-representative may
+    survive one round; rerun on the survivors to converge if needed.
+    """
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
-    cand = minhash_lsh_pairs(sigs, id_col, num_perm, bands)
+    cand = _minhash_rep_pairs(sigs, id_col, num_perm, bands)
     verified = (
         cand.join(df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")), "id_a")
         .join(df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")), "id_b")

@@ -95,7 +95,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@_q("dedup_minhash", None)  # hash-based → rows-only driver check
+@_q("dedup_minhash", None, bench=True)  # hash-based → rows-only driver check
 def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dedup: surviving docs (min-id policy).
     Semantic oracle lives in tests/test_operators.py (planted dups)."""

@@ -393,6 +393,7 @@ def join_range(spark: SparkSession, sf: str) -> DataFrame:
     FROM events e ASOF LEFT JOIN orders o
       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
+    bench=True,
 )
 def join_asof_events_orders(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (tick-data semantics, SURVEY §2 Tier C): the latest
@@ -474,6 +475,7 @@ def window_lag_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent
     FROM orders
     """,
+    bench=True,
 )
 def window_running_total(spark: SparkSession, sf: str) -> DataFrame:
     """Cumulative frame aggregate (rowsBetween) with total ordering."""
@@ -830,6 +832,7 @@ def events_daily_windows(spark: SparkSession, sf: str) -> DataFrame:
       FROM sess GROUP BY user_id, session_id
     ) GROUP BY user_id
     """,
+    bench=True,
 )
 def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + running

@@ -276,3 +276,10 @@ class Bi5DataSource(DataSource):
 
     def reader(self, schema: StructType) -> Bi5Reader:
         return Bi5Reader(self.options)
+
+    def streamReader(self, schema: StructType):
+        """``spark.readStream.format("bi5")`` — tail a growing tree
+        (streaming extension; the reference is batch-only, DS24:26)."""
+        from ..streaming.bi5_stream import Bi5StreamReader
+
+        return Bi5StreamReader(self.options)

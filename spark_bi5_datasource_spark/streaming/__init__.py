@@ -1,0 +1,13 @@
+from .events import (
+    dedup_within_watermark,
+    session_windows,
+    sliding_value_sums,
+    windowed_counts,
+)
+
+__all__ = [
+    "dedup_within_watermark",
+    "session_windows",
+    "sliding_value_sums",
+    "windowed_counts",
+]

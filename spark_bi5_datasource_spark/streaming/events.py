@@ -1,0 +1,105 @@
+"""Structured Streaming pipelines over event streams (SURVEY §2
+Streaming tier).
+
+The reference is batch-only (``ReadSupport`` is its single capability,
+DS24:26-27); this module is the Spark-native extension the survey
+mandates: tumbling/sliding windows, session windows, watermark-driven
+late-data handling, and stateful streaming dedup — all Structured
+Streaming built-ins, no custom state stores.
+
+Each function maps a *streaming* DataFrame to a transformed streaming
+DataFrame, so the same code serves any source (file stream over a
+growing parquet/bi5 tree, Kafka, rate source).  Batch twins of these
+aggregations live in plans/relational.py (events_daily_windows,
+events_sessionize) — correctness is checked by comparing stream
+output (availableNow, full replay) against the batch plan in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "windowed_counts",
+    "sliding_value_sums",
+    "session_windows",
+    "dedup_within_watermark",
+]
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window count + value sum per key; late rows beyond the
+    watermark are dropped (enables state cleanup at scale)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "cnt", "value_sum")
+    )
+
+
+def sliding_value_sums(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding windows (overlapping buckets)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cnt",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows: activity bursts per user separated by ``gap``
+    of inactivity (the streaming twin of events_sessionize)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming dedup with bounded state: duplicates of the
+    same key within the watermark horizon are dropped; state for
+    expired windows is reclaimed automatically."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -282,3 +282,29 @@ class TestReferenceGolden:
             last,
             ("USDJPY", dt.datetime(2020, 12, 1, 23, 59, 59, 213_000), 108.727, 108.723, 3.25, 1.5),
         )
+
+
+# ---- UDTF alternative scan path over binaryFile ----
+
+
+class TestBi5UdtfScan:
+    def test_lateral_decode_matches_source(self, spark, bi5_tree):
+        from spark_bi5_datasource_spark.functions.bi5_udtf import register_bi5_udtf
+
+        register_bi5_udtf(spark)
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bi5")
+            .option("recursiveFileLookup", "true")
+            .load(os.path.join(bi5_tree, "EURUSD"))
+        )
+        decoded = spark.sql(
+            "SELECT t.* FROM {files} AS f, "
+            "LATERAL bi5_decode(f.path, f.content, 5, 0) AS t",
+            files=files,
+        )
+        via_source = read_bi5(spark, os.path.join(bi5_tree, "EURUSD"), digits=5)
+        assert decoded.count() == via_source.count() == 5
+        a = {tuple(r) for r in decoded.collect()}
+        b = {tuple(r) for r in via_source.collect()}
+        assert a == b

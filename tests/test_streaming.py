@@ -1,0 +1,146 @@
+"""Structured Streaming tests: file-stream event pipelines checked
+against their batch twins, and the bi5 streaming source's
+incremental-offset behavior (new files only)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_bi5_datasource_spark.streaming import (
+    dedup_within_watermark,
+    session_windows,
+    windowed_counts,
+)
+from tests.conftest import write_bi5
+
+
+@pytest.fixture()
+def event_stream_dir(spark, tmp_path):
+    """Two parquet chunks of a small deterministic event log."""
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                # 10-minute spacing → session gaps > 30 min between users
+                f"2024-01-01 {i // 25:02d}:{(i % 25) * 2:02d}:00",
+                i % 7,
+                ["view", "click", "purchase"][i % 3],
+                float(i % 50),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    d = str(tmp_path / "events_stream")
+    df.coalesce(2).write.parquet(d)
+    return d
+
+
+def run_stream(sdf, tmp_path, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if sdf.isStreaming and name != "dedup" else "append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+class TestEventStreaming:
+    def test_windowed_counts_match_batch(self, spark, event_stream_dir, tmp_path):
+        batch = spark.read.parquet(event_stream_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(event_stream_dir)
+        agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+        run_stream(agg, tmp_path, "win_counts")
+        got = {
+            (r.window_start, r.event_type): (r.cnt, r.value_sum)
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        expected = {
+            (r.w["start"], r.event_type): (r.cnt, r.value_sum)
+            for r in batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+            )
+            .collect()
+        }
+        assert got == expected and len(got) > 0
+
+    def test_session_windows(self, spark, event_stream_dir, tmp_path):
+        batch = spark.read.parquet(event_stream_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(event_stream_dir)
+        sess = session_windows(stream, gap="30 minutes", watermark="4 hours")
+        run_stream(sess, tmp_path, "sessions")
+        rows = spark.sql("SELECT * FROM sessions").collect()
+        assert len(rows) > 0
+        # total events across sessions == total events
+        assert sum(r.n_events for r in rows) == batch.count()
+
+    def test_dedup_within_watermark(self, spark, tmp_path):
+        base = spark.range(50).select(
+            (F.col("id") % 10).alias("event_id"),  # 5 duplicates per id
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        d = str(tmp_path / "dups")
+        base.write.parquet(d)
+        stream = spark.readStream.schema(base.schema).parquet(d)
+        deduped = dedup_within_watermark(stream, keys=["event_id"], watermark="1 hour")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM dedup_out").collect()
+        assert sorted(r.event_id for r in rows) == list(range(10))
+
+
+class TestBi5Streaming:
+    def test_incremental_files(self, spark, tmp_path):
+        tree = tmp_path / "ticks" / "EURUSD" / "2020" / "0" / "1"
+        write_bi5(str(tree / "00h_ticks.bi5"), [(0, 100000, 99990, 1.0, 1.0)])
+
+        out = str(tmp_path / "out_parquet")
+
+        def run_round():
+            # parquet sink + shared checkpoint → each round appends only
+            # the files not covered by the recovered offset
+            stream = (
+                spark.readStream.format("bi5")
+                .option("digits", 5)
+                .load(str(tmp_path / "ticks"))
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", str(tmp_path / "ckpt_bi5"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_round()
+        assert spark.read.parquet(out).count() == 1
+
+        # new hour file arrives → only the delta is read in round 2
+        write_bi5(
+            str(tree / "01h_ticks.bi5"),
+            [(0, 100010, 100000, 2.0, 2.0), (500, 100020, 100010, 3.0, 3.0)],
+        )
+        run_round()
+        got = spark.read.parquet(out).collect()
+        assert sorted(r.ask for r in got) == [1.0, 1.0001, 1.0002]
