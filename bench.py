@@ -54,6 +54,11 @@ def main() -> None:
     spark = build_spark()
     register(spark)
 
+    # Warm the JVM/codegen/parquet-footer caches so the first timed
+    # query doesn't absorb session startup costs.
+    warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in plans.bench_queries().items():
         df = fn(spark, SF_DIR)

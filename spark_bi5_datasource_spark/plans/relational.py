@@ -881,3 +881,159 @@ def events_ohlc(spark: SparkSession, sf: str) -> DataFrame:
     return ohlc_bars(
         e, "1 day", ts_col="ts", price_col="value", volume_col=None, by=("event_type",)
     )
+
+
+@_q(
+    "window_rank_kinds",
+    """
+    SELECT c_mktsegment, c_custkey,
+      CAST(rank() OVER w AS INT) AS rnk,
+      CAST(dense_rank() OVER w AS INT) AS drnk,
+      CAST(ntile(4) OVER w AS INT) AS quartile,
+      round(percent_rank() OVER w, 6) AS prank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def window_rank_kinds(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-function surface: rank/dense_rank/ntile/percent_rank."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return t(spark, sf, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS grp
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry point."""
+    o = t(spark, sf, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS grp
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_q(
+    "setop_except_all",
+    """
+    SELECT l_orderkey FROM (
+      SELECT l_orderkey FROM lineitem
+      EXCEPT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1
+    )
+    """,
+)
+def setop_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset difference (exceptAll) — keeps duplicate multiplicity."""
+    li = t(spark, sf, "lineitem")
+    return li.select("l_orderkey").exceptAll(
+        li.filter(F.col("l_linenumber") == 1).select("l_orderkey")
+    )
+
+
+@_q(
+    "array_funcs",
+    """
+    SELECT vec_id,
+      CAST(len(embedding) AS INT) AS dim,
+      round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head_sum,
+      round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs,
+      round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[64] AS DOUBLE), 6) AS ends_sum
+    FROM embeddings
+    """,
+)
+def array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Array surface: size/slice/aggregate/transform/element_at over
+    the embedding column — all higher-order JVM expressions."""
+    return t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(
+            F.expr(
+                "aggregate(slice(embedding, 1, 8), 0D, (acc, x) -> acc + cast(x AS double))"
+            ),
+            6,
+        ).alias("head_sum"),
+        F.round(
+            F.expr("array_max(transform(embedding, x -> abs(cast(x AS double))))"), 6
+        ).alias("max_abs"),
+        F.round(
+            F.expr("cast(element_at(embedding, 1) AS double) + cast(element_at(embedding, 64) AS double)"),
+            6,
+        ).alias("ends_sum"),
+    )
+
+
+@_q(
+    "scalar_from_json",
+    """
+    SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+           THEN 'high' ELSE 'low' END AS k_bucket
+    FROM events
+    """,
+)
+def scalar_from_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured JSON parsing: from_json into a typed struct (the
+    schema-ful twin of get_json_object)."""
+    e = t(spark, sf, "events").withColumn(
+        "j", F.from_json("props", "k INT")
+    )
+    return e.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        F.when(F.col("j.k") >= 50, "high").otherwise("low").alias("k_bucket"),
+    )
+
+
+@_q("agg_approx_sketches", None)  # sketch values are engine-specific
+def agg_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate aggregates (HLL count-distinct + approx quantile) —
+    the sketch path whose exact twins are agg_count_distinct and
+    agg_percentile; rows-only check by design."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+    )
+
+
+@_q(
+    "setop_intersect_all",
+    """
+    SELECT o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset intersection (intersectAll) — duplicate-preserving."""
+    o = t(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersectAll(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )

@@ -308,3 +308,18 @@ class TestBi5UdtfScan:
         a = {tuple(r) for r in decoded.collect()}
         b = {tuple(r) for r in via_source.collect()}
         assert a == b
+
+
+def test_csv_sink_parity(spark, bi5_tree, tmp_path):
+    """CSV sink — debug parity with the reference's bi5_to_csv script
+    (scripts/bi5_to_csv.py:17 writes the decoded frame to CSV)."""
+    df = read_bi5(spark, os.path.join(bi5_tree, "EURUSD"), digits=DIGITS_EUR)
+    out = str(tmp_path / "out_csv")
+    df.write.option("header", True).mode("overwrite").csv(out)
+    back = (
+        spark.read.option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .csv(out)
+    )
+    assert back.count() == 5
+    assert back.columns == df.columns

@@ -144,3 +144,31 @@ class TestBi5Streaming:
         run_round()
         got = spark.read.parquet(out).collect()
         assert sorted(r.ask for r in got) == [1.0, 1.0001, 1.0002]
+
+
+def test_sliding_windows(spark, event_stream_dir, tmp_path):
+    from spark_bi5_datasource_spark.streaming import sliding_value_sums
+
+    batch = spark.read.parquet(event_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(event_stream_dir)
+    agg = sliding_value_sums(stream, window="1 hour", slide="30 minutes", watermark="4 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sliding"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.window_end): r.cnt
+        for r in spark.sql("SELECT * FROM sliding").collect()
+    }
+    expected = {
+        (r.w["start"], r.w["end"]): r.cnt
+        for r in batch.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == expected and len(got) > 2  # overlapping buckets present
