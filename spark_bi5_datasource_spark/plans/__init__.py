@@ -15,8 +15,22 @@ from .relational import RELATIONAL
 CATALOG: dict[str, tuple] = {**RELATIONAL, **LLM_OPS}
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]):
+    """Pin the session timezone for catalog queries: timestamp values
+    must agree with the (timezone-naive) DuckDB oracle regardless of
+    the caller's session defaults."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql, _b) in CATALOG.items()}
+    return {name: _utc(fn) for name, (fn, _sql, _b) in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -394,3 +394,22 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_media_features(media, fake_decode=True).select(
         "media_id", "kind", "n_bytes", "width", "height"
     )
+
+
+@_q(
+    "sim_pandas_udf_norm",
+    """
+    SELECT vec_id,
+      round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
+    FROM embeddings
+    """,
+)
+def sim_pandas_udf_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF surface: batch NumPy L2 norms
+    (oracle-checked against the same formula in SQL; the pure-JVM
+    twin is operators/similarity.with_norm)."""
+    from ..functions.pandas_udfs import vector_norm
+
+    return t(spark, sf, "embeddings").select(
+        "vec_id", F.round(vector_norm("embedding"), 6).alias("norm")
+    )
