@@ -1,3 +1,4 @@
+from .ann_shard import ann_topk_gemm
 from .asof_join import asof_join
 from .dedup import (
     exact_dedup,
@@ -10,9 +11,11 @@ from .dedup import (
     with_shingles,
 )
 from .similarity import cosine_pairs, cosine_topk, rp_lsh_topk, rp_signature
+from .skew import salted_join
 from .topk import top_k, top_k_per_group
 
 __all__ = [
+    "ann_topk_gemm",
     "asof_join",
     "cosine_pairs",
     "cosine_topk",
@@ -23,6 +26,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "rp_lsh_topk",
     "rp_signature",
+    "salted_join",
     "simhash",
     "simhash_pairs",
     "top_k",

@@ -413,3 +413,32 @@ def sim_pandas_udf_norm(spark: SparkSession, sf: str) -> DataFrame:
     return t(spark, sf, "embeddings").select(
         "vec_id", F.round(vector_norm("embedding"), 6).alias("norm")
     )
+
+
+@_q(
+    "sim_gemm_topk",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT b.vec_id AS query_id, a.vec_id AS nbr_id,
+      round({_DOT_D} / (a.nrm * b.nrm), 6) AS cosine,
+      CAST(row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, a.vec_id ASC) AS INT) AS rank
+    FROM n a, n b
+    WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+    QUALIFY rank <= 5
+    """,
+)
+def sim_gemm_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharded-GEMM ANN (mapInPandas matrix kernel) — exact results,
+    so it shares the brute-force oracle; the throughput tier for
+    large query sets (operators/ann_shard.py)."""
+    from ..operators import ann_topk_gemm
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_topk_gemm(emb, queries, k=5)

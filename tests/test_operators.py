@@ -146,3 +146,48 @@ class TestTopK:
         ).collect()
         g_rows = sorted(r.id for r in got if r.grp == "g")
         assert g_rows == [1, 2]  # tie broken by id, k respected
+
+
+class TestAnnGemm:
+    def test_matches_expression_path(self, spark):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.operators import ann_topk_gemm
+
+        rng = np.random.default_rng(11)
+        rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(80)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(4)
+        queries = emb.filter("vec_id < 6")
+        gemm = {
+            (r.query_id, r.rank): (r.nbr_id, r.cosine)
+            for r in ann_topk_gemm(emb, queries, k=4).collect()
+        }
+        exact = {
+            (r.query_id, r.rank): (r.nbr_id, r.cosine)
+            for r in cosine_topk(emb, queries, k=4).collect()
+        }
+        assert gemm == exact and len(gemm) == 24
+
+    def test_empty_queries(self, spark):
+        from spark_bi5_datasource_spark.operators import ann_topk_gemm
+
+        emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+        assert ann_topk_gemm(emb, emb.filter("vec_id < 0"), k=3).count() == 0
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join_on_skewed_keys(self, spark):
+        from spark_bi5_datasource_spark.operators import salted_join
+
+        # 90% of rows share one hot key
+        large = spark.range(0, 2000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 7 ELSE id % 100 END AS k", "id AS payload"
+        )
+        small = spark.range(0, 100).selectExpr("id AS k", "id * 10 AS dim_val")
+        got = salted_join(large, small, on="k", replicas=4)
+        plain = large.join(small, "k")
+        assert got.count() == plain.count()
+        assert (
+            got.agg(F.sum("dim_val")).collect()[0][0]
+            == plain.agg(F.sum("dim_val")).collect()[0][0]
+        )

@@ -1,0 +1,55 @@
+"""Plan-shape regression tests: the physical plans that make these
+queries scale must not silently degrade (broadcasts becoming shuffles,
+filters un-pushing, Python sneaking into relational hot paths)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import TESTDATA_SF, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="testdata absent")
+
+
+def plan_of(spark, name):
+    from spark_bi5_datasource_spark import plans
+
+    df = plans.CATALOG[name][0](spark, TESTDATA_SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_broadcasts_dims(spark):
+    p = plan_of(spark, "q5_region_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters: [IsNotNull" in p
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+def test_asof_join_single_exchange(spark):
+    # union + window composition: exactly one exchange for the window
+    p = plan_of(spark, "join_asof_events_orders")
+    assert p.count("Exchange") <= 2  # window shuffle (+AQE read)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_no_python_in_relational_paths(spark):
+    for name in ["q1_pricing_summary", "q3_top_revenue_orders", "b5_groupby_count",
+                 "window_running_total", "events_sessionize", "text_stats",
+                 "dedup_minhash"]:
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_bi5_scan_prunes_files(spark, bi5_tree):
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.read.format("bi5").option("digits", 5).load(bi5_tree)
+        .filter(F.col("ticker") == "EURUSD")
+    )
+    full = spark.read.format("bi5").option("digits", 5).load(bi5_tree)
+    assert df.rdd.getNumPartitions() < full.rdd.getNumPartitions()
