@@ -42,6 +42,11 @@ def asof_join(
 
     ``tolerance``: optional INTERVAL string (e.g. ``'90 days'``) — a
     match older (backward) than ``on - tolerance`` is discarded.
+
+    When multiple right rows share the winning timestamp, the one with
+    the greatest xxhash64 of its value struct wins — an arbitrary but
+    **deterministic** choice (stable across runs/partitionings), so
+    results are reproducible even on tied tick data.
     """
     if isinstance(by, str):
         by = [by]
@@ -72,10 +77,11 @@ def asof_join(
 
     ts_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     # At equal __t the right row must be visible to the left row, so
-    # right (__src=0) always sorts first.
+    # right (__src=0) always sorts first; among tied right rows the
+    # struct-hash order makes last() deterministic.
     w = (
         Window.partitionBy(*by)
-        .orderBy(ts_order, F.col("__src").asc())
+        .orderBy(ts_order, F.col("__src").asc(), F.xxhash64("__vals").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn(

@@ -101,6 +101,7 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     sig_col: str = "signature",
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) that collide in ≥1 LSH band.
 
@@ -108,6 +109,12 @@ def minhash_lsh_pairs(
     each band hashes to a bucket; docs sharing any (band, bucket) are
     candidates.  Shuffles on (band, bucket) — the content-derived key
     that makes near-dup detection linear-ish instead of quadratic.
+
+    ``max_bucket`` caps the all-pairs expansion: buckets larger than
+    this are dropped from *pair enumeration* (a bucket with thousands
+    of members is a giant near-dup cluster — enumerate it via
+    ``minhash_dedup``'s representative pairing, which stays linear,
+    not via O(bucket²) pairs).  Set ``None`` to disable.
     """
     rows_per_band = num_perm // bands
     banded = sigs.select(
@@ -120,11 +127,16 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("__bsz"))
+        banded = banded.join(
+            sizes.filter(F.col("__bsz") <= max_bucket), ["band", "bucket"]
+        ).drop("__bsz")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
-            (F.col(f"a.band") == F.col("b.band"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
@@ -209,6 +221,7 @@ def minhash_dedup(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    rounds: int = 1,
 ) -> DataFrame:
     """Near-duplicate removal: LSH candidates → exact-Jaccard verify →
     min-id survivor.  Keeps every row with no verified near-dup of
@@ -216,10 +229,28 @@ def minhash_dedup(
 
     Candidates come from the bucket-representative pairing (see
     ``_minhash_rep_pairs``): a doc is tested against the smallest id
-    sharing any band bucket.  One-pass approximation of connected
-    components — a doc similar only to a non-representative may
-    survive one round; rerun on the survivors to converge if needed.
+    sharing any band bucket.  One pass approximates connected
+    components; ``rounds > 1`` reruns on the survivors (each round is
+    a full linear pass) to converge clusters whose members only meet
+    through non-representatives.
     """
+    out = df
+    for _ in range(max(1, rounds) - 1):
+        out = _minhash_dedup_once(
+            out, id_col, text_col, n, num_perm, bands, threshold
+        )
+    return _minhash_dedup_once(out, id_col, text_col, n, num_perm, bands, threshold)
+
+
+def _minhash_dedup_once(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
     cand = _minhash_rep_pairs(sigs, id_col, num_perm, bands)
     verified = (

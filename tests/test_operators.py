@@ -191,3 +191,52 @@ class TestSaltedJoin:
             got.agg(F.sum("dim_val")).collect()[0][0]
             == plain.agg(F.sum("dim_val")).collect()[0][0]
         )
+
+
+class TestDedupPolish:
+    def test_minhash_multi_round_converges(self, spark):
+        # chain: A≈B, B≈C but A,C meet only through B — 2 rounds collapse all
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+        rows = [
+            (1, base),
+            (2, base.replace("mu", "nu")),
+            (3, base.replace("mu", "nu").replace("alpha", "omega")),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        from spark_bi5_datasource_spark.operators import minhash_dedup
+
+        two = sorted(
+            r.doc_id
+            for r in minhash_dedup(docs, "doc_id", "text", threshold=0.5, rounds=2).collect()
+        )
+        assert two[0] == 1 and len(two) <= 2  # chain collapsed toward min id
+
+    def test_lsh_pairs_max_bucket_guard(self, spark, docs):
+        from spark_bi5_datasource_spark.operators import (
+            minhash_lsh_pairs,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(docs, "doc_id", "text")
+        # absurdly small cap → all buckets dropped → zero pairs, no error
+        assert minhash_lsh_pairs(sigs, "doc_id", max_bucket=1).count() == 0
+        # default cap keeps the near-dup pair
+        got = {
+            (r.id_a, r.id_b) for r in minhash_lsh_pairs(sigs, "doc_id").collect()
+        }
+        assert (1, 3) in got
+
+
+class TestAsofTieDeterminism:
+    def test_equal_right_timestamps_stable(self, spark):
+        left = spark.createDataFrame([(1, "2024-01-10")], "id int, d string").select(
+            "id", F.col("d").cast("timestamp").alias("ts")
+        )
+        right = spark.createDataFrame(
+            [("2024-01-05", 1.0), ("2024-01-05", 2.0), ("2024-01-05", 3.0)],
+            "d string, px double",
+        ).select(F.col("d").cast("timestamp").alias("ts"), "px")
+        picks = set()
+        for _ in range(3):
+            picks.add(asof_join(left.repartition(3), right.repartition(2), on="ts").collect()[0].px)
+        assert len(picks) == 1  # same winner every run/partitioning
