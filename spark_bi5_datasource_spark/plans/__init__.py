@@ -21,7 +21,10 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]):
     the caller's session defaults."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .. import ship_package
+
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ship_package(spark)  # mapInPandas/UDF closures need the package on workers
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
