@@ -55,4 +55,7 @@ class Bi5DecodeUDTF:
 
 
 def register_bi5_udtf(spark) -> None:
+    from .. import ship_package
+
+    ship_package(spark)  # the UDTF class is pickled by module reference
     spark.udtf.register("bi5_decode", udtf(Bi5DecodeUDTF, returnType=_RETURN_TYPE))
