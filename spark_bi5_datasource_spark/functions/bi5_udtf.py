@@ -44,9 +44,9 @@ class Bi5DecodeUDTF:
         for i in range(len(cols["ts_us"])):
             yield (
                 meta.ticker,
-                datetime.fromtimestamp(
-                    cols["ts_us"][i] / 1_000_000, tz=timezone.utc
-                ).replace(tzinfo=None),
+                # tz-aware so Spark stores the true instant regardless
+                # of the session timezone (naive would be reinterpreted)
+                datetime.fromtimestamp(cols["ts_us"][i] / 1_000_000, tz=timezone.utc),
                 float(cols["ask"][i]),
                 float(cols["bid"][i]),
                 float(cols["ask_volume"][i]),

@@ -107,6 +107,26 @@ def minhash_signatures(
     return with_sh.withColumn(out_col, sig).drop("shingles")
 
 
+def _banded(
+    sigs, id_col: str, num_perm: int, bands: int, sig_col: str = "signature"
+):
+    """(id, band, bucket) rows: the signature cut into ``bands`` bands
+    of ``num_perm/bands`` values, each hashed to a bucket.  Shared by
+    pair enumeration and representative pairing so the bucketing can
+    never diverge between them."""
+    rows_per_band = num_perm // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands} - 1), b -> "
+                f"named_struct('band', b, 'bucket', "
+                f" xxhash64(concat_ws(',', slice({sig_col}, b * {rows_per_band} + 1, {rows_per_band})))))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -128,17 +148,7 @@ def minhash_lsh_pairs(
     ``minhash_dedup``'s representative pairing, which stays linear,
     not via O(bucket²) pairs).  Set ``None`` to disable.
     """
-    rows_per_band = num_perm // bands
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands} - 1), b -> "
-                f"named_struct('band', b, 'bucket', "
-                f" xxhash64(concat_ws(',', slice({sig_col}, b * {rows_per_band} + 1, {rows_per_band})))))"
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _banded(sigs, id_col, num_perm, bands, sig_col)
     if max_bucket is not None:
         sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("__bsz"))
         banded = banded.join(
@@ -173,10 +183,10 @@ def ngram_jaccard_pairs(
     This is the verification-grade exact baseline; minhash LSH is the
     approximate scale path over the same shingle space.
     """
-    sh = (
-        with_shingles(df, text_col, n)
-        .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle"))
-        .distinct()
+    # shingle arrays are already array_distinct per doc, so the exploded
+    # (doc, shingle) pairs are unique — no extra dedup exchange needed
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle")
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     inter = (
@@ -205,17 +215,7 @@ def _minhash_rep_pairs(
     O(n·bands) candidates instead of the O(bucket²) all-pairs join —
     the property that keeps LSH dedup linear when the corpus has huge
     near-dup clusters (exactly the 100-TB failure mode)."""
-    rows_per_band = num_perm // bands
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands} - 1), b -> "
-                f"named_struct('band', b, 'bucket', "
-                f" xxhash64(concat_ws(',', slice({sig_col}, b * {rows_per_band} + 1, {rows_per_band})))))"
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _banded(sigs, id_col, num_perm, bands, sig_col)
     reps = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("id_a"))
     return (
         banded.join(reps, ["band", "bucket"])

@@ -45,10 +45,12 @@ def cosine_topk(
     """Exact top-k cosine neighbors in ``corpus`` for each row of
     ``queries``.  Query side is broadcast — corpus is scanned once,
     no shuffle of the big side; ties broken by neighbor id."""
-    c = with_norm(corpus, vec_col).select(
+    # zero-norm vectors have undefined cosine; NaN would sort above
+    # every real score in Spark, so exclude them outright
+    c = with_norm(corpus, vec_col).filter(F.col("norm") > 0).select(
         F.col(id_col).alias("nbr_id"), F.col("__v").alias("__cv"), F.col("norm").alias("__cn")
     )
-    q = with_norm(queries, vec_col).select(
+    q = with_norm(queries, vec_col).filter(F.col("norm") > 0).select(
         F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), F.col("norm").alias("__qn")
     )
     joined = c.crossJoin(F.broadcast(q))
@@ -106,13 +108,17 @@ def rp_lsh_topk(
     matches the query's bucket (or differs in one bit when
     ``multiprobe``).  Equi-join on bucket replaces the cross product;
     recall grows with multiprobe radius."""
-    c = rp_signature(with_norm(corpus, vec_col), vec_col, dim, n_planes, seed).select(
+    c = rp_signature(
+        with_norm(corpus, vec_col).filter(F.col("norm") > 0), vec_col, dim, n_planes, seed
+    ).select(
         F.col(id_col).alias("nbr_id"),
         F.col("__v").alias("__cv"),
         F.col("norm").alias("__cn"),
         "bucket",
     )
-    q = rp_signature(with_norm(queries, vec_col), vec_col, dim, n_planes, seed).select(
+    q = rp_signature(
+        with_norm(queries, vec_col).filter(F.col("norm") > 0), vec_col, dim, n_planes, seed
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col("__v").alias("__qv"),
         F.col("norm").alias("__qn"),
@@ -151,7 +157,9 @@ def cosine_pairs(
     """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold).
     LSH-bucketed self-join keeps the candidate set near-linear; with
     few planes recall is high for very similar vectors."""
-    s = rp_signature(with_norm(df, vec_col), vec_col, dim, n_planes, seed).select(
+    s = rp_signature(
+        with_norm(df, vec_col).filter(F.col("norm") > 0), vec_col, dim, n_planes, seed
+    ).select(
         F.col(id_col).alias("id"), F.col("__v").alias("v"), F.col("norm").alias("n"), "bucket"
     )
     a, b = s.alias("a"), s.alias("b")

@@ -36,6 +36,13 @@ def salted_join(
     key + a spark partition id, keeping it deterministic per run
     without a Python UDF.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # right/full outer would emit `replicas` copies of each
+        # unmatched small-side row (it was exploded) — reject early.
+        raise ValueError(
+            "salted_join supports inner/left/left_semi/left_anti joins; "
+            f"got {how!r}"
+        )
     salted_large = large.withColumn(
         "__salt", (F.pmod(F.xxhash64(F.col(on), F.spark_partition_id()), F.lit(replicas))).cast("int")
     )

@@ -71,6 +71,11 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
         concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
       FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)
       WHERE len(tk) >= 3
+      UNION
+      -- docs shorter than the shingle width contribute their whole
+      -- text as the single shingle (mirrors with_shingles' CASE)
+      SELECT doc_id, array_to_string(tk, ' ') AS shingle
+      FROM toks WHERE len(tk) < 3
     ), sizes AS (
       SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
     ), inter AS (

@@ -155,6 +155,41 @@ def decode_bi5_file(path: str, digits: int, january: int = 0) -> dict[str, np.nd
     return cols
 
 
+def arrow_ticks_schema():
+    """Arrow schema of the decoded tick batch — single source of truth
+    for the batch and streaming readers."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("ticker", pa.string(), nullable=False),
+            pa.field("ts", pa.timestamp("us", tz="UTC"), nullable=False),
+            pa.field("ask", pa.float64(), nullable=False),
+            pa.field("bid", pa.float64(), nullable=False),
+            pa.field("ask_volume", pa.float64(), nullable=False),
+            pa.field("bid_volume", pa.float64(), nullable=False),
+        ]
+    )
+
+
+def ticks_record_batch(cols: dict[str, np.ndarray]):
+    """Build the Arrow RecordBatch both readers yield."""
+    import pyarrow as pa
+
+    schema = arrow_ticks_schema()
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(cols["ticker"], type=pa.string()),
+            pa.array(cols["ts_us"], type=pa.timestamp("us", tz="UTC")),
+            pa.array(cols["ask"], type=pa.float64()),
+            pa.array(cols["bid"], type=pa.float64()),
+            pa.array(cols["ask_volume"], type=pa.float64()),
+            pa.array(cols["bid_volume"], type=pa.float64()),
+        ],
+        schema=schema,
+    )
+
+
 def iter_bi5_files(root: str) -> Iterator[str]:
     """Recursively list ``.bi5`` files (case-insensitive suffix), following
     symlinks — DS24:103-109.  A plain-file root yields itself if it has

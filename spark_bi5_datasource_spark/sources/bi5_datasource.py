@@ -143,7 +143,8 @@ class Bi5Reader(DataSourceReader):
                 if isinstance(f, EqualTo) and f.attribute == ("ticker",):
                     self._intersect_tickers({f.value})
                 elif isinstance(f, In) and f.attribute == ("ticker",):
-                    self._intersect_tickers(set(f.values))
+                    # In's dataclass field is `value` (a tuple of literals)
+                    self._intersect_tickers(set(f.value))
                 elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and f.attribute == ("ts",):
                     lo = _to_epoch_us(f.value)
                     if self._pushed_ts_min_us is None or lo > self._pushed_ts_min_us:
@@ -217,18 +218,8 @@ class Bi5Reader(DataSourceReader):
 
     # -- execution -----------------------------------------------------
     def read(self, partition: Bi5Partition):
-        import pyarrow as pa
+        from .bi5_codec import ticks_record_batch
 
-        arrow_schema = pa.schema(
-            [
-                pa.field("ticker", pa.string(), nullable=False),
-                pa.field("ts", pa.timestamp("us", tz="UTC"), nullable=False),
-                pa.field("ask", pa.float64(), nullable=False),
-                pa.field("bid", pa.float64(), nullable=False),
-                pa.field("ask_volume", pa.float64(), nullable=False),
-                pa.field("bid_volume", pa.float64(), nullable=False),
-            ]
-        )
         if partition.walk:
             files: Iterator[str] = (
                 f for root in partition.files for f in iter_bi5_files(root)
@@ -239,17 +230,7 @@ class Bi5Reader(DataSourceReader):
             cols = decode_bi5_file(fpath, self.digits, self.january)
             if cols is None or len(cols["ts_us"]) == 0:
                 continue  # silent skip (A10, DS24:149-186)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(cols["ticker"], type=pa.string()),
-                    pa.array(cols["ts_us"], type=pa.timestamp("us", tz="UTC")),
-                    pa.array(cols["ask"], type=pa.float64()),
-                    pa.array(cols["bid"], type=pa.float64()),
-                    pa.array(cols["ask_volume"], type=pa.float64()),
-                    pa.array(cols["bid_volume"], type=pa.float64()),
-                ],
-                schema=arrow_schema,
-            )
+            yield ticks_record_batch(cols)
 
 
 def _iso_to_us(value: str) -> int:

@@ -8,26 +8,48 @@ streaming scan").  Micro-batch model:
   list in the offset JSON (hour files are immutable once written —
   Dukascopy trees are append-only, so set-difference is exact);
 * each micro-batch plans one partition per new file (same per-file
-  parallelism as the batch source) and reuses the batch codec;
-* dirty files follow the same silent-skip contract (A10).
+  parallelism as the batch source) and reuses the batch codec and
+  Arrow batch builder;
+* dirty files follow the same silent-skip contract (A10);
+* the ``tickers``/``start``/``end`` prune options are honored when
+  listing, so the watch window is bounded the same way as the batch
+  reader's option pruning;
+* ``min.age.seconds`` (default 0) excludes files modified more
+  recently than the given age from an offset — protection against
+  ingesting a file mid-write (a truncated decode would otherwise be
+  final, since offsets never revisit a path).
 
 Scale note: the offset carries file paths, so very deep histories
-should bound the watch window with the ``start``/``end``/``tickers``
-options (shared with the batch reader's pruning).  The per-batch work
-is proportional to *new* files only.
+should bound the watch window with ``start``/``end``/``tickers``.
+The per-batch work is proportional to *new* files only.
 """
 
 from __future__ import annotations
 
-import json
 import os
+import time
 from dataclasses import dataclass
+from datetime import datetime, timezone
 
 from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
 
-from ..sources.bi5_codec import decode_bi5_file, iter_bi5_files
+from ..sources.bi5_codec import (
+    decode_bi5_file,
+    iter_bi5_files,
+    parse_bi5_path,
+    ticks_record_batch,
+)
 
 __all__ = ["Bi5StreamReader"]
+
+HOUR_US = 3_600_000_000
+
+
+def _iso_to_us(value: str) -> int:
+    dt = datetime.fromisoformat(value)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
 
 
 @dataclass
@@ -52,13 +74,38 @@ class Bi5StreamReader(DataSourceStreamReader):
         if self.january < 0 or self.january > 1:
             raise ValueError("january can only be 0 or 1")
         self.path = path
+        self.tickers = {
+            t.strip() for t in options.get("tickers", "").split(",") if t.strip()
+        } or None
+        self.start_us = _iso_to_us(options["start"]) if options.get("start") else None
+        self.end_us = _iso_to_us(options["end"]) if options.get("end") else None
+        self.min_age_s = float(options.get("min.age.seconds", "0"))
+
+    def _keep(self, fpath: str) -> bool:
+        if self.min_age_s > 0:
+            try:
+                if time.time() - os.path.getmtime(fpath) < self.min_age_s:
+                    return False  # possibly still being written
+            except OSError:
+                return False
+        try:
+            meta = parse_bi5_path(fpath, self.january)
+        except ValueError:
+            return True  # let executor-side silent-skip decide
+        if self.tickers is not None and meta.ticker not in self.tickers:
+            return False
+        if self.start_us is not None and meta.hour_epoch_us + HOUR_US <= self.start_us:
+            return False
+        if self.end_us is not None and meta.hour_epoch_us > self.end_us:
+            return False
+        return True
 
     # offsets are {"files": [...]} — immutable-file set semantics
     def initialOffset(self) -> dict:
         return {"files": []}
 
     def latestOffset(self) -> dict:
-        return {"files": sorted(iter_bi5_files(self.path))}
+        return {"files": sorted(f for f in iter_bi5_files(self.path) if self._keep(f))}
 
     def partitions(self, start: dict, end: dict):
         new_files = sorted(set(end["files"]) - set(start["files"]))
@@ -67,33 +114,11 @@ class Bi5StreamReader(DataSourceStreamReader):
         return [Bi5StreamPartition(files=(f,)) for f in new_files]
 
     def read(self, partition: Bi5StreamPartition):
-        import pyarrow as pa
-
-        arrow_schema = pa.schema(
-            [
-                pa.field("ticker", pa.string(), nullable=False),
-                pa.field("ts", pa.timestamp("us", tz="UTC"), nullable=False),
-                pa.field("ask", pa.float64(), nullable=False),
-                pa.field("bid", pa.float64(), nullable=False),
-                pa.field("ask_volume", pa.float64(), nullable=False),
-                pa.field("bid_volume", pa.float64(), nullable=False),
-            ]
-        )
         for fpath in partition.files:
             cols = decode_bi5_file(fpath, self.digits, self.january)
             if cols is None or len(cols["ts_us"]) == 0:
                 continue
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(cols["ticker"], type=pa.string()),
-                    pa.array(cols["ts_us"], type=pa.timestamp("us", tz="UTC")),
-                    pa.array(cols["ask"], type=pa.float64()),
-                    pa.array(cols["bid"], type=pa.float64()),
-                    pa.array(cols["ask_volume"], type=pa.float64()),
-                    pa.array(cols["bid_volume"], type=pa.float64()),
-                ],
-                schema=arrow_schema,
-            )
+            yield ticks_record_batch(cols)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-contained; nothing to clean up
