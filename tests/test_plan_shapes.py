@@ -53,3 +53,15 @@ def test_bi5_scan_prunes_files(spark, bi5_tree):
     )
     full = spark.read.format("bi5").option("digits", 5).load(bi5_tree)
     assert df.rdd.getNumPartitions() < full.rdd.getNumPartitions()
+
+
+def test_bi5_isin_pushdown_prunes(spark, bi5_tree):
+    # regression: In filter field is `value` — isin must prune files
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.read.format("bi5").option("digits", 5).load(bi5_tree)
+        .filter(F.col("ticker").isin("USDJPY", "NOPE"))
+    )
+    assert df.rdd.getNumPartitions() <= 2
+    assert df.count() == 2

@@ -172,3 +172,16 @@ def test_sliding_windows(spark, event_stream_dir, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 2  # overlapping buckets present
+
+
+def test_bi5_stream_min_age_excludes_fresh_files(spark, tmp_path):
+    from spark_bi5_datasource_spark.streaming.bi5_stream import Bi5StreamReader
+
+    tree = tmp_path / "t" / "EURUSD" / "2020" / "0" / "1"
+    write_bi5(str(tree / "00h_ticks.bi5"), [(0, 1, 1, 1.0, 1.0)])
+    reader = Bi5StreamReader(
+        {"path": str(tmp_path / "t"), "digits": "5", "min.age.seconds": "3600"}
+    )
+    assert reader.latestOffset() == {"files": []}  # too fresh → not listed
+    reader2 = Bi5StreamReader({"path": str(tmp_path / "t"), "digits": "5"})
+    assert len(reader2.latestOffset()["files"]) == 1
