@@ -71,6 +71,18 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload.  STUB (no imaging library here); the
+    Spark-side plumbing is ``resize_media``."""
+    raise NotImplementedError("image resizing requires an imaging library")
+
+
+def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
+    """Sample frames from a video payload.  STUB (no codec library);
+    the Spark-side plumbing is ``sample_media_frames``."""
+    raise NotImplementedError("frame sampling requires a video codec library")
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int]:
     # Deterministic fake: dimensions derived from payload bytes, so
     # tests validate the full Arrow round-trip without a codec.
@@ -124,3 +136,77 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.lit("application/octet-stream").alias("mime"),
         F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
     )
+
+
+def resize_media(media: DataFrame, width: int, height: int, fake_decode: bool = True) -> DataFrame:
+    """Image resize over Arrow batches (mapInPandas): payload → resized
+    payload + new dims.  Fake kernel = deterministic truncation/padding
+    of the byte payload to width*height bytes, so the batch plumbing,
+    schema, and size accounting are real and testable without codecs."""
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            if fake_decode:
+                resized = [
+                    (bytes(p or b"") + b"\0" * target)[:target]
+                    for p in pdf["payload"]
+                ]
+            else:
+                resized = [resize_image(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def sample_media_frames(media: DataFrame, every_n: int = 10, fake_decode: bool = True) -> DataFrame:
+    """Video frame sampling (1→N rows per input): each sampled frame
+    becomes its own row — the exploding shape a real decoder needs.
+    Fake kernel = fixed-size byte windows over the payload."""
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_no", IntegerType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+    FRAME = 64  # fake frame = 64-byte window
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(p or b"")
+                if fake_decode:
+                    all_frames = [
+                        payload[i : i + FRAME]
+                        for i in range(0, max(len(payload), 1), FRAME)
+                    ]
+                else:
+                    all_frames = sample_frames(payload, every_n)
+                for no, fr in enumerate(all_frames[::every_n]):
+                    ids.append(mid)
+                    nos.append(no)
+                    frames.append(fr)
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return media.mapInPandas(batches, schema=out_schema)

@@ -49,6 +49,24 @@ def token_count(text_col: str) -> Column:
     return F.expr(f"size({_tokens(text_col)})")
 
 
+# BPE-style pre-tokenizer classes (simplified GPT-2 shape, kept to
+# constructs whose semantics are identical in Java regex (Spark) and
+# RE2 (DuckDB) so the oracle can mirror it): runs of letters, single
+# digits, runs of other non-space symbols.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(text_col: str) -> Column:
+    """Approximate LLM token count: matches of a BPE-ish pre-tokenizer
+    regex (letters-run | digit | symbol-run) — the cheap, deterministic
+    stand-in for a real tokenizer when budgeting corpus token counts.
+
+    The pattern is passed as a literal Column, not an SQL string —
+    Spark's SQL literal parser strips unrecognized escapes (``\\s`` →
+    ``s``), which would corrupt the character class."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def avg_token_len(text_col: str) -> Column:
     t = _tokens(text_col)
     return F.expr(f"aggregate({t}, 0D, (acc, x) -> acc + length(x)) / size({t})")

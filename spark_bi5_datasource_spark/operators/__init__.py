@@ -1,5 +1,6 @@
 from .ann_shard import ann_topk_gemm
 from .asof_join import asof_join
+from .components import connected_components, dedup_by_components
 from .dedup import (
     exact_dedup,
     minhash_dedup,
@@ -17,8 +18,10 @@ from .topk import top_k, top_k_per_group
 __all__ = [
     "ann_topk_gemm",
     "asof_join",
+    "connected_components",
     "cosine_pairs",
     "cosine_topk",
+    "dedup_by_components",
     "exact_dedup",
     "minhash_dedup",
     "minhash_lsh_pairs",

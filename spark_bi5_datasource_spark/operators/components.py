@@ -1,0 +1,111 @@
+"""Connected components over a pair/edge list — the convergence layer
+for near-dup clusters (the min-id survivor policy in dedup.py is a
+one-pass approximation; this is the exact closure).
+
+Implements the alternating **large-star / small-star** algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014): every round is a pair of groupBy exchanges on node id and
+the edge set contracts toward star graphs rooted at each component's
+minimum id, converging in O(log n) rounds.  No GraphFrames
+dependency, no driver-side adjacency.
+
+Typical use::
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    labels = connected_components(pairs, "id_a", "id_b")
+    # → (node, component) with component = min doc_id of the cluster
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_by_components"]
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u over its full (symmetric) neighborhood N(u):
+    connect every neighbor v > u to m = min(N(u) ∪ {u})."""
+    nb = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nb.groupBy("u").agg(F.min("v").alias("mn"))
+    m = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        nb.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges big→small; for each node u connect all its smaller
+    neighbors (and u itself) to m = min of that neighborhood."""
+    directed = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = (
+        directed.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        nbr_edges.union(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label every node appearing in ``edges`` with the minimum node id
+    of its connected component.  Returns (node, component)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    for _ in range(max_iterations):
+        e_next = _small_star(_large_star(e))
+        e_next = e_next.localCheckpoint(eager=True)  # cut lineage per round
+        if e_next.exceptAll(e).isEmpty() and e.exceptAll(e_next).isEmpty():
+            e = e_next
+            break
+        e = e_next
+
+    # At convergence the edge set is a union of stars pointing at each
+    # component's minimum; a node's label = min over its incident edges.
+    nb = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = nb.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return nodes.join(
+        labels.withColumnRenamed("u", "node"), "node", "left"
+    ).select("node", F.coalesce("component", "node").alias("component"))
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Exact transitive dedup: keep only the minimum-id row of every
+    connected near-dup cluster (the closure the one-pass min-id policy
+    approximates)."""
+    labels = connected_components(pairs, src, dst)
+    losers = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -447,3 +447,83 @@ def sim_gemm_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_topk_gemm(emb, queries, k=5)
+
+
+_PAIRS_SQL = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+      FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)
+      WHERE len(tk) >= 3
+      UNION
+      SELECT doc_id, array_to_string(tk, ' ') AS shingle
+      FROM toks WHERE len(tk) < 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ic
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY id_a, id_b
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.5
+    )
+"""
+
+
+@_q(
+    "dedup_components",
+    _PAIRS_SQL
+    + """
+    , sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), closure(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT c.a, s.b FROM closure c JOIN sym s ON c.b = s.a
+    )
+    SELECT a AS node,
+      CAST(least(a, min(b)) AS BIGINT) AS component
+    FROM closure GROUP BY a
+    """,
+)
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact transitive near-dup clusters: n-gram Jaccard pairs →
+    large-star/small-star connected components (operators/
+    components.py).  Oracle = recursive-CTE transitive closure."""
+    from ..operators import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return connected_components(pairs, "id_a", "id_b").select(
+        "node", F.col("component").cast("bigint").alias("component")
+    )
+
+
+@_q(
+    "text_bpe_token_count",
+    r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS INT)
+        AS n_bpe_tokens,
+      len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token budgeting: BPE-ish pre-tokenizer count vs whitespace count
+    (functions/text.py BPE_ISH_PATTERN — same regex class semantics in
+    Java regex and RE2)."""
+    from ..functions.text import bpe_ish_token_count, token_count
+
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        bpe_ish_token_count("text").cast("int").alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+    )

@@ -240,3 +240,55 @@ class TestAsofTieDeterminism:
         for _ in range(3):
             picks.add(asof_join(left.repartition(3), right.repartition(2), on="ts").collect()[0].px)
         assert len(picks) == 1  # same winner every run/partitioning
+
+
+class TestConnectedComponents:
+    def test_chain_and_clusters(self, spark):
+        from spark_bi5_datasource_spark.operators import (
+            connected_components,
+            dedup_by_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], "id_a long, id_b long"
+        )
+        lab = {r.node: r.component for r in connected_components(edges).collect()}
+        assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+        df = spark.createDataFrame(
+            [(i, "x") for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id long, t string"
+        )
+        kept = sorted(r.doc_id for r in dedup_by_components(df, edges, "doc_id").collect())
+        assert kept == [1, 10, 20, 99]
+
+    def test_long_path_converges(self, spark):
+        from spark_bi5_datasource_spark.operators import connected_components
+
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(19)], "id_a long, id_b long"
+        )
+        lab = {r.node: r.component for r in connected_components(path).collect()}
+        assert set(lab.values()) == {0} and len(lab) == 20
+
+
+class TestMultimodalKernels:
+    def test_resize_plumbing(self, spark):
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            documents_as_media,
+            resize_media,
+        )
+
+        docs = spark.createDataFrame([(1, "hello world " * 30)], "doc_id long, text string")
+        out = resize_media(documents_as_media(docs), 16, 8).collect()[0]
+        assert (out.width, out.height, len(out.payload)) == (16, 8, 128)
+
+    def test_frame_sampling_explodes_rows(self, spark):
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            documents_as_media,
+            sample_media_frames,
+        )
+
+        docs = spark.createDataFrame([(1, "x" * 640)], "doc_id long, text string")
+        rows = sample_media_frames(documents_as_media(docs), every_n=2).collect()
+        # 640 bytes → 10 fake frames → every 2nd → 5 rows
+        assert len(rows) == 5
+        assert [r.frame_no for r in rows] == list(range(5))
