@@ -1,3 +1,4 @@
+from .stateful import running_stats
 from .events import (
     dedup_within_watermark,
     session_windows,
@@ -7,6 +8,7 @@ from .events import (
 
 __all__ = [
     "dedup_within_watermark",
+    "running_stats",
     "session_windows",
     "sliding_value_sums",
     "windowed_counts",

@@ -185,3 +185,50 @@ def test_bi5_stream_min_age_excludes_fresh_files(spark, tmp_path):
     assert reader.latestOffset() == {"files": []}  # too fresh → not listed
     reader2 = Bi5StreamReader({"path": str(tmp_path / "t"), "digits": "5"})
     assert len(reader2.latestOffset()["files"]) == 1
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    round 2 (new file, recovered checkpoint) accumulates on round 1."""
+    from spark_bi5_datasource_spark.streaming import running_stats
+
+    d = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write_chunk(ids, vals):
+        spark.createDataFrame(
+            [(i, "2024-01-01 00:00:00", "view", v) for i, v in zip(ids, vals)],
+            "event_id long, ts_s string, event_type string, value double",
+        ).selectExpr("event_id", "cast(ts_s as timestamp) ts", "event_type", "value") \
+            .write.mode("append").parquet(d)
+
+    out = str(tmp_path / "out")
+
+    def run_round(batch_tag):
+        stream = spark.readStream.schema(schema).parquet(d)
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("tag", F.lit(batch_tag)).write.mode("append").parquet(out)
+
+        q = (
+            running_stats(stream, "event_type", "value")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_chunk([1, 2], [10.0, 20.0])
+    run_round("r1")
+    r1 = spark.read.parquet(out).filter("tag = 'r1'").collect()[-1]
+    assert (r1.n_total, r1.value_sum) == (2, 30.0)
+
+    write_chunk([3], [40.0])
+    run_round("r2")
+    r2 = spark.read.parquet(out).filter("tag = 'r2'").collect()[-1]
+    # state recovered: totals include round 1
+    assert (r2.n_total, r2.value_sum) == (3, 70.0)
+    assert r2.ewma is not None
