@@ -258,6 +258,13 @@ class Bi5DataSource(DataSource):
     def reader(self, schema: StructType) -> Bi5Reader:
         return Bi5Reader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        """``df.write.format("bi5")`` — regenerate tick archives
+        (extension beyond the read-only reference; see bi5_writer)."""
+        from .bi5_writer import Bi5Writer
+
+        return Bi5Writer(self.options)
+
     def streamReader(self, schema: StructType):
         """``spark.readStream.format("bi5")`` — tail a growing tree
         (streaming extension; the reference is batch-only, DS24:26)."""

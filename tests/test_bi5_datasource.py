@@ -323,3 +323,54 @@ def test_csv_sink_parity(spark, bi5_tree, tmp_path):
     )
     assert back.count() == 5
     assert back.columns == df.columns
+
+
+class TestBi5Writer:
+    def test_roundtrip_identical(self, spark, bi5_tree, tmp_path):
+        """Write path (beyond the read-only reference): read → write a
+        new tree → read back → byte-identical rows and layout."""
+        from spark_bi5_datasource_spark.sources.bi5_writer import write_bi5_tree
+
+        src = read_bi5(spark, os.path.join(bi5_tree, "EURUSD"), digits=DIGITS_EUR)
+        out = str(tmp_path / "tree")
+        write_bi5_tree(src, out, digits=DIGITS_EUR)
+        back = read_bi5(spark, out, digits=DIGITS_EUR)
+        assert {tuple(r) for r in src.collect()} == {tuple(r) for r in back.collect()}
+        # month-0 layout parity: Dec 31 file lands under .../2019/11/31/
+        assert os.path.exists(os.path.join(out, "EURUSD/2019/11/31/15h_ticks.bi5"))
+
+    def test_january1_layout(self, spark, bi5_tree, tmp_path):
+        from spark_bi5_datasource_spark.sources.bi5_writer import write_bi5_tree
+
+        src = read_bi5(
+            spark, os.path.join(bi5_tree, "USDJPY"), digits=DIGITS_JPY, january=1
+        )
+        out = str(tmp_path / "tree")
+        write_bi5_tree(src, out, digits=DIGITS_JPY, january=1)
+        # 1-based layout: December file under .../2020/12/01/
+        assert os.path.exists(os.path.join(out, "USDJPY/2020/12/01/23h_ticks.bi5"))
+        back = read_bi5(spark, out, digits=DIGITS_JPY, january=1)
+        assert {tuple(r) for r in src.collect()} == {tuple(r) for r in back.collect()}
+
+    def test_collision_detection(self, spark, tmp_path):
+        """Same (ticker, hour) split across tasks must fail loudly, not
+        silently overwrite."""
+        import pyspark.sql.functions as F
+        from pyspark.errors.exceptions.captured import AnalysisException, SparkRuntimeException
+
+        df = (
+            spark.range(10)
+            .select(
+                F.lit("EURUSD").alias("ticker"),
+                F.lit("2020-01-01 00:00:00").cast("timestamp").alias("ts"),
+                F.lit(1.0).alias("ask"),
+                F.lit(1.0).alias("bid"),
+                F.lit(1.0).alias("ask_volume"),
+                F.lit(1.0).alias("bid_volume"),
+            )
+            .repartition(4)  # deliberately split the hour across tasks
+        )
+        with pytest.raises(Exception, match="split across tasks|would overwrite"):
+            df.write.format("bi5").option("digits", 5).mode("append").save(
+                str(tmp_path / "clash")
+            )
