@@ -108,12 +108,14 @@ def main() -> None:
     if os.path.isdir(REFERENCE_BI5):
         # like-for-like vs the reference's own fixture tree (BASELINE.md)
         df = spark.read.format("bi5").option("digits", 5).load(REFERENCE_BI5)
-        timings["bi5_scan"] = timed(df)
+        # scans spawn a fresh python-worker cohort on first touch; use a
+        # third run so min-of-N reflects the resident steady state
+        timings["bi5_scan"] = timed(df, runs=3)
 
     # scan throughput at a non-trivial size (480k rows, 24 files)
     tree = synth_bi5_tree("/tmp/spark_bi5_bench_tree")
     big = spark.read.format("bi5").option("digits", 5).load(tree)
-    timings["bi5_scan_480k"] = timed(big)
+    timings["bi5_scan_480k"] = timed(big, runs=3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
