@@ -24,12 +24,14 @@ def ohlc_bars(
     price_col: str = "bid",
     volume_col: str | None = "bid_volume",
     by: Sequence[str] = ("ticker",),
+    extra_aggs: Sequence[F.Column] = (),
 ) -> DataFrame:
     """Open/high/low/close (+volume) bars per key per time bucket.
 
     open/close use ``min_by``/``max_by`` on the timestamp — single
     hash aggregate, unlike first/last-over-window formulations that
-    need a sort.
+    need a sort.  ``extra_aggs`` lets callers ride additional
+    aliased aggregates on the same exchange (e.g. a value sum).
     """
     aggs = [
         F.min_by(price_col, ts_col).alias("open"),
@@ -40,19 +42,11 @@ def ohlc_bars(
     ]
     if volume_col is not None:
         aggs.append(F.sum(volume_col).alias("volume"))
-    return (
-        df.groupBy(F.window(ts_col, duration).alias("w"), *by)
-        .agg(*aggs)
-        .select(
-            F.col("w.start").alias("bar_start"),
-            *by,
-            "open",
-            "high",
-            "low",
-            "close",
-            "n_ticks",
-            *(["volume"] if volume_col else []),
-        )
+    aggs.extend(extra_aggs)
+    out = df.groupBy(F.window(ts_col, duration).alias("w"), *by).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("bar_start"),
+        *[c for c in out.columns if c != "w"],
     )
 
 

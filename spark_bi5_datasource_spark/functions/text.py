@@ -133,12 +133,22 @@ def lang_id(text_col: str) -> Column:
     return F.when(best > 0, result).otherwise(F.lit("und"))
 
 
+# Modulus for the rolling fingerprint: keeps 33*h + codepoint and
+# 31*h + token_hash below 2^63, so the fold is exact BIGINT
+# arithmetic in both Spark and DuckDB (no overflow, no ANSI trap).
+FP_MOD = 1_000_000_000_000
+
+
 def doc_fingerprint(text_col: str) -> Column:
-    """Order-sensitive 64-bit rolling fingerprint: chained xxhash64
-    over tokens (content-defined, stable across runs/partitions;
-    avoids multiply-overflow under ANSI mode)."""
+    """Order-sensitive rolling polynomial fingerprint: fold each
+    token's unicode codepoints (base 33), then chain token hashes
+    (base 31), all mod 1e12.  Pure integer arithmetic with an exact
+    DuckDB twin (list_reduce + unicode()), unlike the earlier
+    xxhash64 chain which had no cross-engine oracle."""
     return F.expr(
-        f"aggregate({_tokens(text_col)}, 0L, (acc, t) -> xxhash64(acc, t))"
+        f"aggregate({_tokens(text_col)}, 0L, (h, tk) -> "
+        f"pmod(h * 31 + aggregate(regexp_extract_all(tk, '(?s).', 0), 0L, "
+        f"(a, c) -> pmod(a * 33 + ascii(c), {FP_MOD})), {FP_MOD}))"
     )
 
 
