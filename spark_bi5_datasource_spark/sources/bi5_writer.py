@@ -60,8 +60,14 @@ class Bi5Writer(DataSourceWriter):
         groups: dict[tuple, list[tuple]] = {}
         for row in iterator:
             ts: datetime = row[1]
-            if ts.tzinfo is None:
-                ts = ts.replace(tzinfo=timezone.utc)
+            # Spark's Python DataSource write path hands TimestampType
+            # over as NAIVE datetimes in the executor's system-local
+            # timezone (ArrowTableToRowsConversion applies
+            # .astimezone().replace(tzinfo=None)).  For a naive value,
+            # astimezone() reattaches local time before converting, so
+            # one call is correct for both naive and aware inputs;
+            # replace(tzinfo=utc) would silently shift every non-UTC
+            # host's archive by the local offset.
             ts = ts.astimezone(timezone.utc)
             hour = ts.replace(minute=0, second=0, microsecond=0)
             delta = ts - hour

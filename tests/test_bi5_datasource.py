@@ -352,6 +352,75 @@ class TestBi5Writer:
         back = read_bi5(spark, out, digits=DIGITS_JPY, january=1)
         assert {tuple(r) for r in src.collect()} == {tuple(r) for r in back.collect()}
 
+    def test_naive_local_ts_maps_to_utc_path(self, tmp_path):
+        """Spark's Python DataSource write path delivers TimestampType as
+        NAIVE datetimes in the executor's SYSTEM-local timezone.  The
+        writer must interpret naive = local (astimezone), not naive =
+        UTC (replace), or every non-UTC host writes wrong hour paths."""
+        import time as _time
+        from datetime import datetime
+
+        from spark_bi5_datasource_spark.sources.bi5_writer import Bi5Writer
+
+        old_tz = os.environ.get("TZ")
+        os.environ["TZ"] = "America/New_York"
+        _time.tzset()
+        try:
+            w = Bi5Writer({"path": str(tmp_path / "t"), "digits": "5"})
+            # naive 2020-06-01 10:30 EDT == 14:30 UTC → month-0 path 05/, hour 14
+            naive = datetime(2020, 6, 1, 10, 30, 0)
+            msg = w.write(iter([("EURUSD", naive, 1.1, 1.0, 1.0, 1.0)]))
+            assert msg.files == (
+                os.path.join("EURUSD", "2020", "05", "01", "14h_ticks.bi5"),
+            )
+        finally:
+            if old_tz is None:
+                os.environ.pop("TZ", None)
+            else:
+                os.environ["TZ"] = old_tz
+            _time.tzset()
+
+    def test_non_utc_host_roundtrip(self, bi5_tree, tmp_path):
+        """Full write→read round-trip on a simulated non-UTC host (fresh
+        JVM + workers under TZ=America/New_York, session tz UTC)."""
+        import subprocess
+        import sys
+        import textwrap
+
+        script = textwrap.dedent(
+            f"""
+            import sys
+            sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+            from pyspark.sql import SparkSession
+            from spark_bi5_datasource_spark import register
+            from spark_bi5_datasource_spark.sources.bi5_writer import write_bi5_tree
+            spark = (SparkSession.builder.master("local[2]")
+                .config("spark.sql.session.timeZone", "UTC")
+                .config("spark.ui.enabled", "false").getOrCreate())
+            spark.sparkContext.setLogLevel("ERROR")
+            register(spark)
+            src = (spark.read.format("bi5").option("digits", 5)
+                   .load({os.path.join("{tree}", "EURUSD")!r}.format(tree={bi5_tree!r})))
+            out = {str(tmp_path / "tz_tree")!r}
+            write_bi5_tree(src, out, digits=5)
+            back = spark.read.format("bi5").option("digits", 5).load(out)
+            a = sorted(map(tuple, src.collect()))
+            b = sorted(map(tuple, back.collect()))
+            assert a == b and len(a) == 5, (len(a), len(b), a[:1], b[:1])
+            print("ROUNDTRIP-OK")
+            """
+        )
+        env = {**os.environ, "TZ": "America/New_York"}
+        res = subprocess.run(
+            [sys.executable, "-c", script],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "ROUNDTRIP-OK" in res.stdout
+
     def test_collision_detection(self, spark, tmp_path):
         """Same (ticker, hour) split across tasks must fail loudly, not
         silently overwrite."""
