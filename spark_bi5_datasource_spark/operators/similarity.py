@@ -151,29 +151,71 @@ def cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int = 5,
+    n_bands: int = 7,
+    multiprobe: bool = True,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold).
-    LSH-bucketed self-join keeps the candidate set near-linear; with
-    few planes recall is high for very similar vectors."""
+
+    OR-amplified random-hyperplane LSH: ONE signature of
+    ``n_bands * n_planes`` sign bits per row, sliced into ``n_bands``
+    independent b-bit band buckets (the minhash-banding idiom from
+    ``dedup._banded``); a pair is a candidate if it collides in ANY
+    band, optionally also at hamming distance 1 within a band
+    (``multiprobe``).  Candidates are deduped before the exact-cosine
+    verification, so amplification costs joins, not dot products.
+
+    Collision odds for a pair at angle θ with q = 1 - θ/π:
+    per band p = q^b + b·q^(b-1)(1-q) (multiprobe), overall
+    1 - (1-p)^n_bands — defaults give ≈ 0.99 at cosine 0.5, vs ≈ 0.09
+    for the single-band single-probe shape this replaces.
+    """
+    total_bits = n_bands * n_planes
+    if total_bits > 63:
+        raise ValueError(f"n_bands*n_planes must fit a long, got {total_bits}")
+    mask = (1 << n_planes) - 1
     s = rp_signature(
-        with_norm(df, vec_col).filter(F.col("norm") > 0), vec_col, dim, n_planes, seed
+        with_norm(df, vec_col).filter(F.col("norm") > 0), vec_col, dim, total_bits, seed,
+        out_col="sig",
     ).select(
-        F.col(id_col).alias("id"), F.col("__v").alias("v"), F.col("norm").alias("n"), "bucket"
+        F.col(id_col).alias("id"), F.col("__v").alias("v"), F.col("norm").alias("n"), "sig"
     )
-    a, b = s.alias("a"), s.alias("b")
+    # band key: (band index, b-bit slice of the signature)
+    band_bucket = f"shiftright(sig, band * {n_planes}) & {mask}"
+    b_side = s.withColumn("band", F.explode(F.expr(f"sequence(0, {n_bands - 1})"))).select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("n").alias("n_b"),
+        "band",
+        F.expr(band_bucket).alias("bucket"),
+    )
+    a_side = s.withColumn("band", F.explode(F.expr(f"sequence(0, {n_bands - 1})")))
+    if multiprobe:
+        # probe the exact bucket plus every bucket at hamming distance 1
+        probes = (
+            f"array_union(array({band_bucket}), "
+            f"transform(sequence(0, {n_planes - 1}), "
+            f"i -> ({band_bucket}) ^ shiftleft(1L, i)))"
+        )
+        a_side = a_side.withColumn("bucket", F.explode(F.expr(probes)))
+    else:
+        a_side = a_side.withColumn("bucket", F.expr(band_bucket))
+    a_side = a_side.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n").alias("n_a"),
+        "band", "bucket",
+    )
+    cands = (
+        a_side.join(b_side, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # dedupe across bands/probes BEFORE scoring: one dot per pair
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn(
+        cands.withColumn(
             "cosine",
-            F.expr(_DOT.format(a="a.v", b="b.v")) / (F.col("a.n") * F.col("b.n")),
+            F.expr(_DOT.format(a="v_a", b="v_b")) / (F.col("n_a") * F.col("n_b")),
         )
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round("cosine", 6).alias("cosine"),
-        )
-        .distinct()
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -108,6 +108,70 @@ class TestSimilarity:
         # the planted almost-identical pair must collide
         assert (0, 1) in approx
 
+    def test_cosine_pairs_superset_of_exact(self, spark, emb):
+        """OR-amplified banded LSH must recover every exact pair at the
+        threshold (regression for round-1's 0-recall single-band
+        shape).  Gaussian 16-dim vectors: ~0.5-cosine pairs exist."""
+        from spark_bi5_datasource_spark.operators.similarity import cosine_pairs
+
+        exact = {
+            (r.id_a, r.id_b)
+            for r in sim_exact_pairs(spark, emb, threshold=0.5).collect()
+        }
+        assert exact, "fixture must contain at least one pair at 0.5"
+        approx = {
+            (r.id_a, r.id_b)
+            for r in cosine_pairs(emb, threshold=0.5, dim=16).collect()
+        }
+        assert exact <= approx  # verification filter makes approx ⊆ exact too
+        assert approx <= exact
+
+    def test_cosine_pairs_planted_at_threshold(self, spark):
+        """A pair planted AT the 0.5 threshold (60° apart) must be
+        found — the hardest true pair for the amplified bands."""
+        import numpy as np
+
+        from spark_bi5_datasource_spark.operators.similarity import cosine_pairs
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        orth = rng.standard_normal(16)
+        orth -= orth.dot(base) * base
+        orth /= np.linalg.norm(orth)
+        # cos(54°) ≈ 0.588 — just above threshold after float32 rounding
+        theta = np.deg2rad(54.0)
+        planted = np.cos(theta) * base + np.sin(theta) * orth
+        vecs = [base, planted] + [rng.standard_normal(16) for _ in range(40)]
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        found = {
+            (r.id_a, r.id_b)
+            for r in cosine_pairs(df, threshold=0.5, dim=16).collect()
+        }
+        assert (0, 1) in found
+
+
+def sim_exact_pairs(spark, emb, threshold):
+    """Quadratic exact-cosine pair baseline (test-local twin of
+    sim_cosine_pairs_exact, parameterized over any frame)."""
+    import pyspark.sql.functions as F
+
+    n = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    ).withColumn("nrm", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    a, b = n.alias("a"), n.alias("b")
+    dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
+    )
+
 
 class TestAsofJoin:
     def test_backward_inclusive_and_null(self, spark):
