@@ -23,6 +23,7 @@ __all__ = [
     "lang_scores",
     "lang_id",
     "doc_fingerprint",
+    "text_stats_cols",
     "STOPWORDS",
 ]
 
@@ -42,6 +43,21 @@ _ENGLISH_STOPWORDS = STOPWORDS["en"]
 
 def _tokens(text_col: str) -> str:
     return f"split({text_col}, ' ')"
+
+
+def _let_tokens(text_col: str, body: str) -> str:
+    """Let-bind the token array as lambda variable ``tks``.
+
+    Catalyst performs no common-subexpression elimination inside or
+    across lambda-bearing expressions, so every textual repetition of
+    ``split(...)`` re-tokenizes the row.  ``transform(array(x),
+    tks -> body)[0]`` evaluates the split exactly once per row (the
+    same idiom as the 23× minhash fix in operators/dedup.py)."""
+    return f"transform(array({_tokens(text_col)}), tks -> {body})[0]"
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
 
 
 def token_count(text_col: str) -> Column:
@@ -68,16 +84,23 @@ def bpe_ish_token_count(text_col: str) -> Column:
 
 
 def avg_token_len(text_col: str) -> Column:
-    t = _tokens(text_col)
-    return F.expr(f"aggregate({t}, 0D, (acc, x) -> acc + length(x)) / size({t})")
+    return F.expr(
+        _let_tokens(
+            text_col, "aggregate(tks, 0D, (acc, x) -> acc + length(x)) / size(tks)"
+        )
+    )
+
+
+def _punct_sql(text_col: str) -> str:
+    return (
+        f"length(regexp_replace({text_col}, '[^.,;:!?\\'\"()-]', '')) "
+        f"/ greatest(length({text_col}), 1)"
+    )
 
 
 def punct_ratio(text_col: str) -> Column:
     """Punctuation chars / total chars."""
-    return F.expr(
-        f"length(regexp_replace({text_col}, '[^.,;:!?\\'\"()-]', '')) "
-        f"/ greatest(length({text_col}), 1)"
-    )
+    return F.expr(_punct_sql(text_col))
 
 
 def uppercase_ratio(text_col: str) -> Column:
@@ -86,12 +109,24 @@ def uppercase_ratio(text_col: str) -> Column:
     )
 
 
+def _stop_ratio_sql(words: list[str]) -> str:
+    """Stopword ratio over the bound token var ``tks``."""
+    return (
+        f"size(filter(tks, x -> lower(x) IN ({_in_list(words)}))) "
+        f"/ cast(size(tks) AS double)"
+    )
+
+
 def stopword_ratio(text_col: str, stopwords: list[str] | None = None) -> Column:
     words = stopwords or _ENGLISH_STOPWORDS
-    lst = ", ".join(f"'{w}'" for w in words)
-    t = _tokens(text_col)
-    return F.expr(
-        f"size(filter({t}, x -> lower(x) IN ({lst}))) / cast(size({t}) AS double)"
+    return F.expr(_let_tokens(text_col, _stop_ratio_sql(words)))
+
+
+def _quality_body(text_col: str) -> str:
+    return (
+        f"round(least(size(tks) / 50.0, 1.0) * 0.4 "
+        f"+ (1.0 - least(({_punct_sql(text_col)}) * 5, 1.0)) * 0.3 "
+        f"+ least(({_stop_ratio_sql(_ENGLISH_STOPWORDS)}) * 4, 1.0) * 0.3, 6)"
     )
 
 
@@ -99,38 +134,57 @@ def quality_score(text_col: str) -> Column:
     """Composite quality heuristic in [0, 1]: favors mid-length docs,
     low punctuation noise, presence of stopwords (prose-likeness).
     Mirrors common LLM-corpus filters (C4/Gopher-style rules) with a
-    deterministic closed-form score."""
-    n_tok = token_count(text_col)
-    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    punct_pen = F.lit(1.0) - F.least(punct_ratio(text_col) * 5, F.lit(1.0))
-    stop_score = F.least(stopword_ratio(text_col) * 4, F.lit(1.0))
-    return F.round(
-        length_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3, 6
+    deterministic closed-form score.  One split per row (let-bound)."""
+    return F.expr(_let_tokens(text_col, _quality_body(text_col)))
+
+
+def quality_score_cols(text_col: str) -> Column:
+    """``quality_score`` as a generator column.  The Generate node is
+    a projection-collapse barrier: downstream filters/projections that
+    mention ``quality`` reference the generated attribute instead of
+    inlining (and re-evaluating) the whole scoring expression."""
+    return F.expr(
+        f"inline(transform(array({_tokens(text_col)}), "
+        f"tks -> named_struct('quality', {_quality_body(text_col)})))"
     )
 
 
 def lang_scores(text_col: str) -> dict[str, Column]:
     """Per-language stopword hit counts over the token list."""
-    t = _tokens(text_col)
     out = {}
     for lang, words in STOPWORDS.items():
-        lst = ", ".join(f"'{w}'" for w in words)
-        out[lang] = F.expr(f"size(filter({t}, x -> lower(x) IN ({lst})))")
+        out[lang] = F.expr(
+            _let_tokens(
+                text_col, f"size(filter(tks, x -> lower(x) IN ({_in_list(words)})))"
+            )
+        )
     return out
 
 
 def lang_id(text_col: str) -> Column:
     """Stopword-vote language ID: the language with the highest hit
     count wins; ties and all-zero rows resolve to 'und' / first
-    alphabetically.  Deterministic so the oracle can mirror it."""
-    scores = lang_scores(text_col)
-    best = F.greatest(*scores.values())
-    result = F.lit("und")
-    # Evaluate in reverse-alphabetical order so the alphabetically
-    # first language wins ties (last WHEN evaluated first below).
-    for lang in sorted(scores, reverse=True):
-        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
-    return F.when(best > 0, result).otherwise(F.lit("und"))
+    alphabetically.  Deterministic so the oracle can mirror it.
+
+    Double let-binding: the token array is split once (``tks``), then
+    the five per-language counts are materialized once into ``cs`` —
+    the round-1 shape re-evaluated split() ~15× per row because each
+    score mention inlined its own tokenizer."""
+    langs = sorted(STOPWORDS)
+    counts = ", ".join(
+        f"size(filter(tks, x -> lower(x) IN ({_in_list(STOPWORDS[lang])})))"
+        for lang in langs
+    )
+    g = "greatest(" + ", ".join(f"cs[{i}]" for i in range(len(langs))) + ")"
+    # alphabetical order: first language listed wins ties
+    whens = " ".join(
+        f"WHEN cs[{i}] = {g} THEN '{lang}'" for i, lang in enumerate(langs)
+    )
+    body = f"CASE WHEN {g} > 0 THEN (CASE {whens} END) ELSE 'und' END"
+    return F.expr(
+        f"transform(array({_tokens(text_col)}), tks -> "
+        f"transform(array(array({counts})), cs -> {body})[0])[0]"
+    )
 
 
 # Modulus for the rolling fingerprint: keeps 33*h + codepoint and
@@ -150,6 +204,25 @@ def doc_fingerprint(text_col: str) -> Column:
         f"pmod(h * 31 + aggregate(regexp_extract_all(tk, '(?s).', 0), 0L, "
         f"(a, c) -> pmod(a * 33 + ascii(c), {FP_MOD})), {FP_MOD}))"
     )
+
+
+def text_stats_cols(text_col: str) -> Column:
+    """Generator column producing (n_tokens, avg_token_len,
+    punct_ratio, stopword_ratio) from ONE tokenization.
+
+    ``inline`` over the 1-element array from the let-binding transform
+    expands the struct into columns at the Generate node, which
+    Catalyst cannot collapse back into per-column copies of the split
+    — the round-1 shape evaluated split() 5× per row across the four
+    projected stats."""
+    body = (
+        f"named_struct("
+        f"'n_tokens', size(tks), "
+        f"'avg_token_len', round(aggregate(tks, 0D, (acc, x) -> acc + length(x)) / size(tks), 6), "
+        f"'punct_ratio', round({_punct_sql(text_col)}, 6), "
+        f"'stopword_ratio', round({_stop_ratio_sql(_ENGLISH_STOPWORDS)}, 6))"
+    )
+    return F.expr(f"inline(transform(array({_tokens(text_col)}), tks -> {body}))")
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -284,16 +284,11 @@ _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     bench=True,
 )
 def text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Token/char statistics — all JVM-side expressions."""
-    from ..functions.text import avg_token_len, punct_ratio, stopword_ratio, token_count
+    """Token/char statistics — all JVM-side expressions; one
+    tokenization feeds all four stats via an inline generator."""
+    from ..functions.text import text_stats_cols
 
-    return t(spark, sf, "documents").select(
-        "doc_id",
-        token_count("text").alias("n_tokens"),
-        F.round(avg_token_len("text"), 6).alias("avg_token_len"),
-        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
-    )
+    return t(spark, sf, "documents").select("doc_id", text_stats_cols("text"))
 
 
 def _sql_lang_id() -> str:
@@ -361,9 +356,9 @@ def text_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     above the median composite quality score.  Scores are rounded to
     6 places and the median re-rounded so the >= boundary is FP-stable
     against the exact-interpolation oracle."""
-    from ..functions.text import quality_score
+    from ..functions.text import quality_score_cols
 
-    docs = t(spark, sf, "documents").withColumn("quality", quality_score("text"))
+    docs = t(spark, sf, "documents").select("doc_id", quality_score_cols("text"))
     median = docs.agg(F.round(F.expr("percentile(quality, 0.5)"), 6).alias("m"))
     return (
         docs.crossJoin(F.broadcast(median))

@@ -44,6 +44,25 @@ def test_no_python_in_relational_paths(spark):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
 
 
+def optimized_plan_of(spark, name):
+    from spark_bi5_datasource_spark import plans
+
+    df = plans.CATALOG[name][0](spark, TESTDATA_SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_text_queries_tokenize_once(spark):
+    """Catalyst does no CSE inside/across lambda expressions, so each
+    textual split() repetition re-tokenizes the row.  The let-binding
+    (transform(array(split), tks -> ...)[0]) and inline-generator
+    shapes must keep exactly one tokenizer per scan branch — round 1
+    had 5 (text_stats) and 15 (text_langid) splits per row."""
+    assert optimized_plan_of(spark, "text_stats").count("split(") == 1
+    assert optimized_plan_of(spark, "text_langid").count("split(") == 1
+    # one per scan branch: median aggregation + output filter
+    assert optimized_plan_of(spark, "text_quality_filter").count("split(") == 2
+
+
 def test_bi5_scan_prunes_files(spark, bi5_tree):
     import pyspark.sql.functions as F
 
