@@ -49,7 +49,13 @@ def ann_topk_gemm(
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
-    q_norm[q_norm == 0] = 1.0
+    # zero-norm vectors have undefined cosine: drop them from both
+    # sides, matching cosine_topk (and the DuckDB oracle) exactly
+    keep_q = q_norm > 0
+    q_ids, q_mat, q_norm = q_ids[keep_q], q_mat[keep_q], q_norm[keep_q]
+    if q_ids.size == 0:
+        schema = "query_id long, nbr_id long, cosine double, rank int"
+        return corpus.sparkSession.createDataFrame([], schema)
 
     def shard_topk(batches):
         for pdf in batches:
@@ -58,7 +64,11 @@ def ann_topk_gemm(
             if mat.size == 0:
                 continue
             norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
+            keep = norms > 0
+            if not keep.all():
+                ids, mat, norms = ids[keep], mat[keep], norms[keep]
+            if mat.shape[0] == 0:
+                continue
             sims = (mat @ q_mat.T) / norms[:, None] / q_norm[None, :]
             if not include_self:
                 sims[ids[:, None] == q_ids[None, :]] = -np.inf

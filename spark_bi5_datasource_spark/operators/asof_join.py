@@ -55,6 +55,17 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
 
     value_cols = [c for c in right.columns if c != on and c not in by]
+    if not value_cols:
+        # The match bookkeeping rides in a struct of the right value
+        # columns; with zero value columns that struct would be empty
+        # (never null even for "no match yet"), silently breaking the
+        # matched/unmatched distinction — and the join would return
+        # nothing useful anyway.  Fail loudly instead.
+        raise ValueError(
+            "asof_join: right side has no value columns beyond "
+            f"on={on!r} and by={by!r}; add at least one column to "
+            "carry (e.g. the right timestamp itself, aliased)"
+        )
     left_cols = left.columns
 
     # Tag and align the two sides on a common shape; right rows carry a

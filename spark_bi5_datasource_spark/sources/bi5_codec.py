@@ -52,6 +52,14 @@ BI5_PATH_RE = re.compile(
 
 RECORD_SIZE = 20
 # Big-endian '>3I2f' (scripts/bi5_to_csv.py:23).
+#
+# Deliberate divergence from the Scala reader: DS24's
+# DataInputStream.readInt() is SIGNED, so an ms/ask/bid field >= 2^31
+# would decode negative there, while the reference's own Python script
+# (and this codec) reads unsigned '>3I'.  The two reference
+# implementations disagree; unsigned is the physically meaningful
+# choice (ms-in-hour < 3.6e6, prices are magnitudes) and matches the
+# script used to produce the reference's CSV goldens.
 RECORD_DTYPE = np.dtype(
     [
         ("ms", ">u4"),

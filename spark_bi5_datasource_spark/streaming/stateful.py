@@ -51,6 +51,7 @@ def running_stats(
     key_col: str = "event_type",
     value_col: str = "value",
     alpha: float = 0.2,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Cross-batch running count/sum/EWMA per key.
 
@@ -59,6 +60,13 @@ def running_stats(
     accumulator and emits the updated row — the custom-operator
     pattern for aggregations with order-dependent state (EWMA) that
     ``groupBy().agg()`` cannot express on a stream.
+
+    The EWMA fold is order-dependent, and Arrow batches arrive in
+    partition order, which is not stable across retries or different
+    partitionings — so each micro-batch's rows are concatenated and
+    sorted by (event time, value) before folding.  Ties on both sort
+    keys are order-insensitive for the fold, making the result
+    deterministic per micro-batch content.
     """
 
     def update(
@@ -70,8 +78,12 @@ def running_stats(
             n, s, ewma = state.get
         else:
             n, s, ewma = 0, 0.0, None
-        for pdf in pdfs:
-            vals = pdf[value_col].astype(float)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values(
+                [ts_col, value_col], kind="mergesort"
+            )
+            vals = rows[value_col].astype(float)
             n += len(vals)
             s += float(vals.sum())
             for v in vals:

@@ -198,6 +198,19 @@ class TestAsofJoin:
         got = asof_join(left, right, on="ts", direction="forward").collect()
         assert got[0].px == 7.0
 
+    def test_right_side_without_value_columns_raises(self, spark):
+        """A right side with zero value columns would make the match
+        struct empty (never null → matched/unmatched ambiguity); the
+        operator must refuse loudly."""
+        left = spark.createDataFrame([(1, "2024-01-05")], "id int, d string").select(
+            "id", F.col("d").cast("timestamp").alias("ts")
+        )
+        right = spark.createDataFrame([("2024-01-01",)], "d string").select(
+            F.col("d").cast("timestamp").alias("ts")
+        )
+        with pytest.raises(ValueError, match="no value columns"):
+            asof_join(left, right, on="ts")
+
 
 class TestTopK:
     def test_per_group_ties_deterministic(self, spark):
@@ -237,6 +250,32 @@ class TestAnnGemm:
 
         emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
         assert ann_topk_gemm(emb, emb.filter("vec_id < 0"), k=3).count() == 0
+
+    def test_zero_norm_vectors_excluded_like_cosine_topk(self, spark):
+        """Zero-norm vectors have undefined cosine; cosine_topk (and
+        the DuckDB oracle) drop them — the GEMM path must too, not
+        coerce them to cosine 0 and keep them as candidates."""
+        import numpy as np
+
+        from spark_bi5_datasource_spark.operators import ann_topk_gemm
+
+        rng = np.random.default_rng(13)
+        rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)]
+        rows[3] = (3, [0.0] * 8)   # zero corpus vector
+        rows[1] = (1, [0.0] * 8)   # zero query vector
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(3)
+        queries = emb.filter("vec_id < 4")
+        gemm = {
+            (r.query_id, r.rank): (r.nbr_id, r.cosine)
+            for r in ann_topk_gemm(emb, queries, k=3).collect()
+        }
+        exact = {
+            (r.query_id, r.rank): (r.nbr_id, r.cosine)
+            for r in cosine_topk(emb, queries, k=3).collect()
+        }
+        assert gemm == exact
+        assert not any(q == 1 for q, _ in gemm)           # zero query dropped
+        assert not any(n == 3 for n, _ in gemm.values())  # zero neighbor dropped
 
 
 class TestSaltedJoin:
