@@ -572,9 +572,23 @@ def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # Registered last on purpose: the driver's CORRECTNESS gate checks a
-# ~50-entry window in catalog order; sim_lsh_topk is approximate
-# (no SQL oracle — recall is measured against sim_cosine_topk in
-# tests/test_operators.py), so it is the one entry parked outside.
+# ~50-entry window in catalog order; the two entries below have no SQL
+# oracle by nature (engine-specific sketch values; approximate top-k
+# whose recall is measured against sim_cosine_topk in
+# tests/test_operators.py), so they are the ones parked outside the
+# window — every oracle-backed query sits inside it.
+@_q("agg_approx_sketches", None)
+def agg_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate aggregates (HLL count-distinct + approx quantile) —
+    the sketch path whose exact twins are agg_count_distinct and
+    agg_percentile; rows-only check by design."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+    )
+
+
 @_q("sim_lsh_topk", None)
 def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the 100-TB path; recall is

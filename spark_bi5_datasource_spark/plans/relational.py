@@ -988,15 +988,48 @@ def array_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q("agg_approx_sketches", None)  # sketch values are engine-specific
-def agg_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate aggregates (HLL count-distinct + approx quantile) —
-    the sketch path whose exact twins are agg_count_distinct and
-    agg_percentile; rows-only check by design."""
-    li = t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@_q(
+    "reshape_pivot_unpivot",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+      count(*) AS n_orders,
+      (CAST(SUM(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def reshape_pivot_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot to wide (one count + revenue column pair per priority,
+    with the value list given EXPLICITLY — never let pivot run its
+    extra distinct-collect job at scale) then unpivot back to long;
+    verifying the round-trip end-to-end exercises both reshape
+    directions.  Missing (status, priority) combos surface as null
+    structs and are dropped, mirroring GROUP BY semantics."""
+    o = t(spark, sf, "orders")
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(
+            F.struct(
+                F.count(F.lit(1)).alias("n_orders"),  # count("*") is invalid inside pivot
+                _dsum("o_totalprice", 2, "revenue"),
+            )
+        )
+    )
+    long = wide.unpivot(
+        ids=["o_orderstatus"],
+        values=_PRIORITIES,
+        variableColumnName="o_orderpriority",
+        valueColumnName="m",
+    )
+    return long.filter(F.col("m").isNotNull()).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("m.n_orders").alias("n_orders"),
+        F.col("m.revenue").alias("revenue"),
     )
 
 

@@ -232,3 +232,18 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     # state recovered: totals include round 1
     assert (r2.n_total, r2.value_sum) == (3, 70.0)
     assert r2.ewma is not None
+
+    # third round: two more files land between restarts (reordered ids)
+    # — exactly-once over the recovered state regardless of file order
+    write_chunk([5], [80.0])
+    write_chunk([4], [60.0])
+    run_round("r3")
+    r3 = spark.read.parquet(out).filter("tag = 'r3'").collect()[-1]
+    assert (r3.n_total, r3.value_sum) == (5, 210.0)
+    # EWMA folded deterministically in event-time order; all four
+    # chunks share one ts, so value is the tie-break sort key:
+    # fold order 10,20,40,60,80 with alpha=0.2
+    expect = None
+    for v in (10.0, 20.0, 40.0, 60.0, 80.0):
+        expect = v if expect is None else 0.2 * v + 0.8 * expect
+    assert abs(r3.ewma - expect) < 1e-9
