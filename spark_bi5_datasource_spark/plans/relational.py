@@ -38,11 +38,18 @@ def _q(name: str, sql: str | None, bench: bool = False):
 def _dsum(col: str, scale: int = 2, alias: str | None = None) -> F.Column:
     """Deterministic double sum: scale to integer cents, accumulate as
     long (exact, order-independent, stays in codegen — ~2x faster than
-    decimal aggregation), divide back to double.  Per-row round() of
-    the scaled double is IEEE-identical in Spark and DuckDB."""
+    decimal aggregation), divide back to double.
+
+    Rounding is half-away-from-zero via ``cast(x*m ± 0.5 AS bigint)``
+    (cast truncates toward zero): pure FP + one conditional, ~2×
+    faster per row than Spark's ``round()``, which allocates a
+    java.math.BigDecimal per double — and value-identical to DuckDB's
+    ``round()`` on every tested scale factor (the oracle keeps using
+    ``round()``)."""
     mult = 10 ** scale
+    half = f"CASE WHEN ({col}) >= 0 THEN 0.5D ELSE -0.5D END"
     c = (
-        F.sum(F.expr(f"cast(round(({col}) * {mult}) AS bigint)")).cast("double")
+        F.sum(F.expr(f"cast(({col}) * {mult} + {half} AS bigint)")).cast("double")
         / F.lit(float(mult))
     )
     return c.alias(alias) if alias else c
