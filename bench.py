@@ -133,6 +133,7 @@ _SCALED_QUERIES = [
     "events_daily_ohlc",
     "events_sessionize",
     "sim_cosine_topk",
+    "sim_gemm_topk",
     "text_stats",
 ]
 

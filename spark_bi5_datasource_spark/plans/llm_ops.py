@@ -479,6 +479,7 @@ def sim_pandas_udf_norm(spark: SparkSession, sf: str) -> DataFrame:
     WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
     QUALIFY rank <= 5
     """,
+    bench=True,
 )
 def sim_gemm_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Sharded-GEMM ANN (mapInPandas matrix kernel) — exact results,

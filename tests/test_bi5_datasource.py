@@ -352,13 +352,15 @@ class TestBi5Writer:
         back = read_bi5(spark, out, digits=DIGITS_JPY, january=1)
         assert {tuple(r) for r in src.collect()} == {tuple(r) for r in back.collect()}
 
-    def test_naive_local_ts_maps_to_utc_path(self, tmp_path):
-        """Spark's Python DataSource write path delivers TimestampType as
-        NAIVE datetimes in the executor's SYSTEM-local timezone.  The
-        writer must interpret naive = local (astimezone), not naive =
-        UTC (replace), or every non-UTC host writes wrong hour paths."""
+    def test_non_utc_ts_maps_to_utc_path(self, tmp_path):
+        """Hour paths are derived from absolute epoch micros, never
+        from wall-clock fields: a batch whose timestamps display as
+        America/New_York, processed on a non-UTC host, must still land
+        in the UTC hour file."""
         import time as _time
-        from datetime import datetime
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
 
         from spark_bi5_datasource_spark.sources.bi5_writer import Bi5Writer
 
@@ -367,9 +369,19 @@ class TestBi5Writer:
         _time.tzset()
         try:
             w = Bi5Writer({"path": str(tmp_path / "t"), "digits": "5"})
-            # naive 2020-06-01 10:30 EDT == 14:30 UTC → month-0 path 05/, hour 14
-            naive = datetime(2020, 6, 1, 10, 30, 0)
-            msg = w.write(iter([("EURUSD", naive, 1.1, 1.0, 1.0, 1.0)]))
+            # 2020-06-01 10:30 EDT == 14:30 UTC → month-0 path 05/, hour 14
+            instant = datetime(2020, 6, 1, 14, 30, tzinfo=timezone.utc)
+            batch = pa.record_batch(
+                {
+                    "ticker": ["EURUSD"],
+                    "ts": pa.array([instant], pa.timestamp("us", tz="America/New_York")),
+                    "ask": [1.1],
+                    "bid": [1.0],
+                    "ask_volume": [1.0],
+                    "bid_volume": [1.0],
+                }
+            )
+            msg = w.write(iter([batch]))
             assert msg.files == (
                 os.path.join("EURUSD", "2020", "05", "01", "14h_ticks.bi5"),
             )
