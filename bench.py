@@ -180,7 +180,9 @@ def run_scaled(spark) -> dict:
 
     spark_t: dict[str, float] = {}
     for name in _SCALED_QUERIES:
-        spark_t[name] = timed(qs[name](spark, scaled_dir))
+        # min-of-3: the x10 runs are long enough that one GC pause or
+        # page-cache miss shows up as 2-3x noise on a single run
+        spark_t[name] = timed(qs[name](spark, scaled_dir), runs=3)
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={CPUS}")
