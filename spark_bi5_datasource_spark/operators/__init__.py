@@ -11,6 +11,7 @@ from .dedup import (
     simhash_pairs,
     with_shingles,
 )
+from .ivf import ivf_topk, kmeans_centroids
 from .similarity import cosine_pairs, cosine_topk, rp_lsh_topk, rp_signature
 from .skew import salted_join
 from .topk import top_k, top_k_per_group
@@ -23,6 +24,8 @@ __all__ = [
     "cosine_topk",
     "dedup_by_components",
     "exact_dedup",
+    "ivf_topk",
+    "kmeans_centroids",
     "minhash_dedup",
     "minhash_lsh_pairs",
     "minhash_signatures",

@@ -1,0 +1,164 @@
+"""IVF (inverted-file) approximate nearest neighbors — the third ANN
+tier (SURVEY §2 north star: brute force → LSH buckets → sharded GEMM;
+IVF adds the data-adaptive cell index used by production vector
+stores).
+
+Structure, 100-TB-shaped:
+
+* ``kmeans_centroids`` — Lloyd iterations as DataFrame aggregations.
+  Assignment runs JVM-side against the centroid matrix baked into the
+  plan as a literal (k × dim doubles — bytes, not a broadcast); the
+  per-iteration reduce state is k × dim running means (collected to
+  the driver, bounded like any broadcast build side).
+* ``ivf_topk`` — corpus rows are bucketed by nearest centroid (one
+  narrow projection, no shuffle of the corpus); each query probes its
+  ``nprobe`` nearest cells; candidates come from a cell equi-join
+  (broadcast query side), scored exactly, per-query top-k window.
+
+Recall is tunable via nlist/nprobe (nprobe = nlist ⇒ exact); measured
+against ``cosine_topk`` in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _DOT, with_norm
+
+__all__ = ["kmeans_centroids", "ivf_topk"]
+
+
+def _lit_matrix(cents: np.ndarray) -> str:
+    rows = ", ".join(
+        "array({})".format(",".join(f"{x}D" for x in row)) for row in cents
+    )
+    return f"array({rows})"
+
+
+def _cell_expr(vec: str, cents: np.ndarray) -> str:
+    """Nearest-centroid index for ``vec`` (0-based), single pass.
+
+    argmin_j ||v - c_j||² = argmin_j (−2·v·c_j + |c_j|²): the centroid
+    matrix and its squared norms are plan literals; one fold over
+    sequence(0, k−1) evaluates each distance exactly once (no CSE
+    problems — everything lives in one aggregate lambda)."""
+    k = len(cents)
+    cm = _lit_matrix(cents)
+    cn = "array({})".format(",".join(f"{float(np.dot(c, c))}D" for c in cents))
+    dot = _DOT.format(a=vec, b=f"{cm}[j]")
+    return (
+        f"aggregate(sequence(0, {k - 1}), "
+        f"named_struct('j', -1, 'd', cast('Infinity' AS double)), "
+        f"(acc, j) -> CASE WHEN (-2D * ({dot}) + {cn}[j]) < acc.d "
+        f"THEN named_struct('j', j, 'd', -2D * ({dot}) + {cn}[j]) ELSE acc END"
+        f").j"
+    )
+
+
+def _probe_expr(vec: str, cents: np.ndarray, nprobe: int) -> str:
+    """The ``nprobe`` nearest centroid indices, ascending distance."""
+    k = len(cents)
+    cm = _lit_matrix(cents)
+    cn = "array({})".format(",".join(f"{float(np.dot(c, c))}D" for c in cents))
+    dot = _DOT.format(a=vec, b=f"{cm}[j]")
+    return (
+        f"slice(transform(array_sort("
+        f"transform(sequence(0, {k - 1}), "
+        f"j -> named_struct('d', -2D * ({dot}) + {cn}[j], 'j', j))"
+        f"), s -> s.j), 1, {nprobe})"
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Lloyd's k-means over an embedding column, distributed.
+
+    Init is the k rows with smallest xxhash64(id) — deterministic and
+    scan-cheap (TakeOrderedAndProject), no RNG in the plan.  Each
+    iteration: JVM-side nearest-centroid assignment, then per-cell
+    element-wise means via posexplode + two-level aggregation.  Only
+    k × dim means ever reach the driver."""
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("v"),
+    ).filter(F.expr("aggregate(v, 0D, (a, x) -> a + x * x)") > 0)
+    init = (
+        v.withColumn("__h", F.xxhash64("__id"))
+        .orderBy("__h")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cents = np.asarray([r.v for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assigned = v.withColumn("cell", F.expr(_cell_expr("v", cents)))
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        for r in means:
+            new[r.cell, r.pos] = r.m
+        if np.allclose(new, cents, atol=1e-12):
+            break
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF cells.
+
+    Pass precomputed ``centroids`` to skip training (the production
+    shape: train once on a sample, reuse across queries)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(corpus, vec_col, nlist, iters, id_col)
+    )
+    c = with_norm(corpus, vec_col).filter(F.col("norm") > 0).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col("__v").alias("__cv"),
+        F.col("norm").alias("__cn"),
+        F.expr(_cell_expr("__v", cents)).alias("cell"),
+    )
+    q = with_norm(queries, vec_col).filter(F.col("norm") > 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("norm").alias("__qn"),
+        F.explode(F.expr(_probe_expr("__v", cents, nprobe))).alias("cell"),
+    )
+    joined = c.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("nbr_id")
+    )
+    scored = joined.withColumn(
+        "cosine",
+        F.expr(_DOT.format(a="__cv", b="__qv")) / (F.col("__cn") * F.col("__qn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -597,3 +597,16 @@ def sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return rp_lsh_topk(emb, queries, k=5)
+
+
+@_q("sim_ivf_topk", None)
+def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-cell approximate top-k: k-means cells (Lloyd iterations as
+    DataFrame aggs, centroid matrix a plan literal), nprobe nearest
+    cells per query.  The data-adaptive ANN tier; recall vs exact and
+    the nprobe=nlist==exact identity are pinned in tests."""
+    from ..operators import ivf_topk
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, iters=3)

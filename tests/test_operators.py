@@ -173,6 +173,62 @@ def sim_exact_pairs(spark, emb, threshold):
     )
 
 
+class TestIvf:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(29)
+        vecs = rng.standard_normal((120, 16))
+        vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16)  # planted neighbor
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def test_full_probe_equals_exact(self, spark, emb):
+        """nprobe = nlist probes every cell ⇒ candidate set is the whole
+        corpus ⇒ results must equal brute force exactly."""
+        from spark_bi5_datasource_spark.operators import ivf_topk
+
+        queries = emb.filter("vec_id < 5")
+        exact = {
+            (r.query_id, r.rank): (r.nbr_id, r.cosine)
+            for r in cosine_topk(emb, queries, k=3).collect()
+        }
+        full = {
+            (r.query_id, r.rank): (r.nbr_id, r.cosine)
+            for r in ivf_topk(emb, queries, k=3, nlist=8, nprobe=8, iters=3).collect()
+        }
+        assert full == exact
+
+    def test_partial_probe_recall_and_planted_pair(self, spark, emb):
+        from spark_bi5_datasource_spark.operators import ivf_topk
+
+        queries = emb.filter("vec_id < 8")
+        exact = {
+            (r.query_id, r.nbr_id)
+            for r in cosine_topk(emb, queries, k=3).collect()
+        }
+        got = {
+            (r.query_id, r.nbr_id)
+            for r in ivf_topk(emb, queries, k=3, nlist=8, nprobe=4, iters=3).collect()
+        }
+        # half the cells probed: gaussian "neighbors" are weak, but
+        # recall must be well above the 50% a random cell pick gives
+        assert len(exact & got) / len(exact) >= 0.6
+        # the almost-identical planted pair shares a cell by construction
+        assert (0, 1) in got
+
+    def test_centroids_deterministic(self, spark, emb):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.operators import kmeans_centroids
+
+        c1 = kmeans_centroids(emb, k=4, iters=2)
+        c2 = kmeans_centroids(emb, k=4, iters=2)
+        assert np.array_equal(c1, c2)
+        assert c1.shape == (4, 16)
+
+
 class TestAsofJoin:
     def test_backward_inclusive_and_null(self, spark):
         left = spark.createDataFrame(
