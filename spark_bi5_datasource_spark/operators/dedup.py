@@ -225,9 +225,9 @@ def minhash_dedup(
     min-id survivor.  Keeps every row with no verified near-dup of
     smaller id.
 
-    Candidates come from the bucket-representative pairing (see
-    ``_minhash_rep_pairs``): a doc is tested against the smallest id
-    sharing any band bucket.  One pass approximates connected
+    Candidates come from the bucket-representative pairing (the window
+    ``min(struct)`` inside ``_minhash_dedup_once``): a doc is tested
+    against the smallest id sharing any band bucket.  One pass approximates connected
     components; ``rounds > 1`` reruns on the survivors (each round is
     a full linear pass) to converge clusters whose members only meet
     through non-representatives.

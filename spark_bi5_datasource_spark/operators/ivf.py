@@ -42,18 +42,21 @@ def _cell_expr(vec: str, cents: np.ndarray) -> str:
     """Nearest-centroid index for ``vec`` (0-based), single pass.
 
     argmin_j ||v - c_j||² = argmin_j (−2·v·c_j + |c_j|²): the centroid
-    matrix and its squared norms are plan literals; one fold over
-    sequence(0, k−1) evaluates each distance exactly once (no CSE
-    problems — everything lives in one aggregate lambda)."""
+    matrix and its squared norms are plan literals.  The distances are
+    materialized ONCE by a transform into (j, d) structs, then a fold
+    picks the min — putting the distance expression textually inside
+    the fold's CASE would evaluate it twice per centroid (no CSE
+    inside lambdas)."""
     k = len(cents)
     cm = _lit_matrix(cents)
     cn = "array({})".format(",".join(f"{float(np.dot(c, c))}D" for c in cents))
     dot = _DOT.format(a=vec, b=f"{cm}[j]")
     return (
-        f"aggregate(sequence(0, {k - 1}), "
+        f"aggregate("
+        f"transform(sequence(0, {k - 1}), "
+        f"j -> named_struct('j', j, 'd', -2D * ({dot}) + {cn}[j])), "
         f"named_struct('j', -1, 'd', cast('Infinity' AS double)), "
-        f"(acc, j) -> CASE WHEN (-2D * ({dot}) + {cn}[j]) < acc.d "
-        f"THEN named_struct('j', j, 'd', -2D * ({dot}) + {cn}[j]) ELSE acc END"
+        f"(acc, x) -> IF(x.d < acc.d, x, acc)"
         f").j"
     )
 
@@ -79,17 +82,19 @@ def kmeans_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Lloyd's k-means over an embedding column, distributed.
+    """Spherical Lloyd's k-means over an embedding column, distributed.
+
+    Vectors are L2-NORMALIZED before clustering: the search metric is
+    cosine, and L2 cells over raw magnitudes would separate colinear
+    vectors of different norms (v and 100·v have cosine 1 but huge L2
+    distance) — on the unit sphere, L2 order equals cosine order.
 
     Init is the k rows with smallest xxhash64(id) — deterministic and
     scan-cheap (TakeOrderedAndProject), no RNG in the plan.  Each
     iteration: JVM-side nearest-centroid assignment, then per-cell
     element-wise means via posexplode + two-level aggregation.  Only
     k × dim means ever reach the driver."""
-    v = df.select(
-        F.col(id_col).alias("__id"),
-        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("v"),
-    ).filter(F.expr("aggregate(v, 0D, (a, x) -> a + x * x)") > 0)
+    v = _unit_vectors(df, vec_col, id_col)
     init = (
         v.withColumn("__h", F.xxhash64("__id"))
         .orderBy("__h")
@@ -103,7 +108,7 @@ def kmeans_centroids(
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+            .agg(F.avg("x").alias("m"))
             .collect()
         )
         new = cents.copy()  # empty cells keep their previous centroid
@@ -113,6 +118,14 @@ def kmeans_centroids(
             break
         cents = new
     return cents
+
+
+def _unit_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(__id, v): L2-normalized double vectors, zero-norm rows dropped."""
+    return with_norm(df, vec_col).filter(F.col("norm") > 0).select(
+        F.col(id_col).alias("__id"),
+        F.expr("transform(__v, x -> x / norm)").alias("v"),
+    )
 
 
 def ivf_topk(
@@ -135,17 +148,29 @@ def ivf_topk(
         if centroids is not None
         else kmeans_centroids(corpus, vec_col, nlist, iters, id_col)
     )
-    c = with_norm(corpus, vec_col).filter(F.col("norm") > 0).select(
-        F.col(id_col).alias("nbr_id"),
-        F.col("__v").alias("__cv"),
-        F.col("norm").alias("__cn"),
-        F.expr(_cell_expr("__v", cents)).alias("cell"),
+    # cells are assigned on UNIT vectors (cosine order == L2 order on
+    # the sphere); scoring still uses the raw vectors + norms exactly
+    c = (
+        with_norm(corpus, vec_col)
+        .filter(F.col("norm") > 0)
+        .withColumn("__u", F.expr("transform(__v, x -> x / norm)"))
+        .select(
+            F.col(id_col).alias("nbr_id"),
+            F.col("__v").alias("__cv"),
+            F.col("norm").alias("__cn"),
+            F.expr(_cell_expr("__u", cents)).alias("cell"),
+        )
     )
-    q = with_norm(queries, vec_col).filter(F.col("norm") > 0).select(
-        F.col(id_col).alias("query_id"),
-        F.col("__v").alias("__qv"),
-        F.col("norm").alias("__qn"),
-        F.explode(F.expr(_probe_expr("__v", cents, nprobe))).alias("cell"),
+    q = (
+        with_norm(queries, vec_col)
+        .filter(F.col("norm") > 0)
+        .withColumn("__u", F.expr("transform(__v, x -> x / norm)"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("__v").alias("__qv"),
+            F.col("norm").alias("__qn"),
+            F.explode(F.expr(_probe_expr("__u", cents, nprobe))).alias("cell"),
+        )
     )
     joined = c.join(F.broadcast(q), "cell").filter(
         F.col("query_id") != F.col("nbr_id")

@@ -98,6 +98,15 @@ class Bi5Writer(DataSourceArrowWriter):
         for batch in iterator:
             names = batch.schema.names
             col = {n: batch.column(i) for i, n in enumerate(names)}
+            # the bi5 format has no null representation, and a null
+            # group key would be silently DROPPED by the groupby —
+            # fail loudly instead of corrupting the archive's row count
+            if col["ts"].null_count or col["ticker"].null_count:
+                raise ValueError(
+                    "bi5 write: 'ticker' and 'ts' must be non-null "
+                    f"(got {col['ticker'].null_count} null tickers, "
+                    f"{col['ts'].null_count} null timestamps in a batch)"
+                )
             ts_us = self._epoch_us(col["ts"])
             hour_us = (ts_us // _HOUR_US) * _HOUR_US
             chunks.append(

@@ -68,6 +68,13 @@ def running_stats(
     keys are order-insensitive for the fold, making the result
     deterministic per micro-batch content.
     """
+    for col in (key_col, value_col, ts_col):
+        if col not in events.columns:
+            raise ValueError(
+                f"running_stats: column {col!r} not in stream schema "
+                f"{events.columns} (ts_col is required to order the "
+                "EWMA fold deterministically)"
+            )
 
     def update(
         key: Tuple[Any, ...],

@@ -433,6 +433,31 @@ class TestBi5Writer:
         assert res.returncode == 0, res.stderr[-2000:]
         assert "ROUNDTRIP-OK" in res.stdout
 
+    def test_null_ts_or_ticker_rejected(self, tmp_path):
+        """bi5 has no null representation, and a null group key would be
+        silently dropped by the groupby — must fail loudly instead of
+        corrupting the archive's row count."""
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+
+        from spark_bi5_datasource_spark.sources.bi5_writer import Bi5Writer
+
+        w = Bi5Writer({"path": str(tmp_path / "t"), "digits": "5"})
+        instant = datetime(2020, 6, 1, 14, 30, tzinfo=timezone.utc)
+        batch = pa.record_batch(
+            {
+                "ticker": ["EURUSD", "EURUSD"],
+                "ts": pa.array([instant, None], pa.timestamp("us", tz="UTC")),
+                "ask": [1.1, 1.2],
+                "bid": [1.0, 1.1],
+                "ask_volume": [1.0, 1.0],
+                "bid_volume": [1.0, 1.0],
+            }
+        )
+        with pytest.raises(ValueError, match="must be non-null"):
+            w.write(iter([batch]))
+
     def test_collision_detection(self, spark, tmp_path):
         """Same (ticker, hour) split across tasks must fail loudly, not
         silently overwrite."""

@@ -218,6 +218,27 @@ class TestIvf:
         # the almost-identical planted pair shares a cell by construction
         assert (0, 1) in got
 
+    def test_colinear_magnitudes_share_a_cell(self, spark):
+        """Cells are assigned on UNIT vectors: v and 100·v have cosine 1
+        but a huge L2 gap — raw-magnitude cells would systematically
+        miss scaled duplicates at nprobe < nlist."""
+        import numpy as np
+
+        from spark_bi5_datasource_spark.operators import ivf_topk
+
+        rng = np.random.default_rng(31)
+        vecs = [rng.standard_normal(16) for _ in range(60)]
+        vecs[1] = 100.0 * vecs[0]  # colinear, wildly different norm
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        got = {
+            (r.query_id, r.rank): r.nbr_id
+            for r in ivf_topk(
+                df, df.filter("vec_id = 0"), k=1, nlist=8, nprobe=1, iters=3
+            ).collect()
+        }
+        assert got[(0, 1)] == 1  # found even with a single probed cell
+
     def test_centroids_deterministic(self, spark, emb):
         import numpy as np
 
