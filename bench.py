@@ -104,6 +104,7 @@ def synth_bi5_tree(root: str, n_files: int = 24, recs_per_file: int = 20_000) ->
 # same files, which is the scale where plan quality starts to matter.
 
 SCALE_X = 10
+_GEN_VERSION = 2  # bump when the replication logic changes (invalidates the cache dir)
 _STRIDE = 100_000_000  # > any key in the source tables; replica k adds k*stride
 
 # key columns shifted per replica so intra-replica relationships are
@@ -142,7 +143,7 @@ def synth_scaled_dir(src_dir: str, x: int = SCALE_X) -> str:
     """Replicate the parquet tables x× into a cached directory."""
     import duckdb
 
-    out = f"/tmp/spark_bi5_bench_scaled_x{x}_" + os.path.basename(
+    out = f"/tmp/spark_bi5_bench_scaled_x{x}_v{_GEN_VERSION}_" + os.path.basename(
         src_dir.rstrip("/")
     )
     marker = os.path.join(out, ".complete")
