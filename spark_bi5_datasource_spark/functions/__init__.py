@@ -2,6 +2,7 @@ from .ohlc import ohlc_bars, vwap
 from .text import (
     STOPWORDS,
     avg_token_len,
+    chunk_array,
     doc_fingerprint,
     lang_id,
     punct_ratio,
@@ -14,6 +15,7 @@ from .text import (
 __all__ = [
     "STOPWORDS",
     "avg_token_len",
+    "chunk_array",
     "doc_fingerprint",
     "lang_id",
     "ohlc_bars",

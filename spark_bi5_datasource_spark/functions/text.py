@@ -24,6 +24,7 @@ __all__ = [
     "lang_id",
     "doc_fingerprint",
     "text_stats_cols",
+    "chunk_array",
     "STOPWORDS",
 ]
 
@@ -223,6 +224,23 @@ def text_stats_cols(text_col: str) -> Column:
         f"'stopword_ratio', round({_stop_ratio_sql(_ENGLISH_STOPWORDS)}, 6))"
     )
     return F.expr(f"inline(transform(array({_tokens(text_col)}), tks -> {body}))")
+
+
+def chunk_array(text_col: str, window: int = 64, stride: int = 48) -> Column:
+    """Overlapping token-window chunks of a document, as an
+    array<string>: chunk i covers tokens [i·stride+1, i·stride+window].
+    Docs at or under ``window`` tokens yield one chunk (themselves).
+    One tokenization per row (let-binding); everything JVM-side."""
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    n_last = (
+        f"greatest(cast(ceil((size(tks) - {window}) / cast({stride} AS double)) AS int), 0)"
+    )
+    body = (
+        f"transform(sequence(0, {n_last}), "
+        f"i -> concat_ws(' ', slice(tks, i * {stride} + 1, {window})))"
+    )
+    return F.expr(_let_tokens(text_col, body))
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

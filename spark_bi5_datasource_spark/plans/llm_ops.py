@@ -116,11 +116,64 @@ def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 # minhash_lsh_pairs stays exported for callers.)
 
 
-@_q("dedup_simhash", None)
-def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming ≤ 8 of 64 bits."""
-    hashed = simhash(t(spark, sf, "documents"), "text")
-    return simhash_pairs(hashed, "doc_id", max_hamming=8)
+@_q(
+    "text_chunk_pack",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+    ), chunks AS (
+      SELECT doc_id, source, CAST(i AS INT) AS chunk_idx,
+        len(tk) - i * 48 AS remaining,
+        least(64, len(tk) - i * 48) AS n_chunk_tokens,
+        array_to_string(list_slice(tk, i * 48 + 1, i * 48 + 64), ' ') AS chunk
+      FROM toks, UNNEST(generate_series(0,
+        greatest(CAST(ceil((len(tk) - 64) / 48.0) AS INT), 0))) AS u(i)
+    )
+    SELECT doc_id, chunk_idx, n_chunk_tokens, chunk,
+      CAST(floor((sum(n_chunk_tokens) OVER w - n_chunk_tokens) / 256.0) AS INT)
+        AS pack_id,
+      source
+    FROM chunks
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id, chunk_idx)
+    """,
+)
+def text_chunk_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data prep: overlapping token-window chunking (64-token
+    windows, stride 48) then greedy sequence packing into 256-token
+    bins via a running-sum window per source — all JVM-side, one
+    tokenization per document.
+
+    Packing is partitioned by ``source`` (not a global window): at 100
+    TB a single-partition running sum is the classic scale killer;
+    per-source packing keeps the window parallel and is what a sharded
+    training-data writer wants anyway."""
+    from ..functions.text import chunk_array
+
+    docs = t(spark, sf, "documents")
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(chunk_array("text", window=64, stride=48)).alias(
+            "chunk_idx", "chunk"
+        ),
+    ).withColumn("n_chunk_tokens", F.expr("size(split(chunk, ' '))"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        "chunk",
+        F.floor(
+            (F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")) / 256.0
+        )
+        .cast("int")
+        .alias("pack_id"),
+        "source",
+    )
 
 
 @_q(
@@ -578,6 +631,13 @@ def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
 # whose recall is measured against sim_cosine_topk in
 # tests/test_operators.py), so they are the ones parked outside the
 # window — every oracle-backed query sits inside it.
+@_q("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 8 of 64 bits."""
+    hashed = simhash(t(spark, sf, "documents"), "text")
+    return simhash_pairs(hashed, "doc_id", max_hamming=8)
+
+
 @_q("agg_approx_sketches", None)
 def agg_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate aggregates (HLL count-distinct + approx quantile) —

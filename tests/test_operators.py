@@ -173,6 +173,37 @@ def sim_exact_pairs(spark, emb, threshold):
     )
 
 
+class TestChunking:
+    def test_window_stride_coverage(self, spark):
+        """Every token appears in some chunk; chunk i starts at
+        i*stride; short docs yield exactly one chunk (themselves)."""
+        from spark_bi5_datasource_spark.functions.text import chunk_array
+
+        rows = [
+            (1, " ".join(f"t{i}" for i in range(100))),  # 100 toks: 2 chunks
+            (2, " ".join(f"s{i}" for i in range(64))),   # exactly window: 1
+            (3, "short doc"),                            # tiny: 1 chunk
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {
+            r.doc_id: r.chunks
+            for r in df.select(
+                "doc_id", chunk_array("text", window=64, stride=48).alias("chunks")
+            ).collect()
+        }
+        assert len(got[1]) == 2
+        assert got[1][0].split(" ")[0] == "t0" and got[1][1].split(" ")[0] == "t48"
+        assert got[1][1].split(" ")[-1] == "t99"  # tail chunk reaches the end
+        assert got[2] == [" ".join(f"s{i}" for i in range(64))]
+        assert got[3] == ["short doc"]
+
+    def test_invalid_params_raise(self, spark):
+        from spark_bi5_datasource_spark.functions.text import chunk_array
+
+        with pytest.raises(ValueError, match="stride"):
+            chunk_array("text", window=32, stride=48)
+
+
 class TestIvf:
     @pytest.fixture(scope="class")
     def emb(self, spark):
