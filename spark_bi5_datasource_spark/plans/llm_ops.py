@@ -432,18 +432,42 @@ def text_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
                 list_transform(regexp_extract_all(tk, '(?s).'),
                                c -> CAST(unicode(c) AS BIGINT))),
               (a, c) -> (a * 33 + c) % 1000000000000))),
-        (h, th) -> (h * 31 + th) % 1000000000000) AS fingerprint
+        (h, th) -> (h * 31 + th) % 1000000000000) AS fingerprint,
+      CASE WHEN list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '), tk ->
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all(tk, '(?s).'),
+                               c -> CAST(unicode(c) AS BIGINT))),
+              (a, c) -> (a * 33 + c) % 1000000000000))),
+        (h, th) -> (h * 31 + th) % 1000000000000) % 100 < 90
+      THEN 'train' ELSE 'eval' END AS split
     FROM documents
     """,
 )
 def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Order-sensitive rolling polynomial fingerprint over tokens and
     codepoints — pure integer arithmetic, identical in Spark and
-    DuckDB (hash-checked), unlike the xxhash64 variant it replaces."""
+    DuckDB (hash-checked), unlike the xxhash64 variant it replaces.
+    Also derives the content-keyed deterministic 90/10 train/eval
+    split (fingerprint mod 100): stable across runs, partitionings,
+    and engines — exact duplicates always land in the same split."""
     from ..functions.text import doc_fingerprint
 
-    return t(spark, sf, "documents").select(
-        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    # explode(array(...)) = Generate barrier: the split column reads
+    # the fingerprint attribute instead of inlining (and re-running)
+    # the whole codepoint fold a second time per row
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.explode(F.array(doc_fingerprint("text"))).alias("fingerprint"),
+    )
+    return docs.select(
+        "doc_id",
+        "fingerprint",
+        F.when(F.col("fingerprint") % 100 < 90, "train")
+        .otherwise("eval")
+        .alias("split"),
     )
 
 
