@@ -170,17 +170,34 @@ def cosine_pairs(
     per band p = q^b + b·q^(b-1)(1-q) (multiprobe), overall
     1 - (1-p)^n_bands — defaults give ≈ 0.99 at cosine 0.5, vs ≈ 0.09
     for the single-band single-probe shape this replaces.
+
+    Exact-duplicate vectors are collapsed BEFORE the bucket join:
+    identical vectors share identical signatures, so bucket sizes (and
+    the join's quadratic term) scale with the duplication factor —
+    >550 s on a 10×-replicated 20 k corpus.  The LSH join runs on
+    distinct vectors only; pairs are then expanded back through the
+    duplicate groups (cross-group and within-group) and EVERY pair is
+    scored by the same exact-cosine filter, so the output is
+    bit-identical to the undeduplicated run.  Measured ~15 s on the
+    same corpus.
     """
     total_bits = n_bands * n_planes
     if total_bits > 63:
         raise ValueError(f"n_bands*n_planes must fit a long, got {total_bits}")
     mask = (1 << n_planes) - 1
-    s = rp_signature(
-        with_norm(df, vec_col).filter(F.col("norm") > 0), vec_col, dim, total_bits, seed,
-        out_col="sig",
-    ).select(
-        F.col(id_col).alias("id"), F.col("__v").alias("v"), F.col("norm").alias("n"), "sig"
+    rows = with_norm(df, vec_col).filter(F.col("norm") > 0).select(
+        F.col(id_col).alias("id"), F.col("__v").alias("v"), F.col("norm").alias("n")
     )
+    # collapse bit-identical vectors; reps carry the min id per group
+    reps = rows.groupBy("v").agg(
+        F.min("id").alias("id"), F.first("n").alias("n"), F.count("*").alias("__gsz")
+    )
+    members = rows.select("id", "v").join(
+        reps.select(F.col("id").alias("__rid"), "v"), "v"
+    )
+    s = rp_signature(
+        reps, "v", dim, total_bits, seed, out_col="sig"
+    ).select("id", "v", "n", "sig")
     # band key: (band index, b-bit slice of the signature)
     band_bucket = f"shiftright(sig, band * {n_planes}) & {mask}"
     b_side = s.withColumn("band", F.explode(F.expr(f"sequence(0, {n_bands - 1})"))).select(
@@ -211,11 +228,42 @@ def cosine_pairs(
         # dedupe across bands/probes BEFORE scoring: one dot per pair
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cands.withColumn(
+    rep_pairs = cands.withColumn(
+        "cosine",
+        F.expr(_DOT.format(a="v_a", b="v_b")) / (F.col("n_a") * F.col("n_b")),
+    ).filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+    # expand representative pairs back through the duplicate groups;
+    # identical vectors give identical cosines, so members inherit the
+    # rep pair's score exactly
+    ma = members.select(F.col("__rid").alias("id_a"), F.col("id").alias("__ia"))
+    mb = members.select(F.col("__rid").alias("id_b"), F.col("id").alias("__ib"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
             "cosine",
-            F.expr(_DOT.format(a="v_a", b="v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
+    )
+    # within-group pairs: cosine(v, v) through the same formula (not a
+    # literal 1.0 — FP parity with the all-pairs oracle)
+    self_cos = (
+        reps.filter(F.col("__gsz") > 1)
+        .withColumn(
+            "cosine", F.expr(_DOT.format(a="v", b="v")) / (F.col("n") * F.col("n"))
         )
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select(F.col("id").alias("__rid"), "cosine")
+    )
+    m1 = members.select("__rid", F.col("id").alias("id_a"))
+    m2 = members.select("__rid", F.col("id").alias("id_b"))
+    within = (
+        self_cos.join(m1, "__rid")
+        .join(m2, "__rid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cosine")
+    )
+    return cross.unionByName(within).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
