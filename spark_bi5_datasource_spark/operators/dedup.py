@@ -321,30 +321,65 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit
     chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), bucket-join
-    on chunks, verify with bit_count(xor)."""
-    banded = hashed.select(
-        id_col,
-        hash_col,
+    on chunks, verify with bit_count(xor).
+
+    Rows sharing an identical hash value are collapsed to one
+    representative before the chunk join (identical hashes make chunk
+    bucket sizes — and the join's quadratic term — scale with the
+    duplication factor); pairs are expanded back through the groups
+    afterwards.  Cross-group pairs inherit the representative pair's
+    hamming (identical hashes); within-group pairs have hamming 0 by
+    definition.  Output identical to the uncollapsed join."""
+    rows = hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    reps = rows.groupBy("h").agg(
+        F.min("id").alias("id"), F.count("*").alias("__gsz")
+    )
+    members = rows.join(reps.select(F.col("id").alias("__rid"), "h"), "h")
+    banded = reps.select(
+        "id",
+        "h",
         F.explode(
             F.expr(
-                f"transform(sequence(0, 3), b -> named_struct("
-                f"'band', b, 'chunk', shiftright({hash_col}, b * 16) & 65535))"
+                "transform(sequence(0, 3), b -> named_struct("
+                "'band', b, 'chunk', shiftright(h, b * 16) & 65535))"
             )
         ).alias("bb"),
-    ).select(id_col, hash_col, "bb.band", "bb.chunk")
+    ).select("id", "h", "bb.band", "bb.chunk")
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))).alias("hamming"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    ma = members.select(F.col("__rid").alias("id_a"), F.col("id").alias("__ia"))
+    mb = members.select(F.col("__rid").alias("id_b"), F.col("id").alias("__ib"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    m1 = members.select("__rid", F.col("id").alias("id_a"))
+    m2 = members.select("__rid", F.col("id").alias("id_b"))
+    within = (
+        reps.filter(F.col("__gsz") > 1)
+        .select(F.col("id").alias("__rid"))
+        .join(m1, "__rid")
+        .join(m2, "__rid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(within)
