@@ -270,8 +270,15 @@ def minhash_dedup(
     components; ``rounds > 1`` reruns on the survivors (each round is
     a full linear pass) to converge clusters whose members only meet
     through non-representatives.
+
+    Exact-duplicate texts (jaccard 1 ≥ any threshold ≤ 1, identical
+    signatures) are guaranteed losers to their min-id twin, so they
+    are dropped by a hash-exact pass BEFORE any shingling — on
+    duplicate-heavy corpora this removes the duplication factor from
+    every downstream cost (signatures, banding, verification) with an
+    output identical to running LSH on the full corpus.
     """
-    out = df
+    out = exact_dedup(df, [text_col], id_col) if threshold <= 1.0 else df
     for _ in range(max(1, rounds) - 1):
         out = _minhash_dedup_once(
             out, id_col, text_col, n, num_perm, bands, threshold
