@@ -3,6 +3,7 @@ from .events import (
     dedup_within_watermark,
     session_windows,
     sliding_value_sums,
+    stream_stream_join,
     windowed_counts,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "running_stats",
     "session_windows",
     "sliding_value_sums",
+    "stream_stream_join",
     "windowed_counts",
 ]

@@ -26,6 +26,7 @@ __all__ = [
     "sliding_value_sums",
     "session_windows",
     "dedup_within_watermark",
+    "stream_stream_join",
 ]
 
 
@@ -103,3 +104,33 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: each left row matches right rows
+    with the same ``key`` whose event time falls in
+    ``[left_ts - horizon, left_ts]``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions — the two requirements that let the state
+    store evict buffered rows instead of growing forever (unbounded
+    stream-stream joins are rejected by Spark for append mode).  Outer
+    variants emit nulls only once the watermark passes the horizon, so
+    results are eventually complete."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.join(r, cond, how)

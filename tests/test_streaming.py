@@ -108,6 +108,56 @@ class TestEventStreaming:
         assert sorted(r.event_id for r in rows) == list(range(10))
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join (availableNow full replay) must
+    produce exactly the rows the equivalent batch time-range join
+    gives."""
+    from spark_bi5_datasource_spark.streaming import stream_stream_join
+
+    schema = "id long, ts timestamp, user_id long, px double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id long, ts_s string, user_id long, px double"
+        ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "px")
+
+    left_rows = [(i, f"2024-01-01 0{i % 8}:15:00", i % 3, 0.0) for i in range(24)]
+    right_rows = [(100 + i, f"2024-01-01 0{i % 8}:00:00", i % 3, float(i)) for i in range(24)]
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    mk(left_rows).write.parquet(ld)
+    mk(right_rows).write.parquet(rd)
+
+    ls = spark.readStream.schema(schema).parquet(ld)
+    rs = spark.readStream.schema(schema).parquet(rd)
+    joined = stream_stream_join(ls, rs, key="user_id", horizon="1 hour").select(
+        F.col("l.id").alias("lid"), F.col("r.id").alias("rid")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.lid, r.rid) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+
+    lb, rb = mk(left_rows).alias("l"), mk(right_rows).alias("r")
+    expected = {
+        (r.lid, r.rid)
+        for r in lb.join(
+            rb,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 1 hour"))
+            & (F.col("r.ts") <= F.col("l.ts")),
+        )
+        .select(F.col("l.id").alias("lid"), F.col("r.id").alias("rid"))
+        .collect()
+    }
+    assert got == expected and len(expected) > 10
+
+
 class TestBi5Streaming:
     def test_incremental_files(self, spark, tmp_path):
         tree = tmp_path / "ticks" / "EURUSD" / "2020" / "0" / "1"
