@@ -91,3 +91,67 @@ def test_path_parse_total_for_wellformed_paths(ticker, y, m, d, h, january):
     meta = parse_bi5_path(path, january)
     assert meta.ticker == ticker
     assert meta.hour_epoch_us == hour_epoch_micros(y, m - january, d, h)
+
+
+# ---------------------------------------------------------- writer properties
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3_599_999),          # ms offset within the hour
+            st.integers(1, 10**7),              # scaled ask (fits f64*scale round-trip)
+            st.integers(1, 10**7),              # scaled bid
+            finite_f32,
+            finite_f32,
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    st.integers(0, 5),                          # digits
+    st.integers(0, 23),                         # hour of day
+)
+@settings(max_examples=30, deadline=None)
+def test_arrow_writer_inverts_codec(tmp_path_factory, recs, digits, hour):
+    """Bi5Writer.write() on an Arrow batch must produce a file the
+    codec decodes back to the same records (ms, scaled prices,
+    volumes) at the UTC hour path — no Spark session needed."""
+    import pyarrow as pa
+
+    from spark_bi5_datasource_spark.sources.bi5_codec import decode_bi5_file
+    from spark_bi5_datasource_spark.sources.bi5_writer import Bi5Writer
+
+    out = tmp_path_factory.mktemp("wtree")
+    scale = 10 ** digits
+    base_us = int(
+        datetime(2021, 3, 7, hour, tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+    ts = pa.array(
+        [base_us + r[0] * 1000 for r in recs], pa.timestamp("us", tz="UTC")
+    )
+    batch = pa.record_batch(
+        {
+            "ticker": ["EURUSD"] * len(recs),
+            "ts": ts,
+            "ask": [r[1] / scale for r in recs],
+            "bid": [r[2] / scale for r in recs],
+            "ask_volume": [float(r[3]) for r in recs],
+            "bid_volume": [float(r[4]) for r in recs],
+        }
+    )
+    w = Bi5Writer({"path": str(out), "digits": str(digits)})
+    msg = w.write(iter([batch]))
+    assert len(msg.files) == 1
+    # month-0 path for 2021-03-07
+    assert msg.files[0].endswith(f"{hour:02d}h_ticks.bi5")
+    cols = decode_bi5_file(str(out / msg.files[0]), digits)
+    got = sorted(
+        zip(
+            ((cols["ts_us"] - base_us) // 1000).astype(int).tolist(),
+            np.round(cols["ask"] * scale).astype(int).tolist(),
+            np.round(cols["bid"] * scale).astype(int).tolist(),
+        )
+    )
+    want = sorted((r[0], r[1], r[2]) for r in recs)
+    assert got == want
