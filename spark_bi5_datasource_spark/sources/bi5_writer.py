@@ -107,6 +107,16 @@ class Bi5Writer(DataSourceArrowWriter):
                     f"(got {col['ticker'].null_count} null tickers, "
                     f"{col['ts'].null_count} null timestamps in a batch)"
                 )
+            # Arrow nulls in the value columns would become NaN via
+            # to_numpy and then wrap to garbage uint32 on astype — the
+            # format has no null representation, so refuse loudly (the
+            # row-based writer raised on these too)
+            for vc in ("ask", "bid", "ask_volume", "bid_volume"):
+                if col[vc].null_count:
+                    raise ValueError(
+                        f"bi5 write: '{vc}' must be non-null "
+                        f"(got {col[vc].null_count} nulls in a batch)"
+                    )
             ts_us = self._epoch_us(col["ts"])
             hour_us = (ts_us // _HOUR_US) * _HOUR_US
             chunks.append(
@@ -132,11 +142,29 @@ class Bi5Writer(DataSourceArrowWriter):
             arr["ms"] = g["ms"].to_numpy()
             # np.round == Python round(): banker's rounding, matching
             # the reader's exact decode inverse on half-cent prices
-            arr["ask"] = np.round(g["ask"].to_numpy() * scale).astype(np.uint32)
-            arr["bid"] = np.round(g["bid"].to_numpy() * scale).astype(np.uint32)
-            arr["ask_volume"] = g["av"].to_numpy()
-            arr["bid_volume"] = g["bv"].to_numpy()
-            hour = datetime.fromtimestamp(hour_us / 1_000_000, tz=timezone.utc)
+            for fld, src in (("ask", "ask"), ("bid", "bid")):
+                scaled = np.round(g[src].to_numpy(dtype=np.float64) * scale)
+                # NaN/inf or out-of-range values wrap to arbitrary
+                # uint32 on astype — corrupt archive, refuse instead
+                bad = ~np.isfinite(scaled) | (scaled < 0) | (scaled >= 2**32)
+                if bad.any():
+                    raise ValueError(
+                        f"bi5 write: '{src}' has {int(bad.sum())} value(s) that are "
+                        f"non-finite or outside [0, 2^32) after scaling by 10^{self.digits} "
+                        f"(e.g. {g[src].to_numpy()[bad][0]!r}) for ticker {ticker!r}"
+                    )
+                arr[fld] = scaled.astype(np.uint32)
+            for fld, src in (("ask_volume", "av"), ("bid_volume", "bv")):
+                vol = g[src].to_numpy(dtype=np.float32)
+                if not np.isfinite(vol).all():
+                    raise ValueError(
+                        f"bi5 write: volume column has non-finite value(s) "
+                        f"for ticker {ticker!r}"
+                    )
+                arr[fld] = vol
+            # hour boundaries are whole seconds, so integer division is
+            # exact; float division loses integer precision past 2^53
+            hour = datetime.fromtimestamp(hour_us // 1_000_000, tz=timezone.utc)
             month_field = hour.month - 1 + self.january  # inverse of reader
             rel = os.path.join(
                 str(ticker),

@@ -458,6 +458,59 @@ class TestBi5Writer:
         with pytest.raises(ValueError, match="must be non-null"):
             w.write(iter([batch]))
 
+    @staticmethod
+    def _value_batch(ask, bid, av=1.0, bv=1.0):
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+
+        instant = datetime(2020, 6, 1, 14, 30, tzinfo=timezone.utc)
+        n = len(ask)
+        return pa.record_batch(
+            {
+                "ticker": ["EURUSD"] * n,
+                "ts": pa.array([instant] * n, pa.timestamp("us", tz="UTC")),
+                "ask": pa.array(ask, pa.float64()),
+                "bid": pa.array(bid, pa.float64()),
+                "ask_volume": pa.array([av] * n, pa.float64()),
+                "bid_volume": pa.array([bv] * n, pa.float64()),
+            }
+        )
+
+    def test_null_value_columns_rejected(self, tmp_path):
+        """Arrow nulls in ask/bid/volumes become NaN via to_numpy and
+        would wrap to garbage uint32 records — refuse loudly (parity
+        with the old row writer, which raised on None)."""
+        from spark_bi5_datasource_spark.sources.bi5_writer import Bi5Writer
+
+        w = Bi5Writer({"path": str(tmp_path / "t"), "digits": "5"})
+        batch = self._value_batch([1.1, None], [1.0, 1.0])
+        with pytest.raises(ValueError, match="'ask' must be non-null"):
+            w.write(iter([batch]))
+
+    @pytest.mark.parametrize(
+        "ask",
+        [float("nan"), float("inf"), -1.0, 43000.0],  # 43000*10^5 >= 2^32
+        ids=["nan", "inf", "negative", "uint32-overflow"],
+    )
+    def test_bad_price_values_rejected(self, tmp_path, ask):
+        """Non-finite or out-of-range scaled prices wrap to arbitrary
+        uint32 on astype — must raise, never silently corrupt."""
+        from spark_bi5_datasource_spark.sources.bi5_writer import Bi5Writer
+
+        w = Bi5Writer({"path": str(tmp_path / "t"), "digits": "5"})
+        batch = self._value_batch([ask], [1.0])
+        with pytest.raises(ValueError, match="non-finite or outside"):
+            w.write(iter([batch]))
+
+    def test_nan_volume_rejected(self, tmp_path):
+        from spark_bi5_datasource_spark.sources.bi5_writer import Bi5Writer
+
+        w = Bi5Writer({"path": str(tmp_path / "t"), "digits": "5"})
+        batch = self._value_batch([1.1], [1.0], av=float("nan"))
+        with pytest.raises(ValueError, match="non-finite"):
+            w.write(iter([batch]))
+
     def test_collision_detection(self, spark, tmp_path):
         """Same (ticker, hour) split across tasks must fail loudly, not
         silently overwrite."""
