@@ -5,10 +5,12 @@ similarity search, text analysis, multimodal plumbing over the
 Oracle policy: every operator whose semantics are SQL-expressible gets
 an exact DuckDB oracle (n-gram Jaccard join, exact dedup, brute-force
 cosine top-k, text stats/lang-id/quality, multimodal feature shapes).
-Hash-based operators (minhash/simhash/LSH — xxhash64 has no DuckDB
-twin) are rows-only checked by the driver and covered by semantic
-pytest oracles instead (tests/test_operators.py plants known
-near-dups and asserts they are found).
+dedup_minhash is oracled against the EXACT min-id pass it
+approximates — equality verified deterministic on these fixtures.
+Remaining hash/sketch operators (simhash/LSH/HLL — xxhash64 has no
+DuckDB twin and their outputs are approximate by nature) are covered
+by semantic pytest oracles instead (tests/test_operators.py plants
+known near-dups and asserts they are found).
 """
 
 from __future__ import annotations
@@ -100,10 +102,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@_q("dedup_minhash", None, bench=True)  # hash-based → rows-only driver check
+@_q(
+    "dedup_minhash",
+    # Oracle = the EXACT single-pass min-id dedup (drop any doc with a
+    # verified jaccard ≥ 0.5 neighbor of smaller id), via the same
+    # inverted-shingle-index SQL as dedup_ngram_jaccard.  The LSH
+    # output is a superset of this ideal by construction (it only
+    # drops verified pairs); equality holds when LSH recall catches
+    # every loser — verified identical on this corpus at sf0.001/0.01
+    # (test_minhash_equals_exact_min_id_pass) and deterministic (fixed
+    # seeds), so the driver's hash-match is stable.
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+      FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)
+      WHERE len(tk) >= 3
+      UNION
+      SELECT doc_id, array_to_string(tk, ' ') AS shingle
+      FROM toks WHERE len(tk) < 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), losers AS (
+      SELECT DISTINCT y.doc_id AS id
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      JOIN sizes sa ON sa.doc_id = x.doc_id
+      JOIN sizes sb ON sb.doc_id = y.doc_id
+      GROUP BY x.doc_id, y.doc_id, sa.sz, sb.sz
+      HAVING CAST(count(*) AS DOUBLE) / (sa.sz + sb.sz - count(*)) >= 0.5
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    """,
+    bench=True,
+)
 def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dedup: surviving docs (min-id policy).
-    Semantic oracle lives in tests/test_operators.py (planted dups)."""
+    Exact-pass equality additionally pinned by planted-dup tests in
+    tests/test_operators.py."""
     return minhash_dedup(
         t(spark, sf, "documents"), "doc_id", "text", n=3, num_perm=32, bands=8,
         threshold=0.5,
