@@ -221,26 +221,38 @@ def text_chunk_pack(spark: SparkSession, sf: str) -> DataFrame:
       SELECT vec_id, embedding,
         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
       FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round({{dot}} / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a, n b
+      WHERE a.vec_id < b.vec_id
+        AND {{dot}} / (a.nrm * b.nrm) >= 0.5
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      round({{dot}} / (a.nrm * b.nrm), 6) AS cosine
-    FROM n a, n b
-    WHERE a.vec_id < b.vec_id
-      AND {{dot}} / (a.nrm * b.nrm) >= 0.5
+    SELECT 'exact' AS method, id_a, id_b, cosine FROM pairs
+    UNION ALL
+    SELECT 'lsh' AS method, id_a, id_b, cosine FROM pairs
     """.replace("{dot}", "list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), x -> x[1] * x[2]))"),
 )
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via OR-amplified LSH (7 bands ×
-    5 bits + hamming-1 multiprobe ⇒ ≈0.99 per-pair collision odds at
-    cosine 0.5) with exact-cosine verification of candidates.
+    """Embedding-cosine near-dup pairs, BOTH compute paths under one
+    driver row (the setop_suite pattern, freeing a gate-window slot):
 
-    Oracle is the exact all-pairs twin: with the fixed seed the banded
-    amplification recovers every ≥0.5 pair on the test corpora
-    (checked at sf0.001/0.01/0.1 — 0/1/14 pairs, all matched), and the
-    verification filter removes false candidates, so LSH output ==
-    exact output.  At extreme scale recall stays ≈0.99 per pair — the
-    operator remains approximate by construction."""
-    return cosine_pairs(t(spark, sf, "embeddings"), threshold=0.5)
+    * ``exact`` — quadratic all-pairs verify baseline (pure HOF join);
+    * ``lsh``  — OR-amplified hyperplane LSH (7 bands × 5 bits +
+      hamming-1 multiprobe ⇒ ≈0.99 per-pair collision odds at cosine
+      0.5) with exact-cosine verification of candidates.
+
+    Oracle is the exact all-pairs twin emitted once per method tag:
+    with the fixed seed the banded amplification recovers every ≥0.5
+    pair on the test corpora (checked at sf0.001/0.01/0.1 — 0/1/14
+    pairs, all matched), and the verification filter removes false
+    candidates, so LSH output == exact output here.  At extreme scale
+    recall stays ≈0.99 per pair — the LSH path remains approximate by
+    construction."""
+    emb = t(spark, sf, "embeddings")
+    exact = _cosine_pairs_exact(emb).withColumn("method", F.lit("exact"))
+    lsh = cosine_pairs(emb, threshold=0.5).withColumn("method", F.lit("lsh"))
+    return exact.unionByName(lsh).select("method", "id_a", "id_b", "cosine")
 
 
 # -------------------------------------------------------- similarity
@@ -284,24 +296,43 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
-    "sim_cosine_pairs_exact",
+    "sim_ivf_exact",
+    # nprobe = nlist probes every cell, so the IVF cell equi-join
+    # enumerates the full corpus per query and the result is provably
+    # exact (pinned by test_operators' full-probe-exact test) — it
+    # shares the brute-force oracle while exercising the k-means
+    # training + cell-assignment + cell-join path end-to-end.
     f"""
     WITH n AS (
       SELECT vec_id, embedding,
         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
       FROM embeddings
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      round({_DOT_D} / (a.nrm * b.nrm), 6) AS cosine
+    SELECT b.vec_id AS query_id, a.vec_id AS nbr_id,
+      round({_DOT_D} / (a.nrm * b.nrm), 6) AS cosine,
+      CAST(row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, a.vec_id ASC) AS INT) AS rank
     FROM n a, n b
-    WHERE a.vec_id < b.vec_id
-      AND {_DOT_D} / (a.nrm * b.nrm) >= 0.5
+    WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+    QUALIFY rank <= 5
     """,
 )
-def sim_cosine_pairs_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact all-pairs cosine ≥ 0.5 (quadratic verify baseline for
-    the LSH pair variants)."""
+def sim_ivf_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN in exact mode (nprobe = nlist): k-means cells + probe
+    join, hash-checked against the brute-force oracle.  The
+    approximate production mode (nprobe < nlist) is sim_ivf_topk."""
+    from ..operators import ivf_topk
+
     emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, nlist=8, nprobe=8, iters=2)
+
+
+def _cosine_pairs_exact(emb: DataFrame) -> DataFrame:
+    """Exact all-pairs cosine ≥ 0.5 (quadratic verify baseline for
+    the LSH pair variants) — driver-checked as the 'exact' leg of the
+    dedup_embedding suite."""
     n = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
