@@ -2,18 +2,21 @@
 columns with typed metadata, processed via Arrow-batched
 ``mapInPandas`` (north-star operator, SURVEY §2 Tier C).
 
-The decode kernels themselves are STUBBED (image/audio libraries are
-not in this environment — see ``decode_image``): the Spark-side
-contract — schema, batch iteration, partition-preserving shape,
-deterministic fake features — is real and tested.  Swapping the stub
-for PIL/librosa is a kernel change only; the plan shape (scan →
-mapInPandas → downstream relational ops) is what scales.
+Decode/resize kernels are REAL for headered uncompressed formats that
+need no codec library — PPM (P6), PGM (P5), and uncompressed 24-bit
+BMP — implemented with pure NumPy (header parse + nearest-neighbor
+resampling).  Compressed formats (PNG/JPEG/video) still raise
+``NotImplementedError`` (no imaging/codec libraries in this
+environment); the deterministic fake kernels remain available for
+exercising the Arrow plumbing independent of payload format.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -58,23 +61,132 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _ppm_header(data: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a P5/P6 netpbm header: (magic, width, height, maxval,
+    pixel_data_offset).  Handles arbitrary whitespace and ``#``
+    comments per the spec; exactly one whitespace byte follows maxval
+    before the raster."""
+    magic = data[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated netpbm header")
+        c = data[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(data) and data[end : end + 1].isdigit():
+                end += 1
+            fields.append(int(data[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"bad netpbm header byte {c!r}")
+    w, h, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported netpbm maxval {maxval} (need 1..255)")
+    return magic, w, h, maxval, pos + 1  # single whitespace after maxval
+
+
+def _bmp_header(data: bytes) -> tuple[int, int, int, int, bool]:
+    """Parse a BMP header: (width, height, data_offset, row_stride,
+    bottom_up).  Only uncompressed (BI_RGB) 24-bit DIBs are supported
+    — those need no codec."""
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    offset, = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp, = struct.unpack_from("<H", data, 28)
+    compression, = struct.unpack_from("<I", data, 30)
+    if compression != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported without a codec "
+            f"library (got bpp={bpp}, compression={compression})"
+        )
+    stride = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    return w, abs(h), offset, stride, h > 0
+
+
 def decode_image(payload: bytes) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    STUB: real decoding needs an image library not present in this
-    container.  Raises so callers must opt into the deterministic
-    fake used by ``extract_media_features``.
-    """
+    Real (pure NumPy/struct, no codec needed) for PPM ``P6``, PGM
+    ``P5``, and BMP; compressed formats raise ``NotImplementedError``
+    (no imaging library in this environment — use ``fake_decode=True``
+    for the deterministic test kernel on arbitrary payloads)."""
+    head = bytes(payload[:2])
+    if head in (b"P5", b"P6"):
+        _, w, h, _, _ = _ppm_header(bytes(payload))
+        return w, h
+    if head == b"BM":
+        w, h, _, _, _ = _bmp_header(bytes(payload))
+        return w, h
     raise NotImplementedError(
-        "image decoding requires an imaging library (e.g. PIL); "
+        f"payload magic {head!r} needs an imaging library (e.g. PIL); "
+        "supported codec-free formats: PPM(P6)/PGM(P5)/BMP; "
         "use fake_decode=True for the deterministic test kernel"
     )
 
 
+def _nn_index(dst: int, src: int) -> np.ndarray:
+    """Nearest-neighbor source indices (pixel-center convention)."""
+    return np.minimum(
+        ((np.arange(dst) + 0.5) * src / dst).astype(np.int64), src - 1
+    )
+
+
+def _decode_pixels(data: bytes) -> tuple[np.ndarray, dict]:
+    """Payload → (H, W, C) uint8 array + re-encode metadata."""
+    head = data[:2]
+    if head in (b"P5", b"P6"):
+        magic, w, h, maxval, off = _ppm_header(data)
+        ch = 3 if magic == b"P6" else 1
+        need = w * h * ch
+        if len(data) < off + need:
+            raise ValueError("truncated netpbm raster")
+        px = np.frombuffer(data, np.uint8, need, off).reshape(h, w, ch)
+        return px, {"fmt": magic, "maxval": maxval}
+    if head == b"BM":
+        w, h, off, stride, bottom_up = _bmp_header(data)
+        if len(data) < off + stride * h:
+            raise ValueError("truncated BMP raster")
+        rows = np.frombuffer(data, np.uint8, stride * h, off).reshape(h, stride)
+        px = rows[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            px = px[::-1]
+        return px, {"fmt": b"BM"}
+    raise NotImplementedError(f"payload magic {head!r} needs an imaging library")
+
+
+def _encode_pixels(px: np.ndarray, meta: dict) -> bytes:
+    h, w, ch = px.shape
+    if meta["fmt"] in (b"P5", b"P6"):
+        header = b"%s\n%d %d\n%d\n" % (meta["fmt"], w, h, meta["maxval"])
+        return header + px.tobytes()
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = px[::-1].reshape(h, w * 3)  # bottom-up
+    body = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI" + "IiiHHIIiiII",
+        b"BM", 54 + len(body), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + body
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload.  STUB (no imaging library here); the
-    Spark-side plumbing is ``resize_media``."""
-    raise NotImplementedError("image resizing requires an imaging library")
+    """Nearest-neighbor resize for the codec-free formats (PPM/PGM/
+    BMP), re-encoded in the source format.  Pure NumPy: two index
+    gathers, no per-pixel Python."""
+    px, meta = _decode_pixels(bytes(payload))
+    h, w, _ = px.shape
+    out = px[_nn_index(height, h)][:, _nn_index(width, w)]
+    return _encode_pixels(np.ascontiguousarray(out), meta)
 
 
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:

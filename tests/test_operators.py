@@ -503,3 +503,109 @@ class TestMultimodalKernels:
         # 640 bytes → 10 fake frames → every 2nd → 5 rows
         assert len(rows) == 5
         assert [r.frame_no for r in rows] == list(range(5))
+
+    # ---- real (codec-free) kernels: PPM / PGM / BMP --------------
+
+    @staticmethod
+    def _ppm(w, h, comment=False):
+        import numpy as np
+
+        px = (np.arange(w * h * 3, dtype=np.int64) * 7 % 256).astype(np.uint8)
+        head = b"P6\n" + (b"# fixture comment\n" if comment else b"")
+        return head + b"%d %d\n255\n" % (w, h), px.reshape(h, w, 3)
+
+    @staticmethod
+    def _bmp(w, h):
+        import struct
+
+        import numpy as np
+
+        px = (np.arange(w * h * 3, dtype=np.int64) * 11 % 256).astype(
+            np.uint8
+        ).reshape(h, w, 3)
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = px[::-1].reshape(h, w * 3)
+        body = rows.tobytes()
+        header = struct.pack(
+            "<2sIHHI" + "IiiHHIIiiII",
+            b"BM", 54 + len(body), 0, 0, 54,
+            40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+        )
+        return header + body, px
+
+    def test_decode_image_real_formats(self):
+        from spark_bi5_datasource_spark.functions.multimodal import decode_image
+
+        head, px = self._ppm(17, 9, comment=True)
+        assert decode_image(head + px.tobytes()) == (17, 9)
+        bmp, _ = self._bmp(13, 5)
+        assert decode_image(bmp) == (13, 5)
+        pgm = b"P5\n4 3\n255\n" + bytes(12)
+        assert decode_image(pgm) == (4, 3)
+
+    def test_decode_image_rejects_compressed(self):
+        import pytest
+
+        from spark_bi5_datasource_spark.functions.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError, match="imaging library"):
+            decode_image(b"\x89PNG\r\n\x1a\n" + bytes(64))
+
+    def test_resize_ppm_matches_numpy_nn(self):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            decode_image,
+            resize_image,
+        )
+
+        head, px = self._ppm(16, 12)
+        out = resize_image(head + px.tobytes(), 8, 6)
+        assert decode_image(out) == (8, 6)
+        # reference NN with the same pixel-center convention
+        ri = ((np.arange(6) + 0.5) * 12 / 6).astype(int)
+        ci = ((np.arange(8) + 0.5) * 16 / 8).astype(int)
+        expect = px[ri][:, ci]
+        got = np.frombuffer(out.split(b"255\n", 1)[1], np.uint8).reshape(6, 8, 3)
+        assert (got == expect).all()
+
+    def test_resize_bmp_roundtrip(self):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            _decode_pixels,
+            decode_image,
+            resize_image,
+        )
+
+        bmp, px = self._bmp(10, 6)
+        # identity resize preserves every pixel through decode+encode
+        same, _ = _decode_pixels(resize_image(bmp, 10, 6))
+        assert (same == px).all()
+        # upscale 2x: each source pixel appears in a 2x2 block
+        up = resize_image(bmp, 20, 12)
+        assert decode_image(up) == (20, 12)
+        upx, _ = _decode_pixels(up)
+        assert (upx[::2, ::2] == px).all()
+
+    def test_resize_media_real_kernel(self, spark):
+        """The mapInPandas plumbing with the REAL decoder: PPM payloads
+        through resize_media(fake_decode=False)."""
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            _decode_pixels,
+            resize_media,
+        )
+
+        head, px = self._ppm(12, 4)
+        payload = head + px.tobytes()
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(payload))],
+            "media_id long, kind string, payload binary",
+        ).withColumn("mime", F.lit("image/x-portable-pixmap"))
+        out = resize_media(media, 6, 2, fake_decode=False).collect()[0]
+        assert (out.width, out.height) == (6, 2)
+        got, meta = _decode_pixels(bytes(out.payload))
+        assert meta["fmt"] == b"P6" and got.shape == (2, 6, 3)
