@@ -275,8 +275,14 @@ def minhash_dedup(
     signatures) are guaranteed losers to their min-id twin, so they
     are dropped by a hash-exact pass BEFORE any shingling — on
     duplicate-heavy corpora this removes the duplication factor from
-    every downstream cost (signatures, banding, verification) with an
-    output identical to running LSH on the full corpus.
+    every downstream cost (signatures, banding, verification).  The
+    result is equal to or strictly closer to the min-id survivor
+    ideal than a single-pass full-corpus run: a duplicate whose band
+    buckets are all represented by a dissimilar smaller-id doc could
+    survive the full-corpus pass (its rep verification fails) but is
+    correctly dropped here.  On the driver fixtures the output equals
+    the exact min-id pass — that equality is the dedup_minhash
+    oracle.
     """
     out = exact_dedup(df, [text_col], id_col) if threshold <= 1.0 else df
     for _ in range(max(1, rounds) - 1):

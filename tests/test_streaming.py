@@ -158,6 +158,77 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert got == expected and len(expected) > 10
 
 
+def test_stream_stream_join_drops_late_rows(spark, tmp_path):
+    """Two-trigger incremental run: after trigger 1 advances the
+    watermark, rows arriving in trigger 2 with event times below the
+    watermark must be DROPPED (state eviction / late-data contract) —
+    a batch join over the union would still match them, so this pins
+    streaming semantics, not replay equality."""
+    from spark_bi5_datasource_spark.streaming import stream_stream_join
+
+    schema = "id long, ts timestamp, user_id long, px double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id long, ts_s string, user_id long, px double"
+        ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "px")
+
+    ld, rd = str(tmp_path / "l2"), str(tmp_path / "r2")
+    ck = str(tmp_path / "ckpt_ssj2")
+    # trigger 1: an on-time pair, a left row at 12:00 that stays
+    # unmatched this trigger, and a max event time of 20:00 → the
+    # committed watermark after the trigger is 20:00 - 2h = 18:00,
+    # which evicts the 12:00 row from the left state store (no
+    # non-late right row can satisfy r.ts <= 12:00 < 18:00 anymore)
+    mk([
+        (1, "2024-01-01 10:15:00", 1, 0.0),
+        (3, "2024-01-01 12:00:00", 3, 0.0),
+        (2, "2024-01-01 20:00:00", 2, 0.0),
+    ]).write.parquet(ld)
+    mk([(101, "2024-01-01 10:00:00", 1, 1.0)]).write.parquet(rd)
+
+    out = str(tmp_path / "ssj_out2")
+
+    def run():
+        # parquet sink: supports checkpoint recovery (memory does not),
+        # so trigger 2 resumes with trigger 1's committed watermark
+        ls = spark.readStream.schema(schema).parquet(ld)
+        rs = spark.readStream.schema(schema).parquet(rd)
+        joined = stream_stream_join(ls, rs, key="user_id", horizon="1 hour").select(
+            F.col("l.id").alias("lid"), F.col("r.id").alias("rid")
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.lid, r.rid) for r in spark.read.parquet(out).collect()}
+
+    first = run()
+    assert first == {(1, 101)}
+
+    # trigger 2: an on-time pair.  State cleanup runs during this
+    # batch with the 18:00 watermark and evicts the 12:00 left row
+    # (eviction is end-of-batch, AFTER the join — so the drop is only
+    # observable one trigger later, which is the documented
+    # "eventually complete" contract)
+    mk([(4, "2024-01-01 21:00:00", 4, 0.0)]).write.mode("append").parquet(ld)
+    mk([(104, "2024-01-01 20:30:00", 4, 1.0)]).write.mode("append").parquet(rd)
+    second = run() - first
+    assert second == {(4, 104)}
+
+    # trigger 3: a late right row at 11:30 whose only match is the
+    # now-evicted 12:00 left row — a batch join over the union would
+    # emit (3, 103); the stream must not
+    mk([(103, "2024-01-01 11:30:00", 3, 1.0)]).write.mode("append").parquet(rd)
+    third = run() - first - second
+    assert third == set(), f"late rows leaked through the watermark: {third}"
+
+
 class TestBi5Streaming:
     def test_incremental_files(self, spark, tmp_path):
         tree = tmp_path / "ticks" / "EURUSD" / "2020" / "0" / "1"
