@@ -174,8 +174,17 @@ def run_scaled(spark) -> dict:
     import duckdb
 
     from spark_bi5_datasource_spark import plans
+    from spark_bi5_datasource_spark.plans.tables import ensure_bucketed_layout
 
     scaled_dir = synth_scaled_dir(SF_DIR)
+    # Warehouse-shaped layout + sizing for the scaled tier: the fact
+    # tables get the co-located bucketed layout (lineitem⋈orders joins
+    # run exchange-free), and the broadcast threshold is sized for the
+    # executor memory actually available (the 10 MB default is laptop
+    # -era; customer at x10 is ~30 MB and belongs on the build side).
+    # Same parquet rows; DuckDB reads the originals.
+    ensure_bucketed_layout(spark, scaled_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     qs = {n: fn for n, (fn, _s, _b) in plans.CATALOG.items()}
     oracles = plans.oracle_sql()
 

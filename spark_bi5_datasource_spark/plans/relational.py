@@ -225,13 +225,27 @@ def q3_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
 def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: big-table equi-joins + broadcast dims.  nation/
     region/supplier are broadcast (small side) — no shuffle of the
-    fact table for the dim joins."""
+    fact table for the dim joins.
+
+    The fact⋈fact join (lineitem⋈orders) is the scale bottleneck.
+    When the tables carry the co-located bucketed layout
+    (tables.ensure_bucketed_layout — both bucketed+sorted on the order
+    key), the merge hint forces the exchange-free, sort-free SMJ: two
+    fact tables must never broadcast at scale, and the planner's
+    size-estimate heuristics would otherwise pick a broadcast that
+    rebuilds a multi-million-row hash table per query (measured 3×
+    slower than the co-located merge at x10).  On plain parquet the
+    choice stays with AQE."""
+    from .tables import is_bucketed
+
     c = t(spark, sf, "customer")
     o = t(spark, sf, "orders")
     li = t(spark, sf, "lineitem")
     s = t(spark, sf, "supplier")
     n = t(spark, sf, "nation")
     r = t(spark, sf, "region")
+    if is_bucketed(spark, sf, "lineitem") and is_bucketed(spark, sf, "orders"):
+        o = o.hint("merge")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)

@@ -1,6 +1,20 @@
-"""Table loading for the driver's parquet fixtures (TESTDATA.md)."""
+"""Table loading for the driver's parquet fixtures (TESTDATA.md).
+
+Also implements the optional BUCKETED layout for the big join tables:
+at warehouse scale the lineitem⋈orders join is the classic shuffle
+bottleneck, and the standard cure is co-located storage — both tables
+hash-bucketed (and sorted) on the join key with the same bucket
+count, so the sort-merge join runs with NO exchange and NO sort.
+``ensure_bucketed_layout`` materializes that layout next to a fixture
+directory (one-time, cached) and registers the bucketed tables;
+``t()`` then resolves those tables transparently for any catalog
+query.  Opt-in via the ``spark.bi5.bucketedDir`` session conf — the
+driver's correctness runs keep reading plain parquet.
+"""
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -17,6 +31,74 @@ TABLES = (
     "embeddings",
 )
 
+# join keys for the co-located layout: the two fact tables meet on the
+# order key; everything else is dim-sized (broadcast) or unjoined
+BUCKET_SPECS: dict[str, str] = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+}
+_BUCKETS = 32
+
+
+def _bucket_table_name(name: str) -> str:
+    return f"bi5_bucketed_{name}"
+
+
+def is_bucketed(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """True when ``t(spark, sf_dir, name)`` resolves to the co-located
+    bucketed layout (queries may then force the exchange-free merge
+    join instead of leaving the choice to size estimates)."""
+    return (
+        name in BUCKET_SPECS
+        and spark.conf.get("spark.bi5.bucketedDir", "") == sf_dir
+        and spark.catalog.tableExists(_bucket_table_name(name))
+    )
+
+
+def ensure_bucketed_layout(
+    spark: SparkSession, sf_dir: str, dest_dir: str | None = None
+) -> None:
+    """Materialize + register the bucketed twin of ``sf_dir``'s big
+    tables (one parquet file per bucket, sorted by the join key).
+
+    Files are written once and cached (``_SUCCESS`` marker); later
+    sessions only re-issue the CREATE TABLE DDL (the default catalog
+    is in-memory).  Enables the sorted-scan flag so the per-bucket
+    sort order survives into the plan (1 file/bucket makes it free)."""
+    from pyspark.sql import functions as F
+
+    dest = dest_dir or os.path.join(sf_dir, "_bucketed")
+    for name, key in BUCKET_SPECS.items():
+        tbl = _bucket_table_name(name)
+        path = os.path.join(dest, name)
+        if spark.catalog.tableExists(tbl):
+            continue
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            sch = spark.read.parquet(path).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {_BUCKETS} BUCKETS LOCATION '{path}'"
+            )
+        else:
+            # repartition on the bucket key first: each task then holds
+            # exactly one bucket's rows → one file per bucket, which is
+            # what lets the scan expose the sort order
+            (
+                spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+                .repartition(_BUCKETS, F.col(key))
+                .write.bucketBy(_BUCKETS, key)
+                .sortBy(key)
+                .option("path", path)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    spark.conf.set("spark.bi5.bucketedDir", sf_dir)
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.  Plain parquet scan → Catalyst gets
@@ -26,6 +108,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects by default; read it as int64 nanos and floor to
     microseconds (identical to how DuckDB/Python surface ns values).
     """
+    if is_bucketed(spark, sf_dir, name):
+        return spark.table(_bucket_table_name(name))
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

@@ -36,6 +36,38 @@ def test_asof_join_single_exchange(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_bucketed_layout_colocated_join(spark, tmp_path):
+    """The co-located bucketed layout must (a) produce byte-identical
+    q5 results and (b) plan the lineitem⋈orders join as an
+    exchange-free, sort-free SortMergeJoin over bucketed scans."""
+    from spark_bi5_datasource_spark import plans
+    from spark_bi5_datasource_spark.plans.tables import (
+        BUCKET_SPECS,
+        _bucket_table_name,
+        ensure_bucketed_layout,
+    )
+
+    plain = {
+        tuple(r)
+        for r in plans.CATALOG["q5_region_revenue"][0](spark, TESTDATA_SF).collect()
+    }
+    try:
+        ensure_bucketed_layout(spark, TESTDATA_SF, dest_dir=str(tmp_path / "b"))
+        df = plans.CATALOG["q5_region_revenue"][0](spark, TESTDATA_SF)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p
+        assert p.count("Bucketed: true") == 2
+        # no exchange/sort may sit between the SMJ and the bucketed
+        # scans: the whole point of the layout
+        smj_block = p[p.index("SortMergeJoin") : p.index("bi5_bucketed_orders")]
+        assert "Exchange" not in smj_block and "+- Sort" not in smj_block
+        assert {tuple(r) for r in df.collect()} == plain
+    finally:
+        for name in BUCKET_SPECS:
+            spark.sql(f"DROP TABLE IF EXISTS {_bucket_table_name(name)}")
+        spark.conf.set("spark.bi5.bucketedDir", "")
+
+
 def test_no_python_in_relational_paths(spark):
     for name in ["q1_pricing_summary", "q3_top_revenue_orders", "b5_groupby_count",
                  "window_running_total", "events_sessionize", "text_stats",
