@@ -139,7 +139,9 @@ _SCALED_QUERIES = [
 ]
 
 
-def synth_scaled_dir(src_dir: str, x: int = SCALE_X) -> str:
+def synth_scaled_dir(
+    src_dir: str, x: int = SCALE_X, tables: list[str] | None = None
+) -> str:
     """Replicate the parquet tables x× into a cached directory."""
     import duckdb
 
@@ -153,6 +155,8 @@ def synth_scaled_dir(src_dir: str, x: int = SCALE_X) -> str:
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={CPUS}")
     for table, keys in _SHIFT_COLS.items():
+        if tables is not None and table not in tables:
+            continue
         src = os.path.join(src_dir, f"{table}.parquet")
         dst = os.path.join(out, f"{table}.parquet")
         if not keys:
@@ -169,14 +173,28 @@ def synth_scaled_dir(src_dir: str, x: int = SCALE_X) -> str:
     return out
 
 
-def run_scaled(spark) -> dict:
-    """Spark vs DuckDB on the x10 tables; returns the JSON sub-dict."""
+# floor-convergence probe: queries whose x10 ratio is dominated by the
+# fixed per-job scheduler/codegen constant (~0.2-0.5 s).  At x100 (60 M
+# lineitem) the constant is amortized and the ratio reflects the plans.
+_X100_QUERIES = [
+    "b5_groupby_count",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "events_daily_ohlc",
+]
+_X100_TABLES = ["lineitem", "orders", "customer", "events"]
+
+
+def run_scaled(spark, x: int = SCALE_X, queries=None, tables=None) -> dict:
+    """Spark vs DuckDB on x×-replicated tables; returns the JSON
+    sub-dict."""
     import duckdb
 
     from spark_bi5_datasource_spark import plans
     from spark_bi5_datasource_spark.plans.tables import ensure_bucketed_layout
 
-    scaled_dir = synth_scaled_dir(SF_DIR)
+    queries = queries or _SCALED_QUERIES
+    scaled_dir = synth_scaled_dir(SF_DIR, x, tables)
     # Warehouse-shaped layout + sizing for the scaled tier: the fact
     # tables get the co-located bucketed layout (lineitem⋈orders joins
     # run exchange-free), and the broadcast threshold is sized for the
@@ -189,19 +207,21 @@ def run_scaled(spark) -> dict:
     oracles = plans.oracle_sql()
 
     spark_t: dict[str, float] = {}
-    for name in _SCALED_QUERIES:
-        # min-of-3: the x10 runs are long enough that one GC pause or
-        # page-cache miss shows up as 2-3x noise on a single run
+    for name in queries:
+        # min-of-3: the scaled runs are long enough that one GC pause
+        # or page-cache miss shows up as 2-3x noise on a single run
         spark_t[name] = timed(qs[name](spark, scaled_dir), runs=3)
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={CPUS}")
     for table in _SHIFT_COLS:
+        if tables is not None and table not in tables:
+            continue
         con.execute(
             f"CREATE VIEW {table} AS FROM '{scaled_dir}/{table}.parquet'"
         )
     duck_t: dict[str, float] = {}
-    for name in _SCALED_QUERIES:
+    for name in queries:
         # same best-of-N as the Spark side (min-of-3) — asymmetric
         # sampling would bias the headline ratio
         best = float("inf")
@@ -215,9 +235,13 @@ def run_scaled(spark) -> dict:
     s_total = round(sum(spark_t.values()), 3)
     d_total = round(sum(duck_t.values()), 3)
     return {
-        "x": SCALE_X,
+        "x": x,
         "spark": spark_t,
         "duckdb": duck_t,
+        "per_query_ratio": {
+            n: (round(spark_t[n] / duck_t[n], 2) if duck_t[n] else None)
+            for n in queries
+        },
         "spark_total": s_total,
         "duckdb_total": d_total,
         "ratio": round(s_total / d_total, 2) if d_total else None,
@@ -267,6 +291,9 @@ def main() -> None:
     shutil.rmtree("/tmp/spark_bi5_bench_wtree", ignore_errors=True)
 
     scaled = run_scaled(spark)
+    scaled_x100 = run_scaled(
+        spark, x=100, queries=_X100_QUERIES, tables=_X100_TABLES
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -276,6 +303,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scaled_vs_duckdb": scaled,
+        "scaled_x100_vs_duckdb": scaled_x100,
     }
     print(json.dumps(out))
     spark.stop()

@@ -40,8 +40,13 @@ BUCKET_SPECS: dict[str, str] = {
 _BUCKETS = 32
 
 
-def _bucket_table_name(name: str) -> str:
-    return f"bi5_bucketed_{name}"
+def _bucket_table_name(name: str, sf_dir: str) -> str:
+    # table names are keyed by the source directory so two fixture
+    # scales can carry bucketed layouts in the same session
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"bi5_bucketed_{tag}_{name}"
 
 
 def is_bucketed(spark: SparkSession, sf_dir: str, name: str) -> bool:
@@ -51,7 +56,7 @@ def is_bucketed(spark: SparkSession, sf_dir: str, name: str) -> bool:
     return (
         name in BUCKET_SPECS
         and spark.conf.get("spark.bi5.bucketedDir", "") == sf_dir
-        and spark.catalog.tableExists(_bucket_table_name(name))
+        and spark.catalog.tableExists(_bucket_table_name(name, sf_dir))
     )
 
 
@@ -69,7 +74,7 @@ def ensure_bucketed_layout(
 
     dest = dest_dir or os.path.join(sf_dir, "_bucketed")
     for name, key in BUCKET_SPECS.items():
-        tbl = _bucket_table_name(name)
+        tbl = _bucket_table_name(name, sf_dir)
         path = os.path.join(dest, name)
         if spark.catalog.tableExists(tbl):
             continue
@@ -109,7 +114,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds (identical to how DuckDB/Python surface ns values).
     """
     if is_bucketed(spark, sf_dir, name):
-        return spark.table(_bucket_table_name(name))
+        return spark.table(_bucket_table_name(name, sf_dir))
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

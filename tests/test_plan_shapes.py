@@ -59,12 +59,15 @@ def test_bucketed_layout_colocated_join(spark, tmp_path):
         assert p.count("Bucketed: true") == 2
         # no exchange/sort may sit between the SMJ and the bucketed
         # scans: the whole point of the layout
-        smj_block = p[p.index("SortMergeJoin") : p.index("bi5_bucketed_orders")]
+        orders_tbl = _bucket_table_name("orders", TESTDATA_SF)
+        smj_block = p[p.index("SortMergeJoin") : p.index(orders_tbl)]
         assert "Exchange" not in smj_block and "+- Sort" not in smj_block
         assert {tuple(r) for r in df.collect()} == plain
     finally:
         for name in BUCKET_SPECS:
-            spark.sql(f"DROP TABLE IF EXISTS {_bucket_table_name(name)}")
+            spark.sql(
+                f"DROP TABLE IF EXISTS {_bucket_table_name(name, TESTDATA_SF)}"
+            )
         spark.conf.set("spark.bi5.bucketedDir", "")
 
 
