@@ -295,6 +295,17 @@ def main() -> None:
         spark, x=100, queries=_X100_QUERIES, tables=_X100_TABLES
     )
 
+    # the fixed per-job cost (scheduling + codegen + noop commit) that
+    # every Spark timing above includes regardless of data size; the
+    # scaled ratios converge toward compute-only once spark_t >> floor
+    floor = float("inf")
+    one = spark.range(1)
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run_noop(one)
+        floor = min(floor, time.perf_counter() - t0)
+    scaled_x100["spark_job_floor"] = round(floor, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
