@@ -3,12 +3,12 @@ columns with typed metadata, processed via Arrow-batched
 ``mapInPandas`` (north-star operator, SURVEY §2 Tier C).
 
 Decode/resize kernels are REAL for headered uncompressed formats that
-need no codec library — PPM (P6), PGM (P5), and uncompressed 24-bit
-BMP — implemented with pure NumPy (header parse + nearest-neighbor
-resampling).  Compressed formats (PNG/JPEG/video) still raise
-``NotImplementedError`` (no imaging/codec libraries in this
-environment); the deterministic fake kernels remain available for
-exercising the Arrow plumbing independent of payload format.
+need no codec library — PPM (P6), PGM (P5), uncompressed 24-bit BMP,
+and 8/16-bit PCM WAV — implemented with pure NumPy (header parse +
+nearest-neighbor resampling).  Compressed formats (PNG/JPEG/MP3/video)
+still raise ``NotImplementedError`` (no imaging/codec libraries in
+this environment); the deterministic fake kernels remain available
+for exercising the Arrow plumbing independent of payload format.
 """
 
 from __future__ import annotations
@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -32,8 +33,13 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
+    "AUDIO_FEATURE_SCHEMA",
     "decode_image",
+    "decode_audio",
+    "audio_features",
+    "resample_audio",
     "extract_media_features",
+    "extract_audio_features",
     "documents_as_media",
 ]
 
@@ -189,6 +195,98 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return _encode_pixels(np.ascontiguousarray(out), meta)
 
 
+def _wav_header(data: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a RIFF/WAVE header by walking its chunk list: returns
+    (n_channels, sample_rate, bits_per_sample, data_offset, data_len).
+    Only uncompressed PCM (format tag 1) is supported — the one WAV
+    flavor that needs no codec."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_span = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and size >= 16:
+            tag, ch, rate = struct.unpack_from("<HHI", data, body)
+            (bits,) = struct.unpack_from("<H", data, body + 14)
+            if tag != 1:
+                raise NotImplementedError(
+                    f"only PCM WAV (format tag 1) is supported without a "
+                    f"codec library (got tag={tag})"
+                )
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            data_span = (body, min(size, len(data) - body))
+        pos = body + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data_span is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    ch, rate, bits = fmt
+    if bits not in (8, 16) or ch < 1:
+        raise NotImplementedError(
+            f"only 8/16-bit PCM is supported (got bits={bits}, ch={ch})"
+        )
+    return ch, rate, bits, data_span[0], data_span[1]
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int]:
+    """Decode a PCM WAV payload to (n_channels, sample_rate,
+    n_frames).  Real (pure struct, no codec) for 8/16-bit PCM;
+    anything else raises ``NotImplementedError``."""
+    ch, rate, bits, _, dlen = _wav_header(bytes(payload))
+    return ch, rate, dlen // (ch * bits // 8)
+
+
+def _audio_samples(data: bytes) -> tuple[np.ndarray, int]:
+    """Payload → (frames, channels) float64 in [-1, 1] + sample rate."""
+    ch, rate, bits, off, dlen = _wav_header(data)
+    step = ch * bits // 8
+    n = dlen // step
+    if bits == 16:
+        raw = np.frombuffer(data, "<i2", n * ch, off).astype(np.float64)
+        x = raw / 32768.0
+    else:  # 8-bit WAV is unsigned, midpoint 128
+        raw = np.frombuffer(data, np.uint8, n * ch, off).astype(np.float64)
+        x = (raw - 128.0) / 128.0
+    return x.reshape(n, ch), rate
+
+
+def audio_features(payload: bytes) -> tuple[int, int, int, float, float]:
+    """PCM WAV payload → (n_channels, sample_rate, n_frames, rms,
+    peak).  One vectorized NumPy pass over the sample block."""
+    x, rate = _audio_samples(bytes(payload))
+    n, ch = x.shape
+    if n == 0:
+        return ch, rate, 0, 0.0, 0.0
+    return (
+        ch,
+        rate,
+        n,
+        float(np.sqrt(np.mean(np.square(x)))),
+        float(np.max(np.abs(x))),
+    )
+
+
+def resample_audio(payload: bytes, target_rate: int) -> bytes:
+    """Nearest-neighbor (sample-and-hold) resample of a PCM WAV payload
+    to ``target_rate``, re-encoded as 16-bit PCM.  The audio twin of
+    ``resize_image``: one index gather, no per-sample Python."""
+    x, rate = _audio_samples(bytes(payload))
+    n, ch = x.shape
+    out_n = max(1, round(n * target_rate / rate)) if n else 0
+    y = x[_nn_index(out_n, n)] if n else x
+    pcm = np.clip(np.round(y * 32767.0), -32768, 32767).astype("<i2")
+    body = pcm.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(body), b"WAVE",
+        b"fmt ", 16, 1, ch, target_rate,
+        target_rate * ch * 2, ch * 2, 16,
+        b"data", len(body),
+    )
+    return hdr + body
+
+
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
     """Sample frames from a video payload.  STUB (no codec library);
     the Spark-side plumbing is ``sample_media_frames``."""
@@ -233,6 +331,39 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """PCM WAV payloads → typed audio features via Arrow-batched
+    mapInPandas (non-WAV / unsupported payloads yield null features
+    — the dirty-input tolerance of the bi5 scan, applied to media)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    ch, rate, n, rms, peak = audio_features(p or b"")
+                    rows.append((mid, ch, rate, n, rms, peak))
+                except (ValueError, NotImplementedError):
+                    rows.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:
