@@ -25,6 +25,8 @@ __all__ = [
     "doc_fingerprint",
     "text_stats_cols",
     "chunk_array",
+    "redact_pii",
+    "PII_PATTERNS",
     "STOPWORDS",
 ]
 
@@ -253,6 +255,29 @@ def chunk_array(text_col: str, window: int = 64, stride: int = 48) -> Column:
         f"i -> concat_ws(' ', slice(tks, i * {stride} + 1, {window})))"
     )
     return F.expr(_let_tokens(text_col, body))
+
+
+# PII patterns chosen from the regex subset where Java (Spark) and RE2
+# (DuckDB) agree byte-for-byte: no backrefs, no lookaround, no \b.
+# Order matters: emails first so their user/host digits can't be
+# half-eaten by the later numeric patterns.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}", "<PHONE>"),
+]
+
+
+def redact_pii(text_col: str | Column) -> Column:
+    """Replace email / IPv4 / phone-shaped spans with typed tags —
+    the compliance scrub every crawl pipeline runs before training.
+    A chain of JVM-side regexp_replace calls (one scan pass, no
+    Python); ``pii_redaction_sql`` note: the same patterns run
+    verbatim in DuckDB, which is what makes this oracle-checkable."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

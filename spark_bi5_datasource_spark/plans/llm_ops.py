@@ -958,6 +958,160 @@ def events_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_REDACT_SQL = "text"
+for _pat, _tag in [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}", "<PHONE>"),
+]:
+    _REDACT_SQL = f"regexp_replace({_REDACT_SQL}, '{_pat}', '{_tag}', 'g')"
+
+
+@_q(
+    "text_redact_pii",
+    f"""
+    SELECT doc_id, {_REDACT_SQL} AS redacted,
+      CAST(CASE WHEN {_REDACT_SQL} <> text THEN 1 ELSE 0 END AS INT)
+        AS was_redacted
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub: email/IPv4/phone spans → typed tags (the compliance
+    pass before any training run).  One chained regexp_replace scan,
+    fully JVM-side; patterns restricted to the Java∩RE2 regex subset
+    so the identical patterns run in the DuckDB oracle."""
+    from ..functions.text import redact_pii
+
+    docs = t(spark, sf, "documents")
+    red = redact_pii("text")
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        (red != F.col("text")).cast("int").alias("was_redacted"),
+    )
+
+
+# z-value recipe shared between engines: identical bit plan, emitted
+# once as a Catalyst column tree and once as DuckDB SQL
+_Z_BITS = 16
+_Z_SQL_EXPRS = ["(user_id & 65535)", "(CAST(floor(value) AS BIGINT) & 65535)"]
+
+
+def _zorder_sql() -> str:
+    from ..operators.zorder import zvalue_sql
+
+    return f"""
+    SELECT event_id, {zvalue_sql(_Z_SQL_EXPRS, _Z_BITS)} AS zval
+    FROM events
+    """
+
+
+@_q("zorder_values", None)  # SQL attached below (needs the import)
+def zorder_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton z-values over (user_id, value) — the multi-column
+    data-skipping sort key (operators/zorder.py).  The bit-interleave
+    is pure integer arithmetic built from one shared recipe, so Spark
+    and DuckDB agree bit-for-bit; ``zorder_write`` uses the same
+    column to produce the clustered parquet layout."""
+    from ..operators.zorder import zvalue
+
+    ev = t(spark, sf, "events")
+    z = zvalue(
+        [
+            F.col("user_id").bitwiseAND(F.lit(65535)),
+            F.expr("CAST(floor(value) AS BIGINT)").bitwiseAND(F.lit(65535)),
+        ],
+        _Z_BITS,
+    )
+    return ev.select("event_id", z.alias("zval"))
+
+
+LLM_OPS["zorder_values"] = (zorder_values, _zorder_sql(), False)
+
+
+@_q(
+    "merge_upsert_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    ), src AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice
+      FROM base WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey + 500000000, o_custkey, 'N', o_totalprice
+      FROM base WHERE o_orderkey % 17 = 0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM src
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+    FROM base b ANTI JOIN src s ON b.o_orderkey = s.o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO semantics (operators/upsert.py): a derived delta —
+    updates (status→'U' for orderkey%13=0) plus inserts (new keys,
+    status 'N') — upserted into orders via the broadcast-anti-join
+    composition.  The target is never shuffled: the 100-TB merge
+    plan."""
+    from ..operators.upsert import merge_upsert
+
+    orders = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 500000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return merge_upsert(orders, updates.unionByName(inserts), ["o_orderkey"])
+
+
+@_q(
+    "emb_standardize",
+    """
+    WITH ex AS (
+      SELECT vec_id,
+        CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), st AS (
+      SELECT dim, avg(x) AS mu, stddev_samp(x) AS sd FROM ex GROUP BY dim
+    )
+    SELECT ex.vec_id, ex.dim,
+      round((ex.x - st.mu) / nullif(st.sd, 0), 6) AS z
+    FROM ex JOIN st USING (dim)
+    """,
+)
+def emb_standardize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus
+    (the feature-scaling pass before clustering/IVF training).
+
+    Scale shape: the per-dim stats frame is dim-sized (64 rows) —
+    one partial+final agg over the exploded corpus, then a broadcast
+    join back; the corpus itself is never shuffled."""
+    emb = t(spark, sf, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    st = ex.groupBy("dim").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    return ex.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        "dim",
+        F.round(
+            (F.col("x") - F.col("mu"))
+            / F.when(F.col("sd") != 0, F.col("sd")),
+            6,
+        ).alias("z"),
+    )
+
+
 # The four entries below have no SQL oracle by nature (engine-specific
 # sketch values; approximate top-k whose recall is measured against
 # sim_cosine_topk in tests/test_operators.py) — parked at the very end

@@ -707,3 +707,157 @@ class TestAudioKernels:
         assert rows[1].n_channels == 2 and rows[1].n_frames == 600
         assert rows[1].rms > 0 and rows[1].peak <= 1.0
         assert rows[2].n_channels is None and rows[2].rms is None
+
+
+class TestMergeUpsert:
+    def _target(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, s string, v double",
+        )
+
+    def test_update_insert_passthrough(self, spark):
+        from spark_bi5_datasource_spark.operators.upsert import merge_upsert
+
+        src = spark.createDataFrame(
+            [(2, "B", 99.0), (9, "new", 1.0)], "k long, s string, v double"
+        )
+        got = {
+            r.k: (r.s, r.v)
+            for r in merge_upsert(self._target(spark), src, ["k"]).collect()
+        }
+        assert got == {
+            1: ("a", 10.0),   # passthrough
+            2: ("B", 99.0),   # updated
+            3: ("c", 30.0),   # passthrough
+            9: ("new", 1.0),  # inserted
+        }
+
+    def test_rejects_mismatched_columns_and_missing_key(self, spark):
+        import pytest
+
+        from spark_bi5_datasource_spark.operators.upsert import merge_upsert
+
+        bad = spark.createDataFrame([(1, "x")], "k long, other string")
+        with pytest.raises(ValueError, match="column sets differ"):
+            merge_upsert(self._target(spark), bad, ["k"])
+        with pytest.raises(ValueError, match="absent"):
+            merge_upsert(self._target(spark), self._target(spark), ["nope"])
+        with pytest.raises(ValueError, match="at least one key"):
+            merge_upsert(self._target(spark), self._target(spark), [])
+
+    def test_plan_broadcasts_delta_no_target_shuffle(self, spark):
+        from spark_bi5_datasource_spark.operators.upsert import merge_upsert
+
+        src = spark.createDataFrame([(2, "B", 9.0)], "k long, s string, v double")
+        df = merge_upsert(self._target(spark), src, ["k"])
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p and "LeftAnti" in p
+        assert "SortMergeJoin" not in p
+
+
+class TestZOrder:
+    @staticmethod
+    def _morton_ref(x, y, bits):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    def test_zvalue_matches_reference(self, spark):
+        from spark_bi5_datasource_spark.operators.zorder import zvalue
+
+        rows = [(x, y) for x in [0, 1, 5, 255, 65535] for y in [0, 2, 7, 1023]]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = {
+            (r.x, r.y): r.z
+            for r in df.select("x", "y", zvalue(["x", "y"], 16).alias("z")).collect()
+        }
+        for (x, y), z in got.items():
+            assert z == self._morton_ref(x, y, 16), (x, y)
+
+    def test_zvalue_sql_matches_column(self, spark):
+        import duckdb
+
+        from spark_bi5_datasource_spark.operators.zorder import zvalue, zvalue_sql
+
+        df = spark.range(200).selectExpr("id % 37 AS x", "id % 53 AS y")
+        s = sorted(
+            r.z for r in df.select(zvalue(["x", "y"], 8).alias("z")).collect()
+        )
+        d = sorted(
+            r[0]
+            for r in duckdb.sql(
+                "SELECT "
+                + zvalue_sql(["i % 37", "i % 53"], 8)
+                + " FROM (SELECT unnest(generate_series(0, 199)) AS i)"
+            ).fetchall()
+        )
+        assert s == d
+
+    def test_bits_overflow_guard(self):
+        import pytest
+
+        from spark_bi5_datasource_spark.operators.zorder import zvalue, zvalue_sql
+
+        with pytest.raises(ValueError, match="BIGINT"):
+            zvalue(["a", "b", "c", "d"], 16)
+        with pytest.raises(ValueError, match="BIGINT"):
+            zvalue_sql(["a", "b"], 32)
+
+    def test_zorder_write_clusters_both_columns(self, spark, tmp_path):
+        """Per-file min/max spans must shrink on BOTH columns vs a
+        single-column sort (which only tightens its own column) —
+        that's the data-skipping property the layout exists for."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.operators.zorder import zorder_write
+
+        df = (
+            spark.range(4096)
+            .selectExpr("id", "cast(id % 64 as long) AS x")
+            .withColumn("y", (F.col("id") * 2654435761) % 64)
+        )
+
+        def spans(path):
+            tot_x = tot_y = n = 0
+            for f in glob.glob(f"{path}/part-*.parquet"):
+                pdf = spark.read.parquet(f).agg(
+                    F.max("x") - F.min("x"), F.max("y") - F.min("y")
+                ).collect()[0]
+                tot_x, tot_y, n = tot_x + pdf[0], tot_y + pdf[1], n + 1
+            return tot_x / n, tot_y / n
+
+        zorder_write(df, str(tmp_path / "z"), ["x", "y"], bits=6, num_files=16)
+        (
+            df.repartitionByRange(16, "x")
+            .sortWithinPartitions("x")
+            .write.parquet(str(tmp_path / "s"))
+        )
+        zx, zy = spans(str(tmp_path / "z"))
+        sx, sy = spans(str(tmp_path / "s"))
+        # x-sort: x span tiny, y span ~full range (63); z-order: both mid
+        assert zy < sy * 0.5, (zy, sy)
+        assert zx < 40, zx
+        # round-trip: no rows lost by the layout
+        assert spark.read.parquet(str(tmp_path / "z")).count() == 4096
+
+
+class TestRedactPii:
+    def test_planted_pii(self, spark):
+        from spark_bi5_datasource_spark.functions.text import redact_pii
+
+        rows = [
+            (1, "mail me at john.doe+x@spam.example.org today"),
+            (2, "server 10.0.255.3 rebooted"),
+            (3, "call 555-867-5309 or 555 8675 3099"),
+            (4, "clean text with version 1.2 and year 2026"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r.id: r.red for r in df.select("id", redact_pii("text").alias("red")).collect()}
+        assert got[1] == "mail me at <EMAIL> today"
+        assert got[2] == "server <IP> rebooted"
+        assert got[3] == "call <PHONE> or <PHONE>"
+        assert got[4] == rows[3][1]  # no false positives on versions/years
