@@ -6,12 +6,15 @@ from .events import (
     stream_stream_join,
     windowed_counts,
 )
+from .upsert_sink import latest_per_key, stream_upsert_writer
 
 __all__ = [
     "dedup_within_watermark",
+    "latest_per_key",
     "running_stats",
     "session_windows",
     "sliding_value_sums",
     "stream_stream_join",
+    "stream_upsert_writer",
     "windowed_counts",
 ]

@@ -368,3 +368,78 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     for v in (10.0, 20.0, 40.0, 60.0, 80.0):
         expect = v if expect is None else 0.2 * v + 0.8 * expect
     assert abs(r3.ewma - expect) < 1e-9
+
+
+class TestStreamUpsertSink:
+    """foreachBatch CDC-apply: change stream → materialized parquet
+    target with latest-wins upsert semantics."""
+
+    @staticmethod
+    def _chunk(spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, ver long, payload string"
+        )
+
+    def _run(self, spark, src_dir, target, ckpt):
+        from spark_bi5_datasource_spark.streaming.upsert_sink import (
+            stream_upsert_writer,
+        )
+
+        stream = (
+            spark.readStream.schema("k long, ver long, payload string")
+            .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+            .parquet(src_dir)
+        )
+        q = (
+            stream_upsert_writer(stream, target, ["k"], "ver", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_two_batches_latest_wins(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        # chunk 0: initial keys, with an in-batch duplicate for k=2
+        self._chunk(
+            spark, [(1, 1, "a1"), (2, 1, "b1"), (2, 2, "b2"), (3, 1, "c1")]
+        ).coalesce(1).write.parquet(src + "/c0")
+        # chunk 1: update k=1, stale version for k=2 (must NOT regress),
+        # brand-new k=4
+        self._chunk(
+            spark, [(1, 5, "a5"), (2, 1, "b-stale"), (4, 1, "d1")]
+        ).coalesce(1).write.parquet(src + "/c1")
+        # file stream over the chunk files
+        import glob
+        import shutil
+
+        flat = str(tmp_path / "flat")
+        os.makedirs(flat)
+        for i, f in enumerate(
+            sorted(glob.glob(src + "/c*/part-*.parquet"))
+        ):
+            shutil.copy(f, f"{flat}/{i:03d}.parquet")
+
+        target = str(tmp_path / "tgt")
+        self._run(spark, flat, target, str(tmp_path / "ck"))
+
+        got = {
+            r.k: (r.ver, r.payload)
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got == {
+            1: (5, "a5"),
+            2: (2, "b2"),  # in-batch collapse kept v2; stale v1 rejected
+            3: (1, "c1"),
+            4: (1, "d1"),
+        }
+        # replay with a FRESH checkpoint AND no marker (simulated
+        # crash before the marker write): every batch re-merges against
+        # the already-updated target — idempotent convergence, no
+        # duplicates, no version regressions
+        os.remove(f"{target}/_applied_batch")
+        self._run(spark, flat, target, str(tmp_path / "ck2"))
+        again = {
+            r.k: (r.ver, r.payload)
+            for r in spark.read.parquet(target).collect()
+        }
+        assert again == got
