@@ -1112,6 +1112,131 @@ def emb_standardize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort,
+      CAST(date_diff('day', f.cohort, date_trunc('day', e.ts)) AS INT)
+        AS day_offset,
+      CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen date,
+    activity counted per (cohort, day-offset).
+
+    Two shuffles total — the first-seen agg on user_id and the final
+    (cohort, offset) agg; the user→cohort map joins back on the same
+    user_id hash partitioning (no third exchange under AQE)."""
+    ev = t(spark, sf, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort", F.datediff("d", "cohort").cast("int").alias("day_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@_q(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase
+    """,
+)
+def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase: a user advances
+    a stage only with a LATER event of the next type (time-ordered,
+    not mere presence).
+
+    Each stage is one agg + one equi-join against the (user-sized)
+    previous stage; no window over raw events, no self-join explosion
+    — the funnel cost is 3 linear passes however wide the event log."""
+    ev = t(spark, sf, "events").select("user_id", "event_type", "ts")
+
+    def stage(prev: DataFrame, etype: str, tcol: str, prev_t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = stage(v, "click", "t1", "t0")
+    p = stage(c, "purchase", "t2", "t1")
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+
+
+@_q(
+    "scd2_customer_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+      o_orderdate AS valid_from,
+      lead(o_orderdate) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ) AS valid_to,
+      CAST(CASE WHEN lead(o_orderdate) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ) IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM orders
+    """,
+)
+def scd2_customer_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 build (operators/scd.py): each customer's order
+    history becomes versioned rows with [valid_from, valid_to)
+    intervals and a current flag — one window pass, no self-join."""
+    from ..operators.scd import scd2_build
+
+    orders = t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    return scd2_build(
+        orders, ["o_custkey"], "o_orderdate", tiebreak=["o_orderkey"]
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("valid_from"),
+        F.col("valid_to"),
+        "is_current",
+    )
+
+
 # The four entries below have no SQL oracle by nature (engine-specific
 # sketch values; approximate top-k whose recall is measured against
 # sim_cosine_topk in tests/test_operators.py) — parked at the very end

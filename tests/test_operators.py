@@ -861,3 +861,37 @@ class TestRedactPii:
         assert got[2] == "server <IP> rebooted"
         assert got[3] == "call <PHONE> or <PHONE>"
         assert got[4] == rows[3][1]  # no false positives on versions/years
+
+
+class TestScd2Build:
+    def test_intervals_chain_per_key(self, spark):
+        from spark_bi5_datasource_spark.operators.scd import scd2_build
+
+        df = spark.createDataFrame(
+            [
+                (1, 10, "v1"), (1, 20, "v2"), (1, 30, "v3"),
+                (2, 15, "w1"),
+                (3, 5, "x1"), (3, 5, "x2"),  # same version ts → tiebreak
+            ],
+            "k long, ver long, payload string",
+        )
+        rows = scd2_build(df, ["k"], "ver", tiebreak=["payload"]).collect()
+        by_key = {}
+        for r in sorted(rows, key=lambda r: (r.k, r.valid_from, r.payload)):
+            by_key.setdefault(r.k, []).append(
+                (r.valid_from, r.valid_to, r.is_current, r.payload)
+            )
+        assert by_key[1] == [(10, 20, 0, "v1"), (20, 30, 0, "v2"), (30, None, 1, "v3")]
+        assert by_key[2] == [(15, None, 1, "w1")]
+        # deterministic tiebreak: x1 precedes x2, intervals still chain
+        assert by_key[3] == [(5, 5, 0, "x1"), (5, None, 1, "x2")]
+        # exactly one current row per key
+        assert sum(r.is_current for r in rows) == 3
+
+    def test_requires_keys(self, spark):
+        import pytest
+
+        from spark_bi5_datasource_spark.operators.scd import scd2_build
+
+        with pytest.raises(ValueError, match="at least one key"):
+            scd2_build(spark.range(1), [], "id")
