@@ -14,7 +14,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ohlc_bars", "vwap"]
+__all__ = ["ohlc_bars", "merge_ohlc_bars", "vwap"]
 
 
 def ohlc_bars(
@@ -44,6 +44,38 @@ def ohlc_bars(
         aggs.append(F.sum(volume_col).alias("volume"))
     aggs.extend(extra_aggs)
     out = df.groupBy(F.window(ts_col, duration).alias("w"), *by).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("bar_start"),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
+def merge_ohlc_bars(
+    bars: DataFrame,
+    duration: str,
+    ts_col: str = "bar_start",
+    by: Sequence[str] = ("ticker",),
+    sum_cols: Sequence[str] = ("n_ticks", "volume"),
+) -> DataFrame:
+    """Re-aggregate finer OHLC bars into coarser ones WITHOUT touching
+    the raw ticks — the continuous-aggregate / hypertable-rollup shape:
+    materialize hourly partials once, derive daily/weekly/monthly bars
+    from them forever.
+
+    Lossless because every OHLC component is re-aggregable from
+    partials: open = open of the earliest sub-bar (min_by on the bar
+    timestamp), close = close of the latest, high/low = max/min, and
+    counts/sums add.  At 100 TB this is the difference between
+    re-scanning the tick archive per resolution and scanning the
+    (≈3600× smaller) hourly partial table."""
+    aggs = [
+        F.min_by("open", ts_col).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", ts_col).alias("close"),
+        *[F.sum(c).alias(c) for c in sum_cols if c in bars.columns],
+    ]
+    out = bars.groupBy(F.window(ts_col, duration).alias("w"), *by).agg(*aggs)
     return out.select(
         F.col("w.start").alias("bar_start"),
         *[c for c in out.columns if c != "w"],

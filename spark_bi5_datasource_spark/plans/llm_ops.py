@@ -1131,15 +1131,16 @@ def events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention triangle: users bucketed by first-seen date,
     activity counted per (cohort, day-offset).
 
-    Two shuffles total — the first-seen agg on user_id and the final
-    (cohort, offset) agg; the user→cohort map joins back on the same
-    user_id hash partitioning (no third exchange under AQE)."""
+    One scan, two shuffles: the first-seen date attaches as a window
+    min over user_id (no groupBy+self-join — the naive formulation
+    scans the log twice and pays 4 exchanges), then the (cohort,
+    offset) distinct-count agg."""
     ev = t(spark, sf, "events").select(
         "user_id", F.date_trunc("day", "ts").alias("d")
     )
-    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    cohort = F.min("d").over(Window.partitionBy("user_id"))
     return (
-        ev.join(first, "user_id")
+        ev.withColumn("cohort", cohort)
         .groupBy(
             "cohort", F.datediff("d", "cohort").cast("int").alias("day_offset")
         )
@@ -1234,6 +1235,54 @@ def scd2_customer_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.col("valid_from"),
         F.col("valid_to"),
         "is_current",
+    )
+
+
+@_q(
+    "events_ohlc_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_start, event_type,
+      arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+      arg_max(value, ts) AS close, count(*) AS n_ticks,
+      (CAST(SUM(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+        AS value_sum
+    FROM events GROUP BY bar_start, event_type
+    """,
+)
+def events_ohlc_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style two-level rollup: hourly OHLC partials merged
+    into daily bars (functions/ohlc.py merge_ohlc_bars) — the oracle
+    computes daily bars directly from the raw events, so the gate
+    proves the partial-merge is LOSSLESS.  Value sums ride through the
+    partials as exact integer cents (associative regardless of the
+    grouping boundary)."""
+    from ..functions.ohlc import merge_ohlc_bars, ohlc_bars
+
+    e = t(spark, sf, "events")
+    hourly = ohlc_bars(
+        e,
+        "1 hour",
+        ts_col="ts",
+        price_col="value",
+        volume_col=None,
+        by=("event_type",),
+        extra_aggs=[
+            F.sum(F.expr("cast(value * 100 + if(value < 0, -0.5, 0.5) as bigint)"))
+            .alias("cents")
+        ],
+    )
+    daily = merge_ohlc_bars(
+        hourly, "1 day", by=("event_type",), sum_cols=("n_ticks", "cents")
+    )
+    return daily.select(
+        "bar_start",
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+        (F.col("cents").cast("double") / 100.0).alias("value_sum"),
     )
 
 

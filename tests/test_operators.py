@@ -895,3 +895,36 @@ class TestScd2Build:
 
         with pytest.raises(ValueError, match="at least one key"):
             scd2_build(spark.range(1), [], "id")
+
+
+class TestOhlcRollup:
+    def test_merge_equals_direct_at_any_granularity(self, spark):
+        """minute→hour→day merges must equal day bars computed directly
+        from ticks (losslessness at every level)."""
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.functions.ohlc import (
+            merge_ohlc_bars,
+            ohlc_bars,
+        )
+
+        rows = [
+            (f"2024-01-0{1 + i // 1000} {(i // 60) % 18:02d}:{i % 60:02d}:{(i * 7) % 60:02d}",
+             "T", 100.0 + ((i * 37) % 500) / 10.0, float(i % 5))
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(
+            rows, "ts_s string, ticker string, bid double, bid_volume double"
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"), "ticker", "bid", "bid_volume")
+
+        direct = {
+            (r.bar_start, r.ticker): (r.open, r.high, r.low, r.close, r.n_ticks, r.volume)
+            for r in ohlc_bars(df, "1 day").collect()
+        }
+        minute = ohlc_bars(df, "1 minute")
+        via_hour = merge_ohlc_bars(merge_ohlc_bars(minute, "1 hour"), "1 day")
+        merged = {
+            (r.bar_start, r.ticker): (r.open, r.high, r.low, r.close, r.n_ticks, r.volume)
+            for r in via_hour.collect()
+        }
+        assert merged == direct and len(direct) >= 2
