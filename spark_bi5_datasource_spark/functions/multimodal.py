@@ -275,7 +275,10 @@ def resample_audio(payload: bytes, target_rate: int) -> bytes:
     n, ch = x.shape
     out_n = max(1, round(n * target_rate / rate)) if n else 0
     y = x[_nn_index(out_n, n)] if n else x
-    pcm = np.clip(np.round(y * 32767.0), -32768, 32767).astype("<i2")
+    # encode with the same 1/32768 scale the decoder uses (clipped at
+    # +32767): an identity resample is then bit-lossless for every
+    # int16 sample, instead of losing 1 LSB to a 32767/32768 mismatch
+    pcm = np.clip(np.round(y * 32768.0), -32768, 32767).astype("<i2")
     body = pcm.tobytes()
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",

@@ -155,3 +155,74 @@ def test_arrow_writer_inverts_codec(tmp_path_factory, recs, digits, hour):
     )
     want = sorted((r[0], r[1], r[2]) for r in recs)
     assert got == want
+
+
+# ---------------------------------------------------------------- WAV kernels
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
+    st.sampled_from([1, 2, 4]),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_decode_roundtrip_property(samples, ch, rate):
+    """Any PCM sample block re-encoded by resample_audio at the same
+    rate decodes to the same frame count, channel count, and (for the
+    16-bit identity path) the same sample values."""
+    import struct
+
+    import numpy as np
+
+    from spark_bi5_datasource_spark.functions.multimodal import (
+        _audio_samples,
+        decode_audio,
+        resample_audio,
+    )
+
+    n = len(samples) - len(samples) % ch
+    body = np.array(samples[:n], "<i2").tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    frames = n // ch
+    assert decode_audio(wav) == (ch, rate, frames)
+    if frames:
+        out = resample_audio(wav, rate)
+        assert decode_audio(out) == (ch, rate, frames)
+        a, _ = _audio_samples(wav)
+        b, _ = _audio_samples(out)
+        # identity resample: sample-and-hold picks every source frame
+        # and the matched 1/32768 encode scale makes it bit-lossless
+        assert np.array_equal(a, b)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=200,
+        unique=True,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_zvalue_bijective_and_bounded_property(pairs):
+    """The Morton interleave is a bijection on (16-bit, 16-bit) pairs
+    into [0, 2^32): distinct inputs → distinct z-values, and the
+    pure-Python reference agrees with the plan-builder's bit moves."""
+    from spark_bi5_datasource_spark.operators.zorder import _interleave_plan
+
+    plan = _interleave_plan(2, 16)
+
+    def z(x, y):
+        out = 0
+        for v, moves in zip((x, y), plan):
+            for src, dst in moves:
+                out |= ((v >> src) & 1) << dst
+        return out
+
+    zs = [z(x, y) for x, y in pairs]
+    assert len(set(zs)) == len(pairs)
+    assert all(0 <= v < 1 << 32 for v in zs)

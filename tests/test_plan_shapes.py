@@ -119,3 +119,41 @@ def test_bi5_isin_pushdown_prunes(spark, bi5_tree):
     )
     assert df.rdd.getNumPartitions() <= 2
     assert df.count() == 2
+
+
+def test_round3_ops_no_python_no_cartesian(spark):
+    """The round-3 relational/pipeline ops are pure Catalyst: no
+    Python eval nodes, no cartesian blowups."""
+    for name in [
+        "sample_stratified", "text_decontaminate", "text_tfidf_topterms",
+        "events_value_histogram", "text_redact_pii", "zorder_values",
+        "merge_upsert_orders", "emb_standardize", "events_cohort_retention",
+        "events_funnel", "scd2_customer_orders", "events_ohlc_rollup",
+    ]:
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # the eval-set membership probe must be a broadcast join — a
+    # shuffled corpus for a membership test is the classic scale bug
+    p = plan_of(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in p
+
+
+def test_upsert_is_broadcast_anti(spark):
+    p = plan_of(spark, "merge_upsert_orders")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_cohort_single_scan_two_exchanges(spark):
+    p = plan_of(spark, "events_cohort_retention")
+    assert p.count("Exchange hashpartitioning") <= 3  # window + 2-phase distinct agg
+    assert p.count("FileScan") <= 1
+
+
+def test_ohlc_rollup_two_hash_aggs_no_window(spark):
+    p = plan_of(spark, "events_ohlc_rollup")
+    assert "Window" not in p  # partial-merge is aggs, not event windows
+    assert p.count("Exchange") == 2
