@@ -1286,6 +1286,119 @@ def events_ohlc_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "sample_quality_weighted",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, {_QUALITY_SQL} AS quality, {_FP_SQL} AS fp
+      FROM documents
+    )
+    SELECT doc_id, lang, quality FROM q
+    WHERE fp % 10000 < quality * 6000.0
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep probability
+    proportional to the quality score, decided by the content
+    fingerprint (no RNG, no sampler state) — the re-weighting pass
+    that up-samples high-quality documents in pre-training mixes.
+    Pure per-row map; exact duplicates sample identically, so it
+    commutes with dedup like sample_stratified."""
+    from ..functions.text import doc_fingerprint, quality_score
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.array(quality_score("text")),
+                F.array(doc_fingerprint("text")),
+            )
+        ).alias("__qf"),
+    ).select(
+        "doc_id", "lang",
+        F.col("__qf")["0"].alias("quality"),
+        F.col("__qf")["1"].alias("__fp"),
+    )
+    return docs.filter(
+        F.col("__fp") % 10000 < F.col("quality") * 6000.0
+    ).select("doc_id", "lang", "quality")
+
+
+@_q(
+    "events_decile_stats",
+    """
+    WITH b AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT CAST(decile AS INT) AS decile,
+      CAST(count(*) AS BIGINT) AS n,
+      min(value) AS lo, max(value) AS hi
+    FROM b GROUP BY decile
+    """,
+)
+def events_decile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency binning: exact deciles via ntile with a
+    deterministic tie-break, then per-bin stats.
+
+    This is the EXACT tier (one range-partitioned global sort — the
+    same cost class as any total order); the approximate scale tier
+    is approx_percentile bin edges + a map-side bucket join
+    (agg_approx_sketches demonstrates the sketch)."""
+    ev = t(spark, sf, "events")
+    b = ev.select(
+        "value",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("value"), F.col("event_id")))
+        .alias("decile"),
+    )
+    return b.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+@_q(
+    "events_gap_report",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS next_ts
+      FROM events
+    )
+    SELECT user_id, ts AS gap_start, next_ts AS gap_end,
+      CAST((epoch_us(next_ts) - epoch_us(ts)) // 60000000 AS BIGINT)
+        AS gap_minutes
+    FROM g
+    WHERE epoch_us(next_ts) - epoch_us(ts) > 3600000000
+    """,
+)
+def events_gap_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality gap detection: per-user silences longer than an
+    hour, with exact integer-microsecond arithmetic.  One window pass
+    (single exchange on user_id) — the completeness audit every
+    ingestion pipeline runs before trusting a feed."""
+    ev = t(spark, sf, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    g = ev.withColumn("next_ts", F.lead("ts").over(w))
+    return g.filter(
+        us("next_ts") - us("ts") > 3_600_000_000
+    ).select(
+        "user_id",
+        F.col("ts").alias("gap_start"),
+        F.col("next_ts").alias("gap_end"),
+        # integer `div`, not `/` + cast: float division then CAST
+        # rounds in DuckDB but truncates in Spark — `//`/`div` agree
+        F.expr("(unix_micros(next_ts) - unix_micros(ts)) div 60000000")
+        .cast("bigint")
+        .alias("gap_minutes"),
+    )
+
+
 # The four entries below have no SQL oracle by nature (engine-specific
 # sketch values; approximate top-k whose recall is measured against
 # sim_cosine_topk in tests/test_operators.py) — parked at the very end
