@@ -129,6 +129,7 @@ def test_round3_ops_no_python_no_cartesian(spark):
         "events_value_histogram", "text_redact_pii", "zorder_values",
         "merge_upsert_orders", "emb_standardize", "events_cohort_retention",
         "events_funnel", "scd2_customer_orders", "events_ohlc_rollup",
+        "sample_quality_weighted", "events_decile_stats", "events_gap_report",
     ]:
         p = plan_of(spark, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
