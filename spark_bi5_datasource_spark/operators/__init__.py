@@ -12,9 +12,12 @@ from .dedup import (
     with_shingles,
 )
 from .ivf import ivf_topk, kmeans_centroids
+from .scd import scd2_build
 from .similarity import cosine_pairs, cosine_topk, rp_lsh_topk, rp_signature
 from .skew import salted_join
 from .topk import top_k, top_k_per_group
+from .upsert import merge_upsert
+from .zorder import zorder_write, zvalue, zvalue_sql
 
 __all__ = [
     "ann_topk_gemm",
@@ -26,6 +29,7 @@ __all__ = [
     "exact_dedup",
     "ivf_topk",
     "kmeans_centroids",
+    "merge_upsert",
     "minhash_dedup",
     "minhash_lsh_pairs",
     "minhash_signatures",
@@ -33,9 +37,13 @@ __all__ = [
     "rp_lsh_topk",
     "rp_signature",
     "salted_join",
+    "scd2_build",
     "simhash",
     "simhash_pairs",
     "top_k",
     "top_k_per_group",
     "with_shingles",
+    "zorder_write",
+    "zvalue",
+    "zvalue_sql",
 ]

@@ -1399,6 +1399,42 @@ def events_gap_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# (relational coverage, registered here to keep the 50-entry driver
+# window's membership frozen — RELATIONAL registers before LLM_OPS)
+@_q(
+    "window_dist_kinds",
+    """
+    SELECT o_custkey, o_orderkey,
+      round(cume_dist() OVER w, 6) AS cd,
+      nth_value(o_orderkey, 2) OVER (
+        w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+      first_value(o_orderkey) OVER (
+        w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+      last_value(o_orderkey) OVER (
+        w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_dist_kinds(spark: SparkSession, sf: str) -> DataFrame:
+    """The distribution/value window functions the rank suite doesn't
+    cover: cume_dist, nth_value, first_value, last_value — each with
+    an EXPLICIT rows frame (default frames differ subtly between
+    engines; pinning the frame is what makes the oracle exact)."""
+    orders = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(run).alias("second_key"),
+        F.first("o_orderkey").over(run).alias("first_key"),
+        F.last("o_orderkey").over(full).alias("last_key"),
+    )
+
+
 # The four entries below have no SQL oracle by nature (engine-specific
 # sketch values; approximate top-k whose recall is measured against
 # sim_cosine_topk in tests/test_operators.py) — parked at the very end
