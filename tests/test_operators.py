@@ -928,3 +928,27 @@ class TestOhlcRollup:
             for r in via_hour.collect()
         }
         assert merged == direct and len(direct) >= 2
+
+
+class TestRound3NullEdges:
+    def test_redact_null_passthrough(self, spark):
+        from spark_bi5_datasource_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame([(1, None), (2, "a@b.co")], "id long, text string")
+        got = {r.id: r.red for r in df.select("id", redact_pii("text").alias("red")).collect()}
+        assert got[1] is None and got[2] == "<EMAIL>"
+
+    def test_zvalue_null_propagates(self, spark):
+        from spark_bi5_datasource_spark.operators.zorder import zvalue
+
+        df = spark.createDataFrame([(None, 1), (2, 3)], "x long, y long")
+        got = [r.z for r in df.select(zvalue(["x", "y"], 8).alias("z")).collect()]
+        assert got[0] is None and got[1] is not None
+
+    def test_merge_upsert_null_values_survive(self, spark):
+        from spark_bi5_datasource_spark.operators.upsert import merge_upsert
+
+        tgt = spark.createDataFrame([(1, "a")], "k long, v string")
+        src = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+        got = {r.k: r.v for r in merge_upsert(tgt, src, ["k"]).collect()}
+        assert got == {1: None, 2: None}
