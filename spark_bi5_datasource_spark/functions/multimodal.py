@@ -2,13 +2,15 @@
 columns with typed metadata, processed via Arrow-batched
 ``mapInPandas`` (north-star operator, SURVEY §2 Tier C).
 
-Decode/resize kernels are REAL for headered uncompressed formats that
-need no codec library — PPM (P6), PGM (P5), uncompressed 24-bit BMP,
-and 8/16-bit PCM WAV — implemented with pure NumPy (header parse +
-nearest-neighbor resampling).  Compressed formats (PNG/JPEG/MP3/video)
-still raise ``NotImplementedError`` (no imaging/codec libraries in
-this environment); the deterministic fake kernels remain available
-for exercising the Arrow plumbing independent of payload format.
+Decode/resize/frame-sample kernels are REAL for headered uncompressed
+formats that need no codec library — images PPM (P6) / PGM (P5) /
+24-bit BMP, audio 8/16-bit PCM WAV, video AVI with uncompressed DIB
+frames — implemented with pure NumPy/struct (header parse, chunk
+walk, nearest-neighbor resampling).  Compressed formats (PNG/JPEG/
+MP3/MJPEG/H.264) raise ``NotImplementedError`` (no imaging/codec
+libraries in this environment); the deterministic fake kernels remain
+available for exercising the Arrow plumbing independent of payload
+format.
 """
 
 from __future__ import annotations
@@ -290,10 +292,81 @@ def resample_audio(payload: bytes, target_rate: int) -> bytes:
     return hdr + body
 
 
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_len) over a RIFF chunk run;
+    descends are the caller's choice (LIST bodies start with a
+    4-byte subtype)."""
+    pos = start
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        yield cid, body, min(size, end - body)
+        pos = body + size + (size & 1)
+
+
+def _avi_frames(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse an AVI (RIFF) container holding UNCOMPRESSED DIB video:
+    returns (width, height, [raw bottom-up BGR frame rasters]).
+    Compressed streams ('..dc' chunks / non-zero biCompression) raise
+    ``NotImplementedError`` — those need a real codec."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    dims: tuple[int, int] | None = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal dims
+        for cid, body, blen in _riff_chunks(data, start, end):
+            if cid == b"LIST":
+                walk(body + 4, body + blen)  # skip the subtype fourcc
+            elif cid == b"strf" and dims is None and blen >= 40:
+                w, h = struct.unpack_from("<ii", data, body + 4)
+                bpp, = struct.unpack_from("<H", data, body + 14)
+                compression, = struct.unpack_from("<I", data, body + 16)
+                if compression != 0 or bpp != 24:
+                    raise NotImplementedError(
+                        f"only uncompressed 24-bit DIB video is supported "
+                        f"without a codec (bpp={bpp}, compression={compression})"
+                    )
+                dims = (w, abs(h))
+            elif cid[2:] == b"dc":
+                raise NotImplementedError(
+                    "compressed video frames need a codec library"
+                )
+            elif cid[2:] == b"db":  # uncompressed DIB frame
+                frames.append(data[body : body + blen])
+
+    walk(12, len(data))
+    if dims is None:
+        raise ValueError("AVI payload missing strf header")
+    return dims[0], dims[1], frames
+
+
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
-    """Sample frames from a video payload.  STUB (no codec library);
-    the Spark-side plumbing is ``sample_media_frames``."""
-    raise NotImplementedError("frame sampling requires a video codec library")
+    """Sample every ``every_n``-th frame from a video payload,
+    returned as standalone BMP images (consumable by ``decode_image``
+    / ``resize_image``).
+
+    REAL (codec-free) for AVI containers with uncompressed 24-bit DIB
+    streams — the frame raster IS a BMP body (bottom-up, 4-byte row
+    stride), so each sampled frame just gains a 54-byte BMP header.
+    Compressed formats (MJPEG/H.264/...) raise ``NotImplementedError``."""
+    data = bytes(payload)
+    w, h, frames = _avi_frames(data)
+    stride = (w * 3 + 3) // 4 * 4
+    out = []
+    for raw in frames[:: max(1, every_n)]:
+        if len(raw) < stride * h:
+            continue  # dirty/truncated frame: skip, like the bi5 scan
+        body = raw[: stride * h]
+        header = struct.pack(
+            "<2sIHHI" + "IiiHHIIiiII",
+            b"BM", 54 + len(body), 0, 0, 54,
+            40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+        )
+        out.append(header + body)
+    return out
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int]:
@@ -446,10 +519,11 @@ def sample_media_frames(media: DataFrame, every_n: int = 10, fake_decode: bool =
                     all_frames = [
                         payload[i : i + FRAME]
                         for i in range(0, max(len(payload), 1), FRAME)
-                    ]
+                    ][::every_n]
                 else:
+                    # the real kernel samples internally
                     all_frames = sample_frames(payload, every_n)
-                for no, fr in enumerate(all_frames[::every_n]):
+                for no, fr in enumerate(all_frames):
                     ids.append(mid)
                     nos.append(no)
                     frames.append(fr)
