@@ -4,6 +4,7 @@ from .events import (
     session_windows,
     sliding_value_sums,
     stream_stream_join,
+    streaming_ohlc,
     windowed_counts,
 )
 from .upsert_sink import latest_per_key, stream_upsert_writer
@@ -16,5 +17,6 @@ __all__ = [
     "sliding_value_sums",
     "stream_stream_join",
     "stream_upsert_writer",
+    "streaming_ohlc",
     "windowed_counts",
 ]

@@ -92,6 +92,31 @@ def session_windows(
     )
 
 
+def streaming_ohlc(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    by=("event_type",),
+) -> DataFrame:
+    """Continuously-maintained OHLC partial bars — the streaming head
+    of the continuous-aggregate pipeline: this keeps an hourly partial
+    table fresh, and ``functions.ohlc.merge_ohlc_bars`` derives any
+    coarser resolution from the partials without touching raw events
+    (losslessness proven by the events_ohlc_rollup oracle)."""
+    from ..functions.ohlc import ohlc_bars
+
+    return ohlc_bars(
+        events.withWatermark(ts_col, watermark),
+        duration,
+        ts_col=ts_col,
+        price_col=price_col,
+        volume_col=None,
+        by=by,
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -443,3 +443,51 @@ class TestStreamUpsertSink:
             for r in spark.read.parquet(target).collect()
         }
         assert again == got
+
+
+class TestContinuousAggregate:
+    def test_stream_partials_merge_to_batch_daily(self, spark, event_stream_dir, tmp_path):
+        """End-to-end continuous aggregate: streamed hourly OHLC
+        partials == batch hourly bars, and merging the streamed
+        partials yields the same daily bars as aggregating the raw
+        events directly."""
+        from spark_bi5_datasource_spark.functions.ohlc import (
+            merge_ohlc_bars,
+            ohlc_bars,
+        )
+        from spark_bi5_datasource_spark.streaming import streaming_ohlc
+
+        batch = spark.read.parquet(event_stream_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(event_stream_dir)
+        q = (
+            streaming_ohlc(stream, duration="1 hour", watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName("ohlc_partials")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck_ohlc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        partials = spark.sql("SELECT * FROM ohlc_partials")
+
+        key = lambda r: (r.bar_start, r.event_type)  # noqa: E731
+        val = lambda r: (r.open, r.high, r.low, r.close, r.n_ticks)  # noqa: E731
+        batch_hourly = ohlc_bars(
+            batch, "1 hour", ts_col="ts", price_col="value",
+            volume_col=None, by=("event_type",),
+        )
+        assert {key(r): val(r) for r in partials.collect()} == {
+            key(r): val(r) for r in batch_hourly.collect()
+        }
+
+        daily_from_stream = merge_ohlc_bars(
+            partials, "1 day", by=("event_type",), sum_cols=("n_ticks",)
+        )
+        daily_direct = ohlc_bars(
+            batch, "1 day", ts_col="ts", price_col="value",
+            volume_col=None, by=("event_type",),
+        )
+        assert {key(r): val(r) for r in daily_from_stream.collect()} == {
+            key(r): val(r) for r in daily_direct.collect()
+        }
