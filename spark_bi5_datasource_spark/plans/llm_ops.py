@@ -1007,7 +1007,7 @@ def _zorder_sql() -> str:
     """
 
 
-@_q("zorder_values", None)  # SQL attached below (needs the import)
+@_q("zorder_values", None, bench=True)  # SQL attached below (needs the import)
 def zorder_values(spark: SparkSession, sf: str) -> DataFrame:
     """Morton z-values over (user_id, value) — the multi-column
     data-skipping sort key (operators/zorder.py).  The bit-interleave
@@ -1027,7 +1027,7 @@ def zorder_values(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select("event_id", z.alias("zval"))
 
 
-LLM_OPS["zorder_values"] = (zorder_values, _zorder_sql(), False)
+LLM_OPS["zorder_values"] = (zorder_values, _zorder_sql(), True)
 
 
 @_q(
@@ -1248,6 +1248,7 @@ def scd2_customer_orders(spark: SparkSession, sf: str) -> DataFrame:
         AS value_sum
     FROM events GROUP BY bar_start, event_type
     """,
+    bench=True,
 )
 def events_ohlc_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Hypertable-style two-level rollup: hourly OHLC partials merged
