@@ -11,6 +11,7 @@ from .dedup import (
     simhash_pairs,
     with_shingles,
 )
+from .grouped import whiten_per_group
 from .ivf import ivf_topk, kmeans_centroids
 from .scd import scd2_build
 from .similarity import cosine_pairs, cosine_topk, rp_lsh_topk, rp_signature
@@ -42,6 +43,7 @@ __all__ = [
     "simhash_pairs",
     "top_k",
     "top_k_per_group",
+    "whiten_per_group",
     "with_shingles",
     "zorder_write",
     "zvalue",

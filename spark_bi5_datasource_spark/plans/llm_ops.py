@@ -1480,3 +1480,21 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, iters=3)
+
+
+@_q("sim_whiten_labels", None)
+def sim_whiten_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label ZCA whitening via grouped-map applyInPandas
+    (operators/grouped.py) — per-group eigendecomposition has no SQL
+    twin, so the contract is semantic (identity covariance within each
+    group), pinned by TestWhitenPerGroup."""
+    from ..operators.grouped import whiten_per_group
+
+    emb = t(spark, sf, "embeddings")
+    out = whiten_per_group(emb, "label", "embedding", "vec_id")
+    return out.select(
+        "vec_id",
+        "label",
+        F.round(F.element_at("white", 1), 6).alias("w0"),
+        F.round(F.element_at("white", 2), 6).alias("w1"),
+    )

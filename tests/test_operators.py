@@ -1030,3 +1030,46 @@ class TestVideoKernels:
         rows = sample_media_frames(media, every_n=2, fake_decode=False).collect()
         assert [r.frame_no for r in rows] == [0, 1, 2]  # frames 0, 2, 4
         assert all(decode_image(bytes(r.frame)) == (8, 6) for r in rows)
+
+
+class TestWhitenPerGroup:
+    def test_group_covariance_becomes_identity(self, spark):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.operators.grouped import whiten_per_group
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for g in range(3):
+            # anisotropic per-group distribution, n >> d
+            A = rng.standard_normal((8, 8))
+            X = rng.standard_normal((120, 8)) @ A + g * 5.0
+            rows += [
+                (g * 1000 + i, g, [float(x) for x in X[i]]) for i in range(120)
+            ]
+        df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+        out = whiten_per_group(df, "label", "embedding", "vec_id")
+        by_g = {}
+        for r in out.collect():
+            by_g.setdefault(r.label, []).append((r.vec_id, r.white))
+        assert sorted(by_g) == [0, 1, 2]
+        for g, pairs in by_g.items():
+            X = np.stack([w for _, w in sorted(pairs)])
+            assert X.shape == (120, 8)
+            # whitened: zero mean, identity covariance up to the eps
+            # regularization (deviation ~ eps/lambda_min ~ 1e-4)
+            assert np.abs(X.mean(axis=0)).max() < 1e-9
+            C = X.T @ X / 119
+            assert np.abs(C - np.eye(8)).max() < 1e-3
+
+    def test_deterministic(self, spark):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.operators.grouped import whiten_per_group
+
+        rng = np.random.default_rng(5)
+        rows = [(i, i % 2, [float(x) for x in rng.standard_normal(4)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+        a = {r.vec_id: r.white for r in whiten_per_group(df, "label", "embedding", "vec_id").collect()}
+        b = {r.vec_id: r.white for r in whiten_per_group(df, "label", "embedding", "vec_id").collect()}
+        assert a == b
