@@ -13,6 +13,7 @@ from .dedup import (
 )
 from .grouped import whiten_per_group
 from .ivf import ivf_topk, kmeans_centroids
+from .ranking import ntile_expr, with_global_rank
 from .scd import scd2_build
 from .similarity import cosine_pairs, cosine_topk, rp_lsh_topk, rp_signature
 from .skew import salted_join
@@ -35,6 +36,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "ntile_expr",
     "rp_lsh_topk",
     "rp_signature",
     "salted_join",
@@ -44,6 +46,7 @@ __all__ = [
     "top_k",
     "top_k_per_group",
     "whiten_per_group",
+    "with_global_rank",
     "with_shingles",
     "zorder_write",
     "zvalue",

@@ -1340,20 +1340,22 @@ def sample_quality_weighted(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def events_decile_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Equal-frequency binning: exact deciles via ntile with a
-    deterministic tie-break, then per-bin stats.
+    """Equal-frequency binning: exact deciles, computed PARALLEL.
 
-    This is the EXACT tier (one range-partitioned global sort — the
-    same cost class as any total order); the approximate scale tier
-    is approx_percentile bin edges + a map-side bucket join
+    ``ntile() OVER (ORDER BY ...)`` would plan an Exchange
+    SinglePartition — every row through one task.  Instead
+    ``operators/ranking.py`` range-partitions on the sort key, ranks
+    within each sorted partition (parallel windows), adds bounded
+    driver-side offsets, and reproduces NTILE's bucket rule from the
+    global rank — identical numbers (same DuckDB ntile oracle), no
+    serial stage.  The approximate tier is approx_percentile edges
     (agg_approx_sketches demonstrates the sketch)."""
-    ev = t(spark, sf, "events")
-    b = ev.select(
-        "value",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("value"), F.col("event_id")))
-        .alias("decile"),
-    )
+    from ..operators.ranking import ntile_expr, with_global_rank
+
+    ev = t(spark, sf, "events").select("value", "event_id")
+    n = ev.count()
+    ranked = with_global_rank(ev, ["value", "event_id"], rank_col="__r")
+    b = ranked.withColumn("decile", ntile_expr("__r", n, 10))
     return b.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.count("*").alias("n"),
         F.min("value").alias("lo"),

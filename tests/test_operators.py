@@ -1073,3 +1073,57 @@ class TestWhitenPerGroup:
         a = {r.vec_id: r.white for r in whiten_per_group(df, "label", "embedding", "vec_id").collect()}
         b = {r.vec_id: r.white for r in whiten_per_group(df, "label", "embedding", "vec_id").collect()}
         assert a == b
+
+
+class TestGlobalRank:
+    def test_matches_single_partition_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.operators.ranking import with_global_rank
+
+        df = spark.range(997).selectExpr(
+            "cast(id * 2654435761 % 1000 as double) AS v", "id"
+        )
+        got = {
+            r.id: r.rank
+            for r in with_global_rank(df, ["v", "id"], num_partitions=7).collect()
+        }
+        expect = {
+            r.id: r.rn
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == expect
+
+    def test_ntile_expr_matches_sql_ntile(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.operators.ranking import ntile_expr
+
+        for n, k in [(100, 10), (103, 10), (7, 10), (96, 7)]:
+            df = spark.range(1, n + 1).withColumnRenamed("id", "r")
+            got = {
+                row.r: row.b
+                for row in df.select("r", ntile_expr("r", n, k).alias("b")).collect()
+            }
+            expect = {
+                row.r: row.b
+                for row in spark.range(1, n + 1)
+                .select(
+                    F.col("id").alias("r"),
+                    F.ntile(k).over(Window.orderBy("id")).alias("b"),
+                )
+                .collect()
+            }
+            assert got == expect, (n, k)
+
+    def test_decile_plan_has_no_single_partition_exchange(self, spark):
+        from spark_bi5_datasource_spark import plans
+        from tests.conftest import TESTDATA_SF
+
+        df = plans.CATALOG["events_decile_stats"][0](spark, TESTDATA_SF)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in p
