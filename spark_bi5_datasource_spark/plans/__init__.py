@@ -24,6 +24,11 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]):
         from .. import ship_package
 
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # fixture parquet may carry NTZ-flavored timestamps (no
+        # isAdjustedToUTC); read them as TIMESTAMP so time arithmetic
+        # (unix_micros etc.) resolves and values agree with the
+        # timezone-naive DuckDB oracle under the UTC session
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         ship_package(spark)  # mapInPandas/UDF closures need the package on workers
         return fn(spark, sf_dir)
 

@@ -22,6 +22,7 @@ def spark():
         SparkSession.builder.master("local[4]")
         .appName("spark-bi5-tests")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
