@@ -18,7 +18,16 @@ CATALOG: dict[str, tuple] = {**RELATIONAL, **LLM_OPS}
 def _utc(fn: Callable[[SparkSession, str], DataFrame]):
     """Pin the session timezone for catalog queries: timestamp values
     must agree with the (timezone-naive) DuckDB oracle regardless of
-    the caller's session defaults."""
+    the caller's session defaults.
+
+    Session-mutation contract: the UTC ``timeZone`` conf is left set
+    on the caller's session — timestamp expressions resolve their
+    zone during analysis, but the query is *executed* later (by the
+    driver / bench harness), so the conf must still read UTC then.
+    The parquet ``inferTimestampNTZ`` toggle, by contrast, only
+    matters while ``fn`` builds the DataFrame (parquet schema
+    inference is eager at ``spark.read`` time), so it is restored
+    before returning."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .. import ship_package
@@ -28,9 +37,17 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]):
         # isAdjustedToUTC); read them as TIMESTAMP so time arithmetic
         # (unix_micros etc.) resolves and values agree with the
         # timezone-naive DuckDB oracle under the UTC session
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        ntz_conf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+        prior = spark.conf.get(ntz_conf, None)
+        spark.conf.set(ntz_conf, "false")
         ship_package(spark)  # mapInPandas/UDF closures need the package on workers
-        return fn(spark, sf_dir)
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            if prior is None:
+                spark.conf.unset(ntz_conf)
+            else:
+                spark.conf.set(ntz_conf, prior)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
     wrapped.__doc__ = fn.__doc__
