@@ -42,6 +42,7 @@ def build_spark():
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -53,9 +54,13 @@ def run_noop(df) -> None:
 
 
 def timed(df, runs: int = 2) -> float:
-    """Min of N runs — steady-state plan time, not first-run JIT/
-    footer-cache warmup (query results are deterministic; warm runs
-    are what a resident cluster observes)."""
+    """One untimed warm-up execution, then min of N timed runs —
+    steady-state plan time, not first-touch costs (codegen/JIT,
+    python-worker spawn, parquet footer cache, page-cache fill).
+    Warm runs are what a resident cluster observes; without the
+    warm-up, a sweep's first query absorbs all of them (measured:
+    2-5x inflation on the first pass of the x10 sweep, r3)."""
+    run_noop(df)
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -222,8 +227,9 @@ def run_scaled(spark, x: int = SCALE_X, queries=None, tables=None) -> dict:
         )
     duck_t: dict[str, float] = {}
     for name in queries:
-        # same best-of-N as the Spark side (min-of-3) — asymmetric
+        # same warm-up + best-of-N as the Spark side — asymmetric
         # sampling would bias the headline ratio
+        con.execute(oracles[name]).fetchall()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -307,7 +313,7 @@ def main() -> None:
     scaled_x100["spark_job_floor"] = round(floor, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    detail = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -316,7 +322,27 @@ def main() -> None:
         "scaled_vs_duckdb": scaled,
         "scaled_x100_vs_duckdb": scaled_x100,
     }
-    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+
+    # The driver captures only the LAST ~2000 chars of output and
+    # parses the JSON line out of that window — the printed line must
+    # stay comfortably under it.  Keep totals + ratios inline; the
+    # per-engine per-query timings live in BENCH_DETAIL.json.
+    out = dict(detail)
+    out["scaled_vs_duckdb"] = {
+        k: v for k, v in scaled.items() if k not in ("spark", "duckdb")
+    }
+    out["scaled_x100_vs_duckdb"] = {
+        k: v for k, v in scaled_x100.items() if k not in ("spark", "duckdb")
+    }
+    line = json.dumps(out)
+    if len(line) > 1800:  # last-resort trim: drop per-query ratios too
+        out["scaled_vs_duckdb"].pop("per_query_ratio", None)
+        out["scaled_x100_vs_duckdb"].pop("per_query_ratio", None)
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 
