@@ -11,8 +11,10 @@ from .dedup import (
     simhash_pairs,
     with_shingles,
 )
+from .fuzzy_join import edit_distance_join
 from .grouped import whiten_per_group
 from .ivf import ivf_topk, kmeans_centroids
+from .knn import knn_graph
 from .ranking import ntile_expr, with_global_rank
 from .scd import scd2_build
 from .similarity import cosine_pairs, cosine_topk, rp_lsh_topk, rp_signature
@@ -28,8 +30,10 @@ __all__ = [
     "cosine_pairs",
     "cosine_topk",
     "dedup_by_components",
+    "edit_distance_join",
     "exact_dedup",
     "ivf_topk",
+    "knn_graph",
     "kmeans_centroids",
     "merge_upsert",
     "minhash_dedup",

@@ -1,0 +1,277 @@
+"""Round-4 curation catalog: fuzzy joins, KNN graph, time-grid
+regularization, deterministic splits, robust anomaly scoring, and
+vocabulary building — the data-curation operators a training-data
+pipeline runs between ingestion (sources/) and dedup/similarity
+(operators/dedup.py, operators/knn.py).
+
+Oracle policy matches llm_ops: every operator here is deterministic
+and SQL-expressible, so each carries an exact DuckDB twin.  Where the
+Spark side uses a *blocked* plan (fuzzy join candidates, block-pair
+KNN), the oracle is intentionally the NAIVE formulation — matching
+hashes then prove the blocking lost nothing, not merely that two
+copies of the same shortcut agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS
+from ..functions.timeseries import gap_fill
+from ..operators.fuzzy_join import edit_distance_join
+from ..operators.knn import knn_graph
+from .llm_ops import _DOT_D
+from .tables import t
+
+CURATION_OPS: dict[str, tuple] = {}
+
+
+def _q(name: str, sql: str | None, bench: bool = False):
+    def wrap(fn):
+        CURATION_OPS[name] = (fn, sql, bench)
+        return fn
+
+    return wrap
+
+
+# ------------------------------------------------------- fuzzy join
+
+
+@_q(
+    "join_fuzzy_parts",
+    # naive twin: distinct names, full cross pairing, verify, expand —
+    # no q-gram blocking, so a hash match certifies the blocked plan's
+    # recall, not just its arithmetic
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    np AS (
+      SELECT a.p_name AS na, b.p_name AS nb,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM names a JOIN names b ON a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 1
+    )
+    SELECT least(x.p_partkey, y.p_partkey) AS id_a,
+           greatest(x.p_partkey, y.p_partkey) AS id_b,
+           CASE WHEN x.p_partkey < y.p_partkey THEN np.na ELSE np.nb END
+             AS p_name_a,
+           CASE WHEN x.p_partkey < y.p_partkey THEN np.nb ELSE np.na END
+             AS p_name_b,
+           dist
+    FROM np
+    JOIN part x ON x.p_name = np.na
+    JOIN part y ON y.p_name = np.nb
+    """,
+    bench=True,
+)
+def join_fuzzy_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy self-join: part pairs whose names are within edit
+    distance 1 (q-gram filter-and-verify; operators/fuzzy_join.py)."""
+    return edit_distance_join(t(spark, sf, "part"), "p_partkey", "p_name", k=1)
+
+
+# -------------------------------------------------------- KNN graph
+
+
+@_q(
+    "sim_knn_graph",
+    # naive twin: full n² pairing with list arithmetic
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT b.vec_id AS query_id, a.vec_id AS nbr_id,
+      round({_DOT_D} / (a.nrm * b.nrm), 6) AS cosine,
+      CAST(row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, a.vec_id ASC) AS INT)
+        AS rank
+    FROM n a, n b
+    WHERE a.vec_id <> b.vec_id AND a.nrm > 0 AND b.nrm > 0
+    QUALIFY rank <= 5
+    """,
+    bench=True,
+)
+def sim_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 5-NN cosine graph over every embedding — block-pair GEMM,
+    no driver collect (operators/knn.py)."""
+    return knn_graph(t(spark, sf, "embeddings"), "vec_id", "embedding", k=5)
+
+
+# --------------------------------------------------- time-grid fill
+
+
+@_q(
+    "events_gap_fill",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS tt, avg(value) AS obs
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(tt) AS lo, max(tt) AS hi FROM b
+    ), grid AS (
+      SELECT k.event_type, g.tt
+      FROM (SELECT DISTINCT event_type FROM b) k,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS tt
+            FROM bounds) g
+    )
+    SELECT grid.event_type, grid.tt AS bucket_ts,
+      round(last_value(b.obs IGNORE NULLS) OVER (
+        PARTITION BY grid.event_type ORDER BY grid.tt), 6) AS value,
+      b.obs IS NULL AS is_gap
+    FROM grid LEFT JOIN b
+      ON b.event_type = grid.event_type AND b.tt = grid.tt
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly per-type grid with forward-filled gaps
+    (functions/timeseries.py)."""
+    filled = gap_fill(
+        t(spark, sf, "events"), "event_type", "ts", "value", "1 hour"
+    )
+    return filled.select(
+        "event_type",
+        "bucket_ts",
+        F.round("value", 6).alias("value"),
+        "is_gap",
+    )
+
+
+# ------------------------------------------------ deterministic split
+
+
+@_q(
+    "split_hash_docs",
+    """
+    WITH h AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+      CASE WHEN bucket < 80 THEN 'train'
+           WHEN bucket < 90 THEN 'valid'
+           ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def split_hash_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment keyed on
+    md5(doc_id) — stable across runs, engines, and partitionings (the
+    property random() splits lack), so downstream epochs never leak
+    eval rows into training."""
+    docs = t(spark, sf, "documents")
+    bucket = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10)
+        .cast("long")
+        % 100
+    ).alias("bucket")
+    return docs.select("doc_id", bucket).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ------------------------------------------------- robust anomalies
+
+
+@_q(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), j AS (
+      SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, median(abs(value - med)) AS mad
+      FROM j GROUP BY 1
+    ), s AS (
+      SELECT j.event_id, j.event_type, j.value,
+        (j.value - j.med) / (1.4826 * m2.mad) AS z
+      FROM j JOIN mad m2 USING (event_type)
+      WHERE m2.mad > 0
+    )
+    SELECT event_id, event_type, value, round(z, 6) AS robust_z
+    FROM s ORDER BY abs(z) DESC, event_id LIMIT 50
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 outliers by robust z-score (median/MAD, the
+    outlier-immune alternative to mean/stddev).  Exact medians at
+    test scale; at 100 TB swap ``percentile`` → ``approx_percentile``
+    (the plan shape — two tiny per-key aggregates broadcast back —
+    is unchanged)."""
+    ev = t(spark, sf, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    return (
+        j.join(F.broadcast(mad.filter(F.col("mad") > 0)), "event_type")
+        .withColumn(
+            "robust_z",
+            (F.col("value") - F.col("med")) / (1.4826 * F.col("mad")),
+        )
+        .orderBy(F.abs("robust_z").desc(), "event_id")
+        .limit(50)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("robust_z", 6).alias("robust_z"),
+        )
+    )
+
+
+# ---------------------------------------------------- vocabulary
+
+
+_EN_STOP = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@_q(
+    "tok_vocab_topk",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+      FROM documents
+    )
+    SELECT tok, count(*) AS cnt,
+      CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS INT) AS rank
+    FROM toks
+    WHERE tok <> '' AND tok NOT IN ({_EN_STOP})
+    GROUP BY tok
+    QUALIFY rank <= 100
+    """,
+)
+def tok_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: top-100 non-stopword tokens by frequency —
+    the seed step of tokenizer training.  Map-side partial counts do
+    the heavy lifting; only distinct tokens reach the final top-k."""
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
+    ).filter(
+        (F.length("tok") > 0) & ~F.col("tok").isin(*STOPWORDS["en"])
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 100)
+        .select("tok", "cnt", "rank")
+    )

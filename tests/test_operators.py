@@ -1127,3 +1127,131 @@ class TestGlobalRank:
         df = plans.CATALOG["events_decile_stats"][0](spark, TESTDATA_SF)
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in p
+
+
+class TestFuzzyJoin:
+    """edit_distance_join (operators/fuzzy_join.py): blocked plan must
+    equal the naive cross-join + levenshtein baseline exactly."""
+
+    @pytest.fixture(scope="class")
+    def parts(self, spark):
+        rows = [
+            (1, "red bolt"),
+            (2, "red bolts"),      # dist 1 of "red bolt"
+            (3, "red bolt"),       # exact dup of 1 — excluded (dist 0)
+            (4, "bed bolt"),       # dist 1 of "red bolt"
+            (5, "blue gear"),
+            (6, "blue gears"),     # dist 1 of "blue gear"
+            (7, "glue gears"),     # dist 1 of "blue gears", 2 of "blue gear"
+            (8, "widget"),
+        ]
+        return spark.createDataFrame(rows, "pid long, name string")
+
+    def _naive(self, spark, df, k):
+        df.createOrReplaceTempView("fz")
+        return {
+            (r.id_a, r.id_b, r.dist)
+            for r in spark.sql(
+                f"""
+                SELECT a.pid AS id_a, b.pid AS id_b,
+                       levenshtein(a.name, b.name) AS dist
+                FROM fz a JOIN fz b ON a.pid < b.pid
+                WHERE levenshtein(a.name, b.name) BETWEEN 1 AND {k}
+                """
+            ).collect()
+        }
+
+    @pytest.mark.parametrize("k", [1, 2])
+    def test_equals_naive(self, spark, parts, k):
+        from spark_bi5_datasource_spark.operators.fuzzy_join import (
+            edit_distance_join,
+        )
+
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(parts, "pid", "name", k=k).collect()
+        }
+        assert got == self._naive(spark, parts, k)
+
+    def test_duplicate_values_expand_to_all_id_pairs(self, spark):
+        from spark_bi5_datasource_spark.operators.fuzzy_join import (
+            edit_distance_join,
+        )
+
+        rows = [(1, "alpha"), (2, "alpha"), (3, "alphq"), (4, "alpha")]
+        df = spark.createDataFrame(rows, "pid long, name string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in edit_distance_join(df, "pid", "name", k=1).collect()
+        }
+        # every "alpha" id pairs with the single typo id; the
+        # dist-0 pairs among 1/2/4 are exact dups, not fuzzy matches
+        assert got == {(1, 3), (2, 3), (3, 4)}
+
+
+class TestKnnGraph:
+    """knn_graph (operators/knn.py): the block-pair GEMM must equal the
+    broadcast-query exact path for every block count."""
+
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)
+        ]
+        rows.append((60, [0.0] * 8))  # zero-norm: no defined cosine
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    @pytest.mark.parametrize("blocks", [1, 3, 8])
+    def test_equals_broadcast_exact(self, spark, vecs, blocks):
+        from spark_bi5_datasource_spark.operators.ann_shard import ann_topk_gemm
+        from spark_bi5_datasource_spark.operators.knn import knn_graph
+
+        got = {
+            (r.query_id, r.rank): (r.nbr_id, r.cosine)
+            for r in knn_graph(vecs, k=4, blocks=blocks).collect()
+        }
+        expect = {
+            (r.query_id, r.rank): (r.nbr_id, r.cosine)
+            for r in ann_topk_gemm(vecs, vecs, k=4).collect()
+        }
+        assert got == expect
+
+    def test_zero_norm_absent_both_roles(self, spark, vecs):
+        from spark_bi5_datasource_spark.operators.knn import knn_graph
+
+        out = knn_graph(vecs, k=4, blocks=3).collect()
+        assert all(r.query_id != 60 and r.nbr_id != 60 for r in out)
+
+
+class TestGapFill:
+    """gap_fill (functions/timeseries.py): grid completeness, forward
+    fill, leading-null semantics."""
+
+    def test_fills_known_gaps(self, spark):
+        from spark_bi5_datasource_spark.functions.timeseries import gap_fill
+
+        rows = [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 00:40:00", 3.0),   # same hour → avg 2.0
+            ("a", "2024-01-01 03:05:00", 7.0),   # hours 1-2 are gaps
+            ("b", "2024-01-01 02:30:00", 5.0),   # hours 0-1 leading gaps
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, ts string, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            (r.k, str(r.bucket_ts)): (r.value, r.is_gap)
+            for r in gap_fill(df, "k", "ts", "v", "1 hour").collect()
+        }
+        assert len(out) == 8  # 2 keys x 4-hour global grid
+        assert out[("a", "2024-01-01 00:00:00")] == (2.0, False)
+        assert out[("a", "2024-01-01 01:00:00")] == (2.0, True)   # filled
+        assert out[("a", "2024-01-01 02:00:00")] == (2.0, True)   # filled
+        assert out[("a", "2024-01-01 03:00:00")] == (7.0, False)
+        assert out[("b", "2024-01-01 00:00:00")] == (None, True)  # leading
+        assert out[("b", "2024-01-01 01:00:00")] == (None, True)  # leading
+        assert out[("b", "2024-01-01 02:00:00")] == (5.0, False)
+        assert out[("b", "2024-01-01 03:00:00")] == (5.0, True)   # filled

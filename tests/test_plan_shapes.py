@@ -158,3 +158,32 @@ def test_ohlc_rollup_two_hash_aggs_no_window(spark):
     p = plan_of(spark, "events_ohlc_rollup")
     assert "Window" not in p  # partial-merge is aggs, not event windows
     assert p.count("Exchange") == 2
+
+
+def test_round4_curation_plans(spark):
+    """Round-4 curation ops: no cartesian products, Python only where
+    a GEMM kernel is the point (knn graph), broadcasts where a side is
+    provably tiny."""
+    # fuzzy join: pure Catalyst filter-and-verify — no Python, no
+    # cross product; candidate generation is an equi-join on the gram
+    p = plan_of(spark, "join_fuzzy_parts")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+    # knn graph: exactly one Arrow boundary (the per-pair GEMM); the
+    # block replication must be a generator explode, not a join
+    p = plan_of(spark, "sim_knn_graph")
+    assert p.count("FlatMapGroupsInPandas") == 1
+    assert "CartesianProduct" not in p
+
+    # gap fill: grid keys × bounds is the only nested-loop join and
+    # the bounds side is a broadcast 1-row agg
+    p = plan_of(spark, "events_gap_fill")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    # hash split / anomaly / vocab: pure Catalyst
+    for name in ["split_hash_docs", "events_anomaly_mad", "tok_vocab_topk"]:
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
