@@ -153,17 +153,20 @@ def synth_scaled_dir(
     out = f"/tmp/spark_bi5_bench_scaled_x{x}_v{_GEN_VERSION}_" + os.path.basename(
         src_dir.rstrip("/")
     )
-    marker = os.path.join(out, ".complete")
-    if os.path.exists(marker):
-        return out
     os.makedirs(out, exist_ok=True)
-    con = duckdb.connect()
-    con.execute(f"PRAGMA threads={CPUS}")
+    con = None
     for table, keys in _SHIFT_COLS.items():
         if tables is not None and table not in tables:
             continue
         src = os.path.join(src_dir, f"{table}.parquet")
         dst = os.path.join(out, f"{table}.parquet")
+        # per-table idempotence: a cached dir built for a narrower
+        # table list grows the missing tables on the next call
+        if os.path.exists(dst):
+            continue
+        if con is None:
+            con = duckdb.connect()
+            con.execute(f"PRAGMA threads={CPUS}")
         if not keys:
             sel = f"SELECT * FROM '{src}'"
         else:
@@ -171,10 +174,11 @@ def synth_scaled_dir(
             sel = (
                 f"SELECT t.* REPLACE ({reps}) FROM '{src}' t, range({x}) r(k)"
             )
-        con.execute(f"COPY ({sel}) TO '{dst}' (FORMAT PARQUET)")
-    con.close()
-    with open(marker, "w") as f:
-        f.write("ok")
+        tmp = dst + ".tmp"
+        con.execute(f"COPY ({sel}) TO '{tmp}' (FORMAT PARQUET)")
+        os.replace(tmp, dst)
+    if con is not None:
+        con.close()
     return out
 
 
@@ -186,8 +190,13 @@ _X100_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "events_daily_ohlc",
+    "q5_region_revenue",
+    "events_sessionize",
+    "join_asof_events_orders",
 ]
-_X100_TABLES = ["lineitem", "orders", "customer", "events"]
+_X100_TABLES = [
+    "lineitem", "orders", "customer", "supplier", "nation", "region", "events",
+]
 
 
 def run_scaled(spark, x: int = SCALE_X, queries=None, tables=None) -> dict:

@@ -15,6 +15,7 @@ from .fuzzy_join import edit_distance_join
 from .grouped import whiten_per_group
 from .ivf import ivf_topk, kmeans_centroids
 from .knn import knn_graph
+from .pagerank import pagerank
 from .ranking import ntile_expr, with_global_rank
 from .scd import scd2_build
 from .similarity import cosine_pairs, cosine_topk, rp_lsh_topk, rp_signature
@@ -41,6 +42,7 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "ntile_expr",
+    "pagerank",
     "rp_lsh_topk",
     "rp_signature",
     "salted_join",

@@ -29,7 +29,7 @@ DRIVER_WINDOW: list[str] = [
     "b5_groupby_count", "q1_pricing_summary", "q3_top_revenue_orders",
     "q5_region_revenue", "join_broadcast_dims", "join_semi_anti",
     "join_full_outer", "join_asof_events_orders", "window_lag_range_daily",
-    "window_running_total", "agg_cube_gsets", "agg_stats", "setop_suite",
+    "window_running_total", "agg_cube_gsets", "setop_suite",
     "events_daily_ohlc", "events_sessionize", "multimodal_features",
     # LLM-pipeline anchors
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
@@ -46,6 +46,7 @@ DRIVER_WINDOW: list[str] = [
     # round-4 operators — first driver exposure
     "join_fuzzy_parts", "sim_knn_graph", "events_gap_fill",
     "split_hash_docs", "events_anomaly_mad", "tok_vocab_topk",
+    "graph_pagerank_docs",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

@@ -21,6 +21,7 @@ from ..functions.text import STOPWORDS
 from ..functions.timeseries import gap_fill
 from ..operators.fuzzy_join import edit_distance_join
 from ..operators.knn import knn_graph
+from ..operators.pagerank import pagerank
 from .llm_ops import _DOT_D
 from .tables import t
 
@@ -233,6 +234,66 @@ def events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
             F.round("robust_z", 6).alias("robust_z"),
         )
     )
+
+
+# ------------------------------------------------ graph centrality
+
+
+@_q(
+    "graph_pagerank_docs",
+    # same edge set (the knn SQL), then the recursive fixed point;
+    # the correlated subquery is the per-node contribution sum
+    f"""
+    WITH RECURSIVE
+    n AS (
+      SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x * x))) AS nrm
+      FROM embeddings
+    ),
+    knn AS (
+      SELECT b.vec_id AS src, a.vec_id AS dst
+      FROM n a, n b
+      WHERE a.vec_id <> b.vec_id AND a.nrm > 0 AND b.nrm > 0
+      QUALIFY row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, a.vec_id ASC) <= 5
+    ),
+    nodes AS (
+      -- explicit outer DISTINCT: inside WITH RECURSIVE, DuckDB treats
+      -- a bare UNION as anchor/step structure and does NOT dedup the
+      -- two branches against each other
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM knn UNION ALL SELECT dst FROM knn
+      )
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM knn GROUP BY src),
+    nn AS (SELECT count(*) AS cnt FROM nodes),
+    pr(it, node, val) AS (
+      SELECT 0, node, 1.0 / (SELECT cnt FROM nn) FROM nodes
+      UNION ALL
+      SELECT pr.it + 1, pr.node,
+        0.15 / (SELECT cnt FROM nn) + 0.85 * coalesce((
+          SELECT sum(p2.val / deg.deg)
+          FROM pr p2
+          JOIN knn ON knn.src = p2.node
+          JOIN deg ON deg.src = p2.node
+          WHERE knn.dst = pr.node AND p2.it = pr.it), 0)
+      FROM pr WHERE pr.it < 5
+    )
+    SELECT node, round(val, 6) AS rank FROM pr WHERE it = 5
+    """,
+)
+def graph_pagerank_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Document centrality: damped PageRank (5 iterations) over the
+    exact 5-NN cosine similarity graph — 'which documents sit at the
+    hubs of the corpus' (operators/pagerank.py over
+    operators/knn.py's edge list)."""
+    edges = knn_graph(
+        t(spark, sf, "embeddings"), "vec_id", "embedding", k=5
+    ).select(F.col("query_id").alias("src"), F.col("nbr_id").alias("dst"))
+    ranks = pagerank(edges, "src", "dst", iters=5, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
 # ---------------------------------------------------- vocabulary

@@ -238,25 +238,39 @@ def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     choice stays with AQE."""
     from .tables import is_bucketed
 
-    c = t(spark, sf, "customer")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
     o = t(spark, sf, "orders")
     li = t(spark, sf, "lineitem")
-    s = t(spark, sf, "supplier")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     n = t(spark, sf, "nation")
     r = t(spark, sf, "region")
     if is_bucketed(spark, sf, "lineitem") and is_bucketed(spark, sf, "orders"):
         o = o.hint("merge")
-    return (
+    # Probe-layer discipline (measured at x100, 60M lineitem): every
+    # broadcast probe over the fact stream costs ~0.8 s, and a MULTI-
+    # column hash key falls off the long-key HashedRelation fast path
+    # (generic UnsafeRow probing: +6 s).  So (a) supplier/customer
+    # join on their single long keys only, (b) the cross-dim equality
+    # s_nationkey = c_nationkey is applied as a FILTER written in
+    # arithmetic form — `(a - b) = 0` — which Catalyst does not fold
+    # back into the join as a second hash-key column (identical
+    # null/result semantics: a null operand yields null → dropped,
+    # exactly as the equality would), and (c) the n_name/r_name
+    # labels join AFTER the aggregate, touching 25 rows instead of
+    # 60 M (valid: nationkey → (n_name, r_name) is functional).
+    # 6.9 s → 2.1 s at x100; plan shape pinned in test_plan_shapes.
+    agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
-        )
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name", "n_name")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .filter((F.col("s_nationkey") - F.col("c_nationkey")) == 0)
+        .groupBy("s_nationkey")
         .agg(_dsum("l_extendedprice * (1 - l_discount)", 6, "revenue"))
+    )
+    return (
+        agg.join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "revenue")
     )
 
 

@@ -1255,3 +1255,35 @@ class TestGapFill:
         assert out[("b", "2024-01-01 01:00:00")] == (None, True)  # leading
         assert out[("b", "2024-01-01 02:00:00")] == (5.0, False)
         assert out[("b", "2024-01-01 03:00:00")] == (5.0, True)   # filled
+
+
+class TestPageRank:
+    """pagerank (operators/pagerank.py): hand-computed fixed point on
+    a tiny graph, plus mass conservation and dangling redistribution."""
+
+    def test_hand_computed_two_iterations(self, spark):
+        from spark_bi5_datasource_spark.operators.pagerank import pagerank
+
+        # 1->2, 2->1, 2->3, 3->1 ; by hand (damping .85, n=3):
+        # it1: pr1=.05+.85*(1/6+1/3)=.475  pr2=.05+.85/3=.3333  pr3=.1917
+        # it2: pr1=.05+.85*(.3333/2+.1917)=.354583  pr2=.45375  pr3=.191667
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 1)], "src long, dst long"
+        )
+        got = {
+            r.node: round(r.rank, 6)
+            for r in pagerank(edges, iters=2, damping=0.85).collect()
+        }
+        assert got == {1: 0.354583, 2: 0.45375, 3: 0.191667}
+
+    def test_mass_conserved_with_dangling(self, spark):
+        from spark_bi5_datasource_spark.operators.pagerank import pagerank
+
+        # node 3 has no out-edges: its mass must be redistributed,
+        # keeping the total at 1.0
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        )
+        ranks = pagerank(edges, iters=4).collect()
+        assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
+        assert len(ranks) == 3
