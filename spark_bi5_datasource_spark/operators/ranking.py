@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_rank", "ntile_expr"]
+__all__ = ["with_global_rank", "ntile_expr", "global_running_sum"]
 
 
 def with_global_rank(
@@ -67,6 +67,56 @@ def with_global_rank(
         # doing one-shot ranking can unpersist via the returned plan's
         # source. (Blocks are LRU-evicted under memory pressure.)
         pass
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    sum_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach the prefix sum of ``value_col`` over the global ORDER BY
+    ``order_cols`` (which must form a deterministic total order) —
+    the parallel twin of ``sum(x) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``, which would otherwise plan as Exchange
+    SinglePartition.
+
+    Same scheme as ``with_global_rank``: range-partition on the order
+    key, partition-local running sums (parallel windows), then add
+    per-partition base offsets — a partition-count-sized list of
+    partial sums, bounded driver state.  The classic two-phase
+    parallel prefix sum, as a DataFrame plan."""
+    cols = [F.col(c) for c in order_cols]
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(p, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist()
+    totals = {
+        r["__pid"]: r["s"]
+        for r in parts.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    off = F.element_at(
+        F.array(
+            *[F.lit(offsets.get(i, 0)) for i in range(max(totals, default=0) + 1)]
+        ),
+        F.col("__pid") + 1,
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return parts.withColumn(
+        sum_col, F.sum(value_col).over(w) + off
+    ).drop("__pid")
 
 
 def ntile_expr(rank_col: str, n_rows: int, k: int) -> Column:

@@ -27,13 +27,13 @@ CATALOG: dict[str, tuple] = {**RELATIONAL, **LLM_OPS, **CURATION_OPS}
 DRIVER_WINDOW: list[str] = [
     # core relational / Tier B anchors
     "b5_groupby_count", "q1_pricing_summary", "q3_top_revenue_orders",
-    "q5_region_revenue", "join_broadcast_dims", "join_semi_anti",
-    "join_full_outer", "join_asof_events_orders", "window_lag_range_daily",
+    "q5_region_revenue", "join_semi_anti",
+    "join_full_outer", "join_asof_events_orders",
     "window_running_total", "agg_cube_gsets", "setop_suite",
     "events_daily_ohlc", "events_sessionize", "multimodal_features",
     # LLM-pipeline anchors
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
-    "dedup_embedding", "dedup_components", "text_stats", "text_langid",
+    "dedup_embedding", "dedup_components", "text_stats",
     "text_quality_filter", "text_chunk_pack", "sim_cosine_topk",
     "sim_ivf_exact", "sim_gemm_topk",
     # round-3 operators — first driver exposure
@@ -46,7 +46,8 @@ DRIVER_WINDOW: list[str] = [
     # round-4 operators — first driver exposure
     "join_fuzzy_parts", "sim_knn_graph", "events_gap_fill",
     "split_hash_docs", "events_anomaly_mad", "tok_vocab_topk",
-    "graph_pagerank_docs",
+    "graph_pagerank_docs", "join_salted_skew", "events_transitions",
+    "events_concurrency",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

@@ -236,6 +236,164 @@ def events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- skew-salted join
+
+
+@_q(
+    "join_salted_skew",
+    # oracle = the PLAIN join: a hash match certifies the salt/explode
+    # machinery is output-invisible
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey, s_nationkey
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Salt-scattered equi-join (operators/skew.py): the explicit cure
+    for hot keys AQE can't split.  Here run over the fixture join so
+    the driver gate proves salted output == plain join output."""
+    from ..operators.skew import salted_join
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    s = t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return salted_join(li, s, "l_suppkey", replicas=8).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "s_nationkey"
+    )
+
+
+# -------------------------------------------- transition analytics
+
+
+@_q(
+    "events_transitions",
+    """
+    WITH p AS (
+      SELECT event_type AS from_type,
+        lead(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, count(*) AS cnt,
+      round(count(*) / (sum(count(*)) OVER (PARTITION BY from_type)), 6)
+        AS prob
+    FROM p WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def events_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov transition matrix of event types per user timeline —
+    bigram counts and per-source probabilities.  One window pass over
+    the log; the probability window runs over the |types|² transition
+    table, not the events."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("cnt")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(wt), 6).alias("prob"),
+    )
+
+
+# --------------------------------------------- sweep-line concurrency
+
+
+@_q(
+    "events_concurrency",
+    # oracle: the single-partition window formulation of the same
+    # sweep — Spark runs the parallel two-phase prefix sum instead
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+        sum(new_s) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagged
+    ), sess AS (
+      SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+      FROM numbered GROUP BY user_id, sid
+    ), deltas AS (
+      SELECT st AS t, 0 AS kind, user_id, 1 AS delta FROM sess
+      UNION ALL
+      SELECT en, 1, user_id, -1 FROM sess
+    ), runs AS (
+      SELECT t, sum(delta) OVER (
+        ORDER BY t, kind, user_id ROWS UNBOUNDED PRECEDING) AS c
+      FROM deltas
+    )
+    SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+      CAST(max(c) AS BIGINT) AS max_concurrent
+    FROM runs GROUP BY day
+    """,
+)
+def events_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrent sessions per day, by sweep-line: session
+    intervals (30-min gap rule) become +1/-1 deltas; the running sum
+    over the global (t, kind, user) order is the concurrency curve.
+    Closed-interval convention: starts sort before ends at the same
+    instant.
+
+    The global prefix sum is the parallel two-phase operator
+    (operators/ranking.py global_running_sum) — no Exchange
+    SinglePartition, unlike the naive window formulation the oracle
+    uses."""
+    from pyspark.sql import Window
+
+    from ..operators.ranking import global_running_sum
+
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+               > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(wf))
+    sess = numbered.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    deltas = sess.select(
+        F.col("st").alias("t"), F.lit(0).alias("kind"),
+        "user_id", F.lit(1).alias("delta"),
+    ).unionByName(
+        sess.select(
+            F.col("en").alias("t"), F.lit(1).alias("kind"),
+            "user_id", F.lit(-1).alias("delta"),
+        )
+    )
+    runs = global_running_sum(
+        deltas, ["t", "kind", "user_id"], "delta", sum_col="c"
+    )
+    return runs.groupBy(
+        F.date_trunc("day", "t").alias("day")
+    ).agg(F.max("c").cast("bigint").alias("max_concurrent"))
+
+
 # ------------------------------------------------ graph centrality
 
 

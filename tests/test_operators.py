@@ -1287,3 +1287,34 @@ class TestPageRank:
         ranks = pagerank(edges, iters=4).collect()
         assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
         assert len(ranks) == 3
+
+
+class TestGlobalRunningSum:
+    def test_matches_single_partition_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.operators.ranking import (
+            global_running_sum,
+        )
+
+        df = spark.range(1003).selectExpr(
+            "cast(id * 2654435761 % 997 as long) AS k",
+            "cast(id % 13 - 6 as long) AS v",
+            "id",
+        )
+        got = {
+            r.id: r.running
+            for r in global_running_sum(
+                df, ["k", "id"], "v", num_partitions=7
+            ).collect()
+        }
+        w = (
+            Window.orderBy("k", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        expect = {
+            r.id: r.s
+            for r in df.withColumn("s", F.sum("v").over(w)).collect()
+        }
+        assert got == expect

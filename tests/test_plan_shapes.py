@@ -194,3 +194,17 @@ def test_round4_curation_plans(spark):
         p = plan_of(spark, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_concurrency_no_single_partition_exchange(spark):
+    # the sweep-line prefix sum must use the parallel two-phase plan,
+    # not a global single-partition window
+    p = plan_of(spark, "events_concurrency")
+    assert "Exchange SinglePartition" not in p
+
+
+def test_salted_join_no_broadcast_of_large(spark):
+    # the salted join must stay a shuffle join on (key, salt); the
+    # exploded small side is the build side
+    p = plan_of(spark, "join_salted_skew")
+    assert "CartesianProduct" not in p
