@@ -11,23 +11,29 @@ al., VLDB'01 — public literature):
    same way they defeat LSH bucketing (see operators/dedup.py), so
    the join runs on distinct values and id pairs are expanded back
    at the end.
-2. **Candidate generation**: an inverted trigram index (explode
-   q-grams → equi-join on the gram).  Strings within edit distance k
-   share ≥ max(len)-q+1-k·q positional q-grams; we apply the
-   distinct-gram variant of that count filter plus the length filter
-   ``|len_a − len_b| ≤ k``.  Both are cheap Catalyst joins/aggs —
-   no UDF, no cross product.
+2. **Candidate generation**: an inverted q-gram index (explode
+   q-grams → equi-join on the gram) plus the length filter
+   ``|len_a − len_b| ≤ k``.  The q-gram theorem guarantees a pair
+   within edit distance k shares ≥ max(len)−q+1−k·q positional
+   grams, so gram blocking is recall-complete whenever the LONGER
+   string has ≥ q+k·q characters.  Pairs where both strings are
+   shorter than that bound (a bounded, alphabet-limited set) are
+   candidate-paired ALL-PAIRS within the short band instead —
+   recall-completeness for every length, property-tested against
+   the naive join on random corpora.  (A distinct-gram COUNT
+   filter was deliberately dropped: repeated grams make the
+   distinct-shared count undershoot the positional bound and
+   over-prune — Hypothesis found 'aaaa'-style counterexamples.)
 3. **Verify** surviving candidates with the built-in
    ``levenshtein`` (JVM codegen) and keep ``1 ≤ dist ≤ k``
    (distance-0 pairs are exact duplicates — that is
    ``exact_dedup``'s job, not a fuzzy match).
 
-Scale shape: shuffle volume is O(total q-grams) = O(n·len), the
+Scale shape: shuffle volume is O(total q-grams) = O(n·len); the
 per-gram fan-out is bounded by gram frequency (a ``max_gram``
 guard drops ubiquitous grams the same way dedup's ``max_bucket``
-drops degenerate buckets — those pairs are still found through
-their rarer grams whenever the count-filter bound stays
-satisfiable), and verification touches only counted candidates.
+drops degenerate buckets — at the cost of recall through those
+grams), and verification touches only deduplicated candidates.
 """
 
 from __future__ import annotations
@@ -76,21 +82,42 @@ def edit_distance_join(
 
     a = grams.select(F.col("_s").alias("s_a"), "g")
     b = grams.select(F.col("_s").alias("s_b"), "g")
-    cand = (
+    gram_cand = (
         a.join(b, "g")
         .filter(F.col("s_a") < F.col("s_b"))
-        .filter(
-            F.abs(F.length("s_a") - F.length("s_b")) <= F.lit(k)
+        .select("s_a", "s_b")
+        .distinct()
+    )
+    # short band: pairs where BOTH strings are under the q-gram
+    # completeness bound (len < q+k·q) pair all-vs-all within length
+    # bands — expressed as an equi-join on an exploded band key (each
+    # short string posts bands [len, len+k]; a pair with |Δlen| ≤ k
+    # meets where the longer one's length falls in the shorter one's
+    # band range), so the plan stays cartesian-free.  The set is
+    # alphabet-bounded; real corpora hold few sub-(q+kq)-char values.
+    short_len = q + k * q
+    shorts = names.filter(F.length("_s") < short_len)
+    posted = shorts.select(
+        F.col("_s").alias("s_a"),
+        F.explode(
+            F.sequence(F.length("_s"), F.length("_s") + F.lit(k))
+        ).alias("band"),
+    )
+    anchored = shorts.select(
+        F.col("_s").alias("s_b"), F.length("_s").alias("band")
+    )
+    short_cand = (
+        posted.join(anchored, "band")
+        .filter(F.col("s_a") != F.col("s_b"))
+        .select(
+            F.least("s_a", "s_b").alias("s_a"),
+            F.greatest("s_a", "s_b").alias("s_b"),
         )
-        .groupBy("s_a", "s_b")
-        .agg(F.count("*").alias("shared"))
-        # count filter: within distance k the longer string keeps at
-        # least maxlen-q+1-k*q of its grams intact
-        .filter(
-            F.col("shared")
-            >= F.greatest(F.length("s_a"), F.length("s_b"))
-            - F.lit(q - 1 + k * q)
-        )
+    )
+    cand = (
+        gram_cand.unionByName(short_cand)
+        .distinct()
+        .filter(F.abs(F.length("s_a") - F.length("s_b")) <= F.lit(k))
     )
 
     verified = cand.withColumn(

@@ -173,3 +173,48 @@ class TestCosinePairsCollapse:
                 full[k],
                 expect[k],
             )
+
+
+class TestFuzzyJoinProperties:
+    """Hypothesis: the blocked q-gram fuzzy join equals the naive
+    cross-join + levenshtein baseline on random corpora with random
+    duplication."""
+
+    @given(
+        st.lists(
+            st.text(alphabet="abcde ", min_size=1, max_size=14),
+            min_size=2,
+            max_size=14,
+        ),
+        st.integers(min_value=1, max_value=2),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_blocked_equals_naive(self, strings, k):
+        from spark_bi5_datasource_spark.operators.fuzzy_join import (
+            edit_distance_join,
+        )
+
+        spark = self.spark
+        rows = [(i, s) for i, s in enumerate(strings)]
+        df = spark.createDataFrame(rows, "pid long, name string")
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(df, "pid", "name", k=k).collect()
+        }
+        df.createOrReplaceTempView("fzprop")
+        expect = {
+            (r.id_a, r.id_b, r.dist)
+            for r in spark.sql(
+                f"""
+                SELECT a.pid AS id_a, b.pid AS id_b,
+                       levenshtein(a.name, b.name) AS dist
+                FROM fzprop a JOIN fzprop b ON a.pid < b.pid
+                WHERE levenshtein(a.name, b.name) BETWEEN 1 AND {k}
+                """
+            ).collect()
+        }
+        assert got == expect
+
+    @pytest.fixture(autouse=True)
+    def _bind_spark(self, spark):
+        self.spark = spark
