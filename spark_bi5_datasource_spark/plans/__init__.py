@@ -34,7 +34,7 @@ DRIVER_WINDOW: list[str] = [
     # LLM-pipeline anchors
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
     "dedup_embedding", "dedup_components", "text_stats",
-    "text_quality_filter", "text_chunk_pack", "sim_cosine_topk",
+    "text_chunk_pack", "sim_cosine_topk",
     "sim_ivf_exact", "sim_gemm_topk",
     # round-3 operators — first driver exposure
     "sample_stratified", "text_decontaminate", "text_tfidf_topterms",
@@ -47,7 +47,7 @@ DRIVER_WINDOW: list[str] = [
     "join_fuzzy_parts", "sim_knn_graph", "events_gap_fill",
     "split_hash_docs", "events_anomaly_mad", "tok_vocab_topk",
     "graph_pagerank_docs", "join_salted_skew", "events_transitions",
-    "events_concurrency",
+    "events_concurrency", "tok_vocab_sketch",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

@@ -494,3 +494,38 @@ def tok_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 100)
         .select("tok", "cnt", "rank")
     )
+
+
+@_q(
+    "tok_vocab_sketch",
+    # oracle = the EXACT vocabulary SQL (same as tok_vocab_topk): a
+    # hash match certifies the Misra-Gries candidate pass + exact
+    # recount lost nothing vs the full-universe shuffle
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+      FROM documents
+    )
+    SELECT tok, count(*) AS cnt,
+      CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS INT) AS rank
+    FROM toks
+    WHERE tok <> '' AND tok NOT IN ({_EN_STOP})
+    GROUP BY tok
+    QUALIFY rank <= 100
+    """,
+)
+def tok_vocab_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-tier vocabulary: per-partition Misra-Gries summaries →
+    candidate union → exact recount of candidates only
+    (operators/heavy.py).  Same answer as tok_vocab_topk without
+    shuffling the full token universe — the 100-TB path when distinct
+    keys outnumber the answer by orders of magnitude."""
+    from ..operators.heavy import top_k_sketch
+
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
+    ).filter(
+        (F.length("tok") > 0) & ~F.col("tok").isin(*STOPWORDS["en"])
+    )
+    return top_k_sketch(toks, "tok", k=100)

@@ -1318,3 +1318,53 @@ class TestGlobalRunningSum:
             for r in df.withColumn("s", F.sum("v").over(w)).collect()
         }
         assert got == expect
+
+
+class TestTopKSketch:
+    """top_k_sketch (operators/heavy.py): the MG-candidate + exact-
+    recount pipeline must equal the exact groupBy top-k on skewed
+    data, and honor the frequency guarantee at every width."""
+
+    @pytest.fixture(scope="class")
+    def zipfish(self, spark):
+        # value v appears ~N/v times: strong skew, long tail
+        rows = []
+        for v in range(1, 60):
+            rows.extend([(f"val_{v:03d}",)] * (1200 // v))
+        return spark.createDataFrame(rows, "tok string").repartition(8)
+
+    @pytest.mark.parametrize("width", [64, 256])
+    def test_equals_exact_topk(self, spark, zipfish, width):
+        from pyspark.sql import Window
+        from spark_bi5_datasource_spark.operators.heavy import top_k_sketch
+
+        got = {
+            (r.tok, r.cnt, r.rank)
+            for r in top_k_sketch(zipfish, "tok", k=10, width=width).collect()
+        }
+        w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        expect = {
+            (r.tok, r.cnt, r.rank)
+            for r in zipfish.groupBy("tok")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .collect()
+        }
+        assert got == expect
+
+    def test_guarantee_survives_tiny_width(self, spark, zipfish):
+        # even at an undersized width, any value with global frequency
+        # > n/width must be in the result with its EXACT count
+        from spark_bi5_datasource_spark.operators.heavy import top_k_sketch
+
+        n = zipfish.count()
+        width = 8
+        out = {r.tok: r.cnt for r in top_k_sketch(zipfish, "tok", k=60, width=width).collect()}
+        exact = {
+            r.tok: r.cnt
+            for r in zipfish.groupBy("tok").agg(F.count("*").alias("cnt")).collect()
+        }
+        for tok, cnt in exact.items():
+            if cnt > n / width:
+                assert out.get(tok) == cnt, tok
