@@ -27,7 +27,7 @@ CATALOG: dict[str, tuple] = {**RELATIONAL, **LLM_OPS, **CURATION_OPS}
 DRIVER_WINDOW: list[str] = [
     # core relational / Tier B anchors
     "b5_groupby_count", "q1_pricing_summary", "q3_top_revenue_orders",
-    "q5_region_revenue", "join_semi_anti",
+    "q5_region_revenue",
     "join_full_outer", "join_asof_events_orders",
     "window_running_total", "agg_cube_gsets", "setop_suite",
     "events_daily_ohlc", "events_sessionize", "multimodal_features",
@@ -47,7 +47,7 @@ DRIVER_WINDOW: list[str] = [
     "join_fuzzy_parts", "sim_knn_graph", "events_gap_fill",
     "split_hash_docs", "events_anomaly_mad", "tok_vocab_topk",
     "graph_pagerank_docs", "join_salted_skew", "events_transitions",
-    "events_concurrency", "tok_vocab_sketch",
+    "events_concurrency", "tok_vocab_sketch", "entity_resolution_parts",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

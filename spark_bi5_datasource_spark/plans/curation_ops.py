@@ -394,6 +394,99 @@ def events_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.max("c").cast("bigint").alias("max_concurrent"))
 
 
+# -------------------------------------------------- PCA projection
+
+
+@_q("emb_pca_project", None)  # eigenvectors have no SQL twin: rows-only
+def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Global PCA (operators/pca.py): one distributed moment pass fits
+    the d×d covariance driver-side; projection is an Arrow GEMM per
+    batch.  Rows-only driver check (eigen basis isn't SQL-expressible);
+    the pytest oracle pins projection == local NumPy PCA exactly."""
+    from ..operators.pca import pca_fit, pca_project
+
+    emb = t(spark, sf, "embeddings")
+    mean, comps, _ = pca_fit(emb, "embedding", m=8)
+    out = pca_project(emb, mean, comps, "embedding")
+    return out.select(
+        "vec_id",
+        F.transform("pca", lambda x: F.round(x, 6)).alias("pca"),
+    )
+
+
+# ----------------------------------------------- entity resolution
+
+
+@_q(
+    "entity_resolution_parts",
+    # oracle: name-level recursive transitive closure over the naive
+    # fuzzy pairs, then entity = min part key of the name cluster
+    """
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+    np AS (
+      SELECT a.p_name AS na, b.p_name AS nb
+      FROM names a JOIN names b ON a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) = 1
+    ),
+    sym AS (SELECT na AS a, nb AS b FROM np UNION SELECT nb, na FROM np),
+    closure(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT c.a, s.b FROM closure c JOIN sym s ON c.b = s.a
+    ),
+    ncomp AS (
+      SELECT a AS nm, least(a, min(b)) AS rep FROM closure GROUP BY a
+    ),
+    allnames AS (
+      SELECT n.p_name AS nm, coalesce(nc.rep, n.p_name) AS rep
+      FROM names n LEFT JOIN ncomp nc ON nc.nm = n.p_name
+    ),
+    rep_entity AS (
+      SELECT an.rep, CAST(min(p.p_partkey) AS BIGINT) AS entity
+      FROM part p JOIN allnames an ON p.p_name = an.nm
+      GROUP BY an.rep
+    )
+    SELECT p.p_partkey, p.p_name, re.entity
+    FROM part p
+    JOIN allnames an ON p.p_name = an.nm
+    JOIN rep_entity re ON re.rep = an.rep
+    """,
+)
+def entity_resolution_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution as operator composition: fuzzy edit-distance
+    edges (operators/fuzzy_join.py) ∪ exact same-value edges feed
+    large-star/small-star connected components
+    (operators/components.py); every part gets the canonical entity id
+    (= min part key of its transitive name cluster).  The blocked
+    fuzzy join and the O(log n) component rounds are each certified
+    separately; this row certifies the composition."""
+    from ..operators.components import connected_components
+
+    parts = t(spark, sf, "part").select("p_partkey", "p_name")
+    # exact edges: every part connects to its name's min-key member
+    reps = parts.groupBy("p_name").agg(F.min("p_partkey").alias("rep_id"))
+    members = parts.join(reps, "p_name")
+    exact_edges = members.filter(
+        F.col("p_partkey") != F.col("rep_id")
+    ).select(
+        F.col("rep_id").alias("id_a"), F.col("p_partkey").alias("id_b")
+    )
+    near_edges = edit_distance_join(parts, "p_partkey", "p_name", k=1).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(
+        exact_edges.unionByName(near_edges), "id_a", "id_b"
+    )
+    return (
+        parts.join(comp, parts.p_partkey == comp.node, "left")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.coalesce("component", "p_partkey").alias("entity"),
+        )
+    )
+
+
 # ------------------------------------------------ graph centrality
 
 

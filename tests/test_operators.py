@@ -1368,3 +1368,52 @@ class TestTopKSketch:
         for tok, cnt in exact.items():
             if cnt > n / width:
                 assert out.get(tok) == cnt, tok
+
+
+class TestPCA:
+    """pca_fit/pca_project (operators/pca.py): the distributed moment
+    pass must reproduce local NumPy PCA exactly (same sign
+    convention), with descending explained variance."""
+
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        # anisotropic data so components are well separated
+        base = rng.standard_normal((80, 6)) * np.array([5, 3, 2, 1, 0.5, 0.1])
+        rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_matches_local_numpy(self, spark, vecs):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.operators.pca import (
+            pca_fit,
+            pca_project,
+        )
+
+        mean, comps, ev = pca_fit(vecs, "embedding", m=4)
+        local = np.asarray(
+            [r.embedding for r in vecs.orderBy("vec_id").collect()]
+        )
+        lmean = local.mean(0)
+        cov = np.cov(local, rowvar=False, bias=True)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:4]
+        lcomps = evecs[:, order].T
+        for i in range(4):
+            j = int(np.argmax(np.abs(lcomps[i])))
+            if lcomps[i, j] < 0:
+                lcomps[i] = -lcomps[i]
+        assert np.allclose(mean, lmean, atol=1e-9)
+        assert np.allclose(comps, lcomps, atol=1e-8)
+        assert np.all(np.diff(ev) <= 1e-12)  # descending variance
+
+        got = {
+            r.vec_id: np.asarray(r.pca)
+            for r in pca_project(vecs, mean, comps, "embedding").collect()
+        }
+        expect = (local - lmean) @ lcomps.T
+        for i in range(80):
+            assert np.allclose(got[i], expect[i], atol=1e-8)
