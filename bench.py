@@ -141,6 +141,9 @@ _SCALED_QUERIES = [
     "sim_cosine_topk",
     "sim_gemm_topk",
     "text_stats",
+    "events_concurrency",
+    "tok_vocab_topk",
+    "tok_vocab_sketch",
 ]
 
 

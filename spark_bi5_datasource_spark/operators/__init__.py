@@ -13,26 +13,30 @@ from .dedup import (
 )
 from .fuzzy_join import edit_distance_join
 from .grouped import whiten_per_group
+from .heavy import top_k_sketch
 from .ivf import ivf_topk, kmeans_centroids
 from .knn import knn_graph
 from .pagerank import pagerank
-from .ranking import ntile_expr, with_global_rank
+from .pca import pca_fit, pca_project
+from .ranking import global_running_sum, ntile_expr, with_global_rank
 from .scd import scd2_build
 from .similarity import cosine_pairs, cosine_topk, rp_lsh_topk, rp_signature
 from .skew import salted_join
 from .topk import top_k, top_k_per_group
-from .upsert import merge_upsert
+from .upsert import cdc_apply, merge_upsert
 from .zorder import zorder_write, zvalue, zvalue_sql
 
 __all__ = [
     "ann_topk_gemm",
     "asof_join",
+    "cdc_apply",
     "connected_components",
     "cosine_pairs",
     "cosine_topk",
     "dedup_by_components",
     "edit_distance_join",
     "exact_dedup",
+    "global_running_sum",
     "ivf_topk",
     "knn_graph",
     "kmeans_centroids",
@@ -43,6 +47,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ntile_expr",
     "pagerank",
+    "pca_fit",
+    "pca_project",
     "rp_lsh_topk",
     "rp_signature",
     "salted_join",
@@ -51,6 +57,7 @@ __all__ = [
     "simhash_pairs",
     "top_k",
     "top_k_per_group",
+    "top_k_sketch",
     "whiten_per_group",
     "with_global_rank",
     "with_shingles",

@@ -19,10 +19,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert"]
+__all__ = ["merge_upsert", "cdc_apply"]
 
 
 def merge_upsert(
@@ -57,3 +57,44 @@ def merge_upsert(
     probe = F.broadcast(src) if broadcast_source else src
     kept = target.join(probe.select(*keys), on=list(keys), how="left_anti")
     return kept.unionByName(src)
+
+
+def cdc_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Apply a full CDC batch (inserts/updates/deletes) to ``target``.
+
+    ``changes`` carries the target's columns plus ``op_col`` ∈
+    {'I','U','D'} and a monotonically increasing ``seq_col``.  Per
+    key, the LATEST change wins (seq desc, op desc as tiebreak so a
+    same-seq D beats its own U deterministically): a final D removes
+    the key; a final I/U replaces-or-inserts the row.  Same plan
+    class as merge_upsert — one anti-join keyed by the batch's keys
+    (broadcast by default) over a never-shuffled target, plus the
+    collapsed batch itself; deletes cost nothing extra (they simply
+    don't union back).  This is the batch twin of
+    streaming/upsert_sink's foreachBatch apply."""
+    if not keys:
+        raise ValueError("cdc_apply requires at least one key column")
+    data_cols = [c for c in target.columns]
+    # same-seq tiebreak: a delete outranks its own insert/update
+    # (explicit priority — 'D' < 'U' lexically, so op desc would
+    # invert the intent)
+    del_first = F.when(F.col(op_col) == "D", 1).otherwise(0)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), del_first.desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    probe = F.broadcast(latest) if broadcast_changes else latest
+    kept = target.join(probe.select(*keys), on=list(keys), how="left_anti")
+    live = latest.filter(F.col(op_col) != "D").select(*data_cols)
+    return kept.unionByName(live)

@@ -27,9 +27,8 @@ CATALOG: dict[str, tuple] = {**RELATIONAL, **LLM_OPS, **CURATION_OPS}
 DRIVER_WINDOW: list[str] = [
     # core relational / Tier B anchors
     "b5_groupby_count", "q1_pricing_summary", "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "join_full_outer", "join_asof_events_orders",
-    "window_running_total", "agg_cube_gsets", "setop_suite",
+    "q5_region_revenue", "join_asof_events_orders",
+    "window_running_total", "agg_cube_gsets",
     "events_daily_ohlc", "events_sessionize", "multimodal_features",
     # LLM-pipeline anchors
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
@@ -48,6 +47,7 @@ DRIVER_WINDOW: list[str] = [
     "split_hash_docs", "events_anomaly_mad", "tok_vocab_topk",
     "graph_pagerank_docs", "join_salted_skew", "events_transitions",
     "events_concurrency", "tok_vocab_sketch", "entity_resolution_parts",
+    "cdc_apply_orders", "sample_k_per_group",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

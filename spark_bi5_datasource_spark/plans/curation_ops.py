@@ -394,6 +394,97 @@ def events_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.max("c").cast("bigint").alias("max_concurrent"))
 
 
+# ------------------------------------------------- batch CDC apply
+
+
+@_q(
+    "cdc_apply_orders",
+    # the oracle recomputes the batch's net effect declaratively
+    """
+    WITH keep AS (
+      SELECT * FROM orders WHERE o_orderkey % 10 NOT IN (0, 1, 2)
+    ), upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice * 1.1, 6) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 IN (1, 2)
+    ), ins AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+             'N' AS o_orderstatus, round(o_totalprice, 6) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 3
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 6) AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM keep
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+    """,
+)
+def cdc_apply_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch CDC apply (operators/upsert.py cdc_apply): a synthetic
+    change batch — deletes (key%10=0), 10% price updates (%10∈{1,2}),
+    shifted-key inserts (%10=3) — applied in one anti-join + union
+    pass; target never shuffled.  The batch is derived
+    deterministically from the fixture so the oracle can recompute
+    the net effect declaratively."""
+    from ..operators.upsert import cdc_apply
+
+    o = t(spark, sf, "orders")
+    key = F.col("o_orderkey")
+    dels = o.filter(key % 10 == 0).select(
+        "*", F.lit("D").alias("op"), F.lit(1).alias("seq")
+    )
+    upds = (
+        o.filter((key % 10).isin(1, 2))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 6))
+        .select("*", F.lit("U").alias("op"), F.lit(1).alias("seq"))
+    )
+    ins = (
+        o.filter(key % 10 == 3)
+        .withColumn("o_orderkey", key + 100_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .select("*", F.lit("I").alias("op"), F.lit(1).alias("seq"))
+    )
+    changes = dels.unionByName(upds).unionByName(ins)
+    out = cdc_apply(o, changes, ["o_orderkey"], broadcast_changes=False)
+    return out.withColumn("o_totalprice", F.round("o_totalprice", 6))
+
+
+# ------------------------------------------- per-group sampling
+
+
+@_q(
+    "sample_k_per_group",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+        row_number() OVER (
+          PARTITION BY lang, source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 2
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic k-per-group sample: order every group by a
+    content-independent hash of the id and keep the first k — the
+    reproducible, engine-portable substitute for reservoir sampling
+    (same sample on every run, cluster size, and engine)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("doc_id", "lang", "source")
+    )
+
+
 # -------------------------------------------------- PCA projection
 
 

@@ -1417,3 +1417,63 @@ class TestPCA:
         expect = (local - lmean) @ lcomps.T
         for i in range(80):
             assert np.allclose(got[i], expect[i], atol=1e-8)
+
+
+class TestCdcApply:
+    """cdc_apply (operators/upsert.py): latest-wins collapse, delete
+    semantics, and replay idempotence."""
+
+    def _target(self, spark):
+        return spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+
+    def test_insert_update_delete(self, spark):
+        from spark_bi5_datasource_spark.operators.upsert import cdc_apply
+
+        changes = spark.createDataFrame(
+            [
+                (2, "b2", "U", 1),
+                (3, None, "D", 1),
+                (4, "d", "I", 1),
+            ],
+            "k long, v string, op string, seq long",
+        )
+        got = {
+            (r.k, r.v)
+            for r in cdc_apply(self._target(spark), changes, ["k"]).collect()
+        }
+        assert got == {(1, "a"), (2, "b2"), (4, "d")}
+
+    def test_latest_wins_and_same_seq_delete_beats_update(self, spark):
+        from spark_bi5_datasource_spark.operators.upsert import cdc_apply
+
+        changes = spark.createDataFrame(
+            [
+                (2, "x1", "U", 1),
+                (2, "x2", "U", 2),   # latest U wins over earlier U
+                (3, "y", "U", 5),
+                (3, None, "D", 5),   # same seq: D beats U
+                (1, None, "D", 1),
+                (1, "re", "I", 2),   # re-insert after delete
+            ],
+            "k long, v string, op string, seq long",
+        )
+        got = {
+            (r.k, r.v)
+            for r in cdc_apply(self._target(spark), changes, ["k"]).collect()
+        }
+        assert got == {(1, "re"), (2, "x2")}
+
+    def test_replay_idempotent(self, spark):
+        from spark_bi5_datasource_spark.operators.upsert import cdc_apply
+
+        changes = spark.createDataFrame(
+            [(2, "b2", "U", 1), (3, None, "D", 1), (4, "d", "I", 1)],
+            "k long, v string, op string, seq long",
+        )
+        once = cdc_apply(self._target(spark), changes, ["k"])
+        twice = cdc_apply(once, changes, ["k"])
+        assert {tuple(r) for r in once.collect()} == {
+            tuple(r) for r in twice.collect()
+        }
