@@ -208,3 +208,37 @@ def test_salted_join_no_broadcast_of_large(spark):
     # exploded small side is the build side
     p = plan_of(spark, "join_salted_skew")
     assert "CartesianProduct" not in p
+
+
+def test_round4_batch2_plans(spark):
+    """transitions/pagerank/sketch/entity-resolution/cdc/sample: no
+    cartesian products; Python only at the intended Arrow boundaries."""
+    for name, arrow_ok in [
+        ("events_transitions", 0),
+        ("graph_pagerank_docs", 1),      # the KNN edge GEMM
+        ("tok_vocab_sketch", 1),         # the MG sketch pass
+        ("entity_resolution_parts", 0),
+        ("cdc_apply_orders", 0),
+        ("sample_k_per_group", 0),
+    ]:
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        n_arrow = p.count("MapInPandas") + p.count("FlatMapGroupsInPandas")
+        assert n_arrow <= max(arrow_ok, p.count("FlatMapGroupsInPandas")), name
+
+
+def test_cdc_apply_target_not_shuffled_when_broadcast(spark):
+    # with broadcast_changes the target side must carry no exchange
+    from spark_bi5_datasource_spark.operators.upsert import cdc_apply
+
+    target = spark.range(1000).selectExpr("id AS k", "cast(id as string) AS v")
+    changes = spark.createDataFrame(
+        [(1, "x", "U", 1), (2, None, "D", 1)],
+        "k long, v string, op string, seq long",
+    )
+    p = (
+        cdc_apply(target, changes, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p

@@ -491,3 +491,78 @@ class TestContinuousAggregate:
         assert {key(r): val(r) for r in daily_from_stream.collect()} == {
             key(r): val(r) for r in daily_direct.collect()
         }
+
+
+def test_bi5_stream_to_ohlc_continuous_aggregate(spark, tmp_path):
+    """End-to-end flagship pipeline: the custom bi5 streaming source
+    feeds the watermarked OHLC continuous aggregate.  Append mode
+    emits a bar only once the watermark passes its window end, so the
+    test drives three incremental rounds (hour 0, hour 1, then an
+    hour-3 flush tick) and checks the two CLOSED hourly bars equal
+    the batch ohlc_bars over the same tree."""
+    from spark_bi5_datasource_spark.functions.ohlc import ohlc_bars
+
+    tree = tmp_path / "ticks" / "EURUSD" / "2020" / "0" / "1"
+    out = str(tmp_path / "bars")
+
+    def run_round():
+        ticks = (
+            spark.readStream.format("bi5")
+            .option("digits", 5)
+            .load(str(tmp_path / "ticks"))
+        )
+        bars = ohlc_bars(
+            ticks.withWatermark("ts", "1 second"),
+            "1 hour",
+            ts_col="ts",
+            price_col="bid",
+            volume_col="bid_volume",
+            by=("ticker",),
+        )
+        q = (
+            bars.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_bi5(
+        str(tree / "00h_ticks.bi5"),
+        [(0, 100000, 99990, 1.0, 1.0), (1200_000, 100040, 100000, 2.0, 1.0)],
+    )
+    run_round()
+    write_bi5(
+        str(tree / "01h_ticks.bi5"),
+        [(0, 100100, 100050, 3.0, 1.0), (60_000, 100080, 100020, 1.5, 1.0)],
+    )
+    run_round()
+    # flush: a tick two hours later advances the watermark past both
+    # earlier windows; emission lands on the FOLLOWING trigger (the
+    # watermark commits at batch end), so a second flush round drains it
+    write_bi5(str(tree / "03h_ticks.bi5"), [(0, 100200, 100100, 1.0, 1.0)])
+    run_round()
+    write_bi5(str(tree / "04h_ticks.bi5"), [(0, 100210, 100110, 1.0, 1.0)])
+    run_round()
+
+    got = {
+        (r.bar_start, r.ticker): (r.open, r.high, r.low, r.close, r.n_ticks, r.volume)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = ohlc_bars(
+        spark.read.format("bi5").option("digits", 5).load(str(tmp_path / "ticks")),
+        "1 hour",
+        ts_col="ts",
+        price_col="bid",
+        volume_col="bid_volume",
+        by=("ticker",),
+    )
+    expect = {
+        (r.bar_start, r.ticker): (r.open, r.high, r.low, r.close, r.n_ticks, r.volume)
+        for r in batch_df.collect()
+        if r.bar_start.hour < 2  # hours 3-4 are still open upstream
+    }
+    assert len(expect) == 2
+    assert got == expect
