@@ -1,5 +1,6 @@
 from .ann_shard import ann_topk_gemm
 from .asof_join import asof_join
+from .bloom import bloom_semi_join
 from .components import connected_components, dedup_by_components
 from .dedup import (
     exact_dedup,
@@ -29,6 +30,7 @@ from .zorder import zorder_write, zvalue, zvalue_sql
 __all__ = [
     "ann_topk_gemm",
     "asof_join",
+    "bloom_semi_join",
     "cdc_apply",
     "connected_components",
     "cosine_pairs",

@@ -31,7 +31,7 @@ DRIVER_WINDOW: list[str] = [
     "window_running_total", "agg_cube_gsets",
     "events_daily_ohlc", "events_sessionize", "multimodal_features",
     # LLM-pipeline anchors
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_minhash",
     "dedup_embedding", "dedup_components", "text_stats",
     "text_chunk_pack", "sim_cosine_topk",
     "sim_ivf_exact", "sim_gemm_topk",
@@ -47,7 +47,7 @@ DRIVER_WINDOW: list[str] = [
     "split_hash_docs", "events_anomaly_mad", "tok_vocab_topk",
     "graph_pagerank_docs", "join_salted_skew", "events_transitions",
     "events_concurrency", "tok_vocab_sketch", "entity_resolution_parts",
-    "cdc_apply_orders", "sample_k_per_group",
+    "cdc_apply_orders", "sample_k_per_group", "join_bloom_prune",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

@@ -394,6 +394,37 @@ def events_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.max("c").cast("bigint").alias("max_concurrent"))
 
 
+# --------------------------------------------- bloom-pruned semi-join
+
+
+@_q(
+    "join_bloom_prune",
+    # oracle = the plain semi-join: bloom false positives must be
+    # invisible in the output
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0
+    )
+    """,
+)
+def join_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime-filter pattern (operators/bloom.py): a 1%-selectivity
+    semi-join where the bloom bitmap prunes the fact side in codegen
+    BEFORE the join — shuffle volume ∝ selectivity, exactness restored
+    by the final semi-join."""
+    from ..operators.bloom import bloom_semi_join
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    keys = t(spark, sf, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    return bloom_semi_join(li, keys, "l_orderkey")
+
+
 # ------------------------------------------------- batch CDC apply
 
 
