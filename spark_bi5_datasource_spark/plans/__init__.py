@@ -28,12 +28,12 @@ DRIVER_WINDOW: list[str] = [
     # core relational / Tier B anchors
     "b5_groupby_count", "q1_pricing_summary", "q3_top_revenue_orders",
     "q5_region_revenue", "join_asof_events_orders",
-    "window_running_total", "agg_cube_gsets",
+    "agg_cube_gsets",
     "events_daily_ohlc", "events_sessionize", "multimodal_features",
     # LLM-pipeline anchors
     "dedup_ngram_jaccard", "dedup_minhash",
     "dedup_embedding", "dedup_components", "text_stats",
-    "text_chunk_pack", "sim_cosine_topk",
+    "sim_cosine_topk",
     "sim_ivf_exact", "sim_gemm_topk",
     # round-3 operators — first driver exposure
     "sample_stratified", "text_decontaminate", "text_tfidf_topterms",
@@ -48,6 +48,7 @@ DRIVER_WINDOW: list[str] = [
     "graph_pagerank_docs", "join_salted_skew", "events_transitions",
     "events_concurrency", "tok_vocab_sketch", "entity_resolution_parts",
     "cdc_apply_orders", "sample_k_per_group", "join_bloom_prune",
+    "window_rolling_median", "profile_lineitem",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

@@ -394,6 +394,106 @@ def events_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.max("c").cast("bigint").alias("max_concurrent"))
 
 
+# ----------------------------------------------- rolling median
+
+
+@_q(
+    "window_rolling_median",
+    """
+    SELECT event_id, event_type, value,
+      round(median(value) OVER (
+        PARTITION BY event_type ORDER BY ts, event_id
+        ROWS BETWEEN 99 PRECEDING AND CURRENT ROW), 6) AS med
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling median (100-row trailing frame) per event type — the
+    order-statistic window the moving-average family can't fake.
+    Exact within the frame; both engines interpolate even-count
+    medians identically (pinned by the hash match)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med"),
+    )
+
+
+# ------------------------------------------------- data profiling
+
+
+_PROFILE_NUMERIC = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+_PROFILE_OTHER = ["l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for c in _PROFILE_NUMERIC:
+        branches.append(
+            f"SELECT '{c}' AS col_name,"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f"   AS n_nulls,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" round(CAST(min({c}) AS DOUBLE), 6) AS min_d,"
+            f" round(CAST(max({c}) AS DOUBLE), 6) AS max_d FROM lineitem"
+        )
+    for c in _PROFILE_OTHER:
+        branches.append(
+            f"SELECT '{c}',"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
+            f" CAST(count(DISTINCT {c}) AS BIGINT),"
+            f" CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem"
+        )
+    return " UNION ALL ".join(branches)
+
+
+@_q("profile_lineitem", _profile_oracle())
+def profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profiling (null counts, exact distinct counts, numeric
+    ranges) in ONE scan: all per-column measures ride a single
+    aggregate, then unpivot to a row per column.  The multi-
+    count_distinct EXPAND is the standard profiling cost; at 100 TB
+    swap in approx_count_distinct (agg_approx_sketches is that tier).
+    The oracle computes each column independently — a hash match
+    certifies the fused single-pass plan."""
+    li = t(spark, sf, "lineitem")
+    aggs, structs = [], []
+    for c in _PROFILE_NUMERIC + _PROFILE_OTHER:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        if c in _PROFILE_NUMERIC:
+            aggs.append(F.round(F.min(c).cast("double"), 6).alias(f"mn_{c}"))
+            aggs.append(F.round(F.max(c).cast("double"), 6).alias(f"mx_{c}"))
+    one = li.agg(*aggs)
+    for c in _PROFILE_NUMERIC + _PROFILE_OTHER:
+        mn = F.col(f"mn_{c}") if c in _PROFILE_NUMERIC else F.lit(None).cast("double")
+        mx = F.col(f"mx_{c}") if c in _PROFILE_NUMERIC else F.lit(None).cast("double")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                mn.alias("min_d"),
+                mx.alias("max_d"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
 # --------------------------------------------- bloom-pruned semi-join
 
 
