@@ -23,25 +23,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gap_fill"]
+__all__ = ["gap_fill", "gap_fill_linear"]
 
 
-def gap_fill(
+def _dense_grid(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     value_col: str,
-    bucket: str = "1 hour",
-    agg: str = "avg",
+    bucket: str,
+    agg: str,
 ) -> DataFrame:
-    """Bucket ``ts_col`` per ``key_col``, densify to the full
-    [min, max] grid of the whole frame, and forward-fill missing
-    buckets with the last observed aggregate.
-
-    Returns ``{key}, bucket_ts, value (forward-filled), is_gap``.
-    Leading buckets before a key's first observation stay NULL (there
-    is nothing to carry forward) with ``is_gap = true``.
-    """
+    """Shared grid machinery: bucket + aggregate observations, then
+    left-join them onto the full [min, max] per-key grid.  Returns
+    ``_k, _t, _obs`` (``_obs`` NULL on gap slots)."""
     bucketed = (
         df.select(
             F.col(key_col).alias("_k"),
@@ -65,20 +60,94 @@ def gap_fill(
             F.sequence("_lo", "_hi", F.expr(f"INTERVAL {bucket}"))
         ).alias("_t"),
     )
+    return grid.join(bucketed, ["_k", "_t"], "left")
 
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+    agg: str = "avg",
+) -> DataFrame:
+    """Bucket ``ts_col`` per ``key_col``, densify to the full
+    [min, max] grid of the whole frame, and forward-fill missing
+    buckets with the last observed aggregate.
+
+    Returns ``{key}, bucket_ts, value (forward-filled), is_gap``.
+    Leading buckets before a key's first observation stay NULL (there
+    is nothing to carry forward) with ``is_gap = true``.
+    """
+    dense = _dense_grid(df, key_col, ts_col, value_col, bucket, agg)
     w = (
         Window.partitionBy("_k")
         .orderBy("_t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        grid.join(bucketed, ["_k", "_t"], "left")
-        .withColumn("is_gap", F.col("_obs").isNull())
+        dense.withColumn("is_gap", F.col("_obs").isNull())
         .withColumn("value", F.last("_obs", ignorenulls=True).over(w))
         .select(
             F.col("_k").alias(key_col),
             F.col("_t").alias("bucket_ts"),
             "value",
             "is_gap",
+        )
+    )
+
+
+def gap_fill_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+    agg: str = "avg",
+) -> DataFrame:
+    """Like :func:`gap_fill` but interior gaps are *linearly
+    interpolated* between the surrounding observations (time-weighted,
+    exact µs arithmetic); boundary gaps — before the first or after
+    the last observation of a key — stay NULL (strict interpolation
+    never extrapolates).
+
+    Two window passes (last-non-null looking back, first-non-null
+    looking forward) carry ``(t, v)`` structs, so state per task is
+    one struct per direction regardless of gap length.
+    """
+    dense = _dense_grid(df, key_col, ts_col, value_col, bucket, agg)
+    obs_pt = F.when(
+        F.col("_obs").isNotNull(),
+        F.struct(F.col("_t").alias("t"), F.col("_obs").alias("v")),
+    )
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy("_t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev, nxt = F.col("_prev"), F.col("_next")
+    frac = (
+        F.unix_micros(F.col("_t")) - F.unix_micros(prev["t"])
+    ) / (F.unix_micros(nxt["t"]) - F.unix_micros(prev["t"]))
+    interpolated = (
+        F.when(F.col("_obs").isNotNull(), F.col("_obs"))
+        .when(
+            prev.isNotNull() & nxt.isNotNull(),
+            prev["v"] + (nxt["v"] - prev["v"]) * frac,
+        )
+    )
+    return (
+        dense.withColumn("_prev", F.last(obs_pt, ignorenulls=True).over(wb))
+        .withColumn("_next", F.first(obs_pt, ignorenulls=True).over(wf))
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_t").alias("bucket_ts"),
+            interpolated.alias("value"),
+            F.col("_obs").isNull().alias("is_gap"),
         )
     )

@@ -21,7 +21,14 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_norm", "cosine_topk", "rp_signature", "rp_lsh_topk", "cosine_pairs"]
+__all__ = [
+    "with_norm",
+    "cosine_topk",
+    "cosine_radius",
+    "rp_signature",
+    "rp_lsh_topk",
+    "cosine_pairs",
+]
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 _NORM = "sqrt(aggregate({v}, 0D, (acc, x) -> acc + x * x))"
@@ -65,6 +72,50 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_radius(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Range search: every corpus vector within cosine ``threshold``
+    of each query — the fixed-radius twin of :func:`cosine_topk`
+    (retrieval wants top-k; dedup/recall audits want *all* matches
+    above a similarity floor, however many).
+
+    Same scale shape as the top-k tier: query side broadcast, corpus
+    scanned once with the dot product in codegen, and — unlike top-k
+    — **no window at all**: the threshold filter is applied directly
+    on the scan, so output size is the only cost of a permissive
+    radius."""
+    c = with_norm(corpus, vec_col).filter(F.col("norm") > 0).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col("__v").alias("__cv"),
+        F.col("norm").alias("__cn"),
+    )
+    q = with_norm(queries, vec_col).filter(F.col("norm") > 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("norm").alias("__qn"),
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col("query_id") != F.col("nbr_id"))
+    return (
+        joined.withColumn(
+            "cosine",
+            F.expr(_DOT.format(a="__cv", b="__qv"))
+            / (F.col("__cn") * F.col("__qn")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            "query_id", "nbr_id", F.round("cosine", 6).alias("cosine")
+        )
     )
 
 

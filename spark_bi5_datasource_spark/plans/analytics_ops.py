@@ -1,0 +1,482 @@
+"""Round-4b analytics catalog: corpus statistics (repetition quality,
+inverted index, PMI collocations), engagement analytics (DAU/WAU),
+linear-interpolation gap fill, int8 embedding quantization
+(mapInArrow), cosine radius search, and the SQL-API surface
+(spark.sql over registered views).
+
+Oracle policy matches llm_ops/curation_ops: every operator is
+deterministic and SQL-expressible, so each carries an exact DuckDB
+twin.  Fractions/logs are rounded to 6 decimals AFTER identical
+arithmetic shapes on both engines; counts stay exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import t
+
+ANALYTICS_OPS: dict[str, tuple] = {}
+
+
+def _q(name: str, sql: str | None, bench: bool = False):
+    def wrap(fn):
+        ANALYTICS_OPS[name] = (fn, sql, bench)
+        return fn
+
+    return wrap
+
+
+# one tokenization, bound as a column so every downstream branch
+# (counts, gram generators) reads the materialized array — the same
+# no-re-tokenize discipline as functions/text.py
+_TKS = "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+
+
+# ------------------------------------------- repetition quality stats
+
+
+@_q(
+    "text_repetition_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS tks
+      FROM documents
+    ), dd AS (
+      SELECT doc_id, tks, len(tks) AS n_tokens FROM d WHERE len(tks) >= 3
+    ), bg AS (
+      SELECT doc_id, tks[i] || ' ' || tks[i+1] AS g
+      FROM dd, unnest(generate_series(1, len(tks) - 1)) AS u(i)
+    ), bgc AS (
+      SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+    ), bgs AS (
+      SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY 1
+    ), tg AS (
+      SELECT doc_id, tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2] AS g
+      FROM dd, unnest(generate_series(1, len(tks) - 2)) AS u(i)
+    ), tgc AS (
+      SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2
+    ), tgs AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup,
+             sum(c) AS tot
+      FROM tgc GROUP BY 1
+    )
+    SELECT dd.doc_id, CAST(dd.n_tokens AS BIGINT) AS n_tokens,
+           round(bgs.mx / bgs.tot, 6) AS top_bigram_frac,
+           round(tgs.dup / tgs.tot, 6) AS dup_trigram_frac
+    FROM dd JOIN bgs USING (doc_id) JOIN tgs USING (doc_id)
+    """,
+    bench=True,
+)
+def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    share of bigram mass held by the single most frequent bigram
+    (boilerplate detector) and the share of trigram occurrences that
+    are repeats (template/spam detector).  One tokenization, ONE
+    explode for both gram sizes (kind-tagged structs), two hash
+    aggregations keyed on doc — shuffle ∝ distinct grams per doc."""
+    d = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.expr(_TKS).alias("tks"))
+        .filter(F.size("tks") >= 3)
+    )
+    grams = d.select(
+        "doc_id",
+        F.size("tks").alias("n_tokens"),
+        F.explode(
+            F.concat(
+                F.expr(
+                    "transform(sequence(1, size(tks) - 1), i -> "
+                    "named_struct('kind', 'bg', 'g', "
+                    "concat(element_at(tks, i), ' ', element_at(tks, i + 1))))"
+                ),
+                F.expr(
+                    "transform(sequence(1, size(tks) - 2), i -> "
+                    "named_struct('kind', 'tg', 'g', "
+                    "concat(element_at(tks, i), ' ', element_at(tks, i + 1), "
+                    "' ', element_at(tks, i + 2))))"
+                ),
+            )
+        ).alias("kg"),
+    )
+    counts = grams.groupBy(
+        "doc_id", "n_tokens", F.col("kg.kind").alias("kind"), F.col("kg.g").alias("g")
+    ).agg(F.count("*").alias("c"))
+    bg, tg = F.col("kind") == "bg", F.col("kind") == "tg"
+    stats = counts.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.when(bg, F.col("c"))).alias("bg_mx"),
+        F.sum(F.when(bg, F.col("c"))).alias("bg_tot"),
+        F.coalesce(
+            F.sum(F.when(tg & (F.col("c") > 1), F.col("c"))), F.lit(0)
+        ).alias("tg_dup"),
+        F.sum(F.when(tg, F.col("c"))).alias("tg_tot"),
+    )
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("bg_mx") / F.col("bg_tot"), 6).alias("top_bigram_frac"),
+        F.round(F.col("tg_dup") / F.col("tg_tot"), 6).alias("dup_trigram_frac"),
+    )
+
+
+# ------------------------------------------------------ inverted index
+
+
+@_q(
+    "text_inverted_index",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), p AS (
+      SELECT DISTINCT doc_id, tok FROM toks
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS df,
+           array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings
+    FROM p GROUP BY tok
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted index: token -> document frequency + the first 20
+    postings (sorted doc ids) — the retrieval-side complement of
+    tok_vocab_topk.  Distinct (tok, doc) pairs shuffle once on token;
+    posting lists are built by collect_list AFTER the distinct, so
+    list size is bounded by df (truncated to 20 here; at 100 TB the
+    truncation bound is what keeps hot stopword rows from dominating
+    — df itself stays exact)."""
+    docs = t(spark, sf, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(F.expr(_TKS)).alias("tok"))
+        .distinct()
+    )
+    return pairs.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        # joined as a string: a value the driver's cross-engine hash
+        # treats identically (list-typed cells stringify differently
+        # in the two engines' pandas paths)
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+# --------------------------------------------------- PMI collocations
+
+
+@_q(
+    "text_pmi_bigrams",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS tks
+      FROM documents
+    ), dd AS (
+      SELECT doc_id, tks FROM d WHERE len(tks) >= 2
+    ), toks AS (
+      SELECT unnest(tks) AS tok FROM dd
+    ), u AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY 1
+    ), n1 AS (
+      SELECT sum(c) AS n FROM u
+    ), bg AS (
+      SELECT tks[i] AS w1, tks[i+1] AS w2
+      FROM dd, unnest(generate_series(1, len(tks) - 1)) AS t(i)
+    ), b AS (
+      SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2
+    ), m1 AS (
+      SELECT sum(c_ab) AS m FROM b
+    )
+    SELECT b.w1, b.w2, b.c_ab,
+           round(ln((b.c_ab / m1.m) /
+                    ((ua.c / n1.n) * (ub.c / n1.n))), 6) AS pmi
+    FROM b
+    JOIN u ua ON ua.tok = b.w1
+    JOIN u ub ON ub.tok = b.w2
+    CROSS JOIN n1 CROSS JOIN m1
+    WHERE b.c_ab >= 5
+    ORDER BY ln((b.c_ab / m1.m) / ((ua.c / n1.n) * (ub.c / n1.n))) DESC,
+             b.w1, b.w2
+    LIMIT 50
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 adjacent-token collocations by pointwise mutual
+    information — ln(p(ab) / (p(a)·p(b))) with exact corpus counts.
+    The heavy work is two hash aggregations over the token/bigram
+    streams; the PMI join touches only the distinct-bigram table,
+    with unigram counts and the two scalar totals broadcast."""
+    d = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.expr(_TKS).alias("tks"))
+        .filter(F.size("tks") >= 2)
+    )
+    toks = d.select(F.explode("tks").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n1 = uni.agg(F.sum("c").alias("n"))
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tks) - 1), i -> named_struct("
+                "'w1', element_at(tks, i), 'w2', element_at(tks, i + 1)))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    b = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    m1 = b.agg(F.sum("c_ab").alias("m"))
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab") / F.col("m"))
+        / ((F.col("c_a") / F.col("n")) * (F.col("c_b") / F.col("n")))
+    )
+    return (
+        b.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(m1))
+        .withColumn("_pmi", pmi)
+        .orderBy(F.col("_pmi").desc(), "w1", "w2")
+        .limit(50)
+        .select("w1", "w2", "c_ab", F.round("_pmi", 6).alias("pmi"))
+    )
+
+
+# ------------------------------------------------------ active users
+
+
+@_q(
+    "events_active_users",
+    """
+    WITH d AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             user_id
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM d
+    ), dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY 1
+    ), wau AS (
+      SELECT g.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS wau
+      FROM days g
+      JOIN d ON d.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+      GROUP BY 1
+    )
+    SELECT day, dau.dau, wau.wau FROM dau JOIN wau USING (day)
+    """,
+    bench=True,
+)
+def events_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per observed day.  The oracle uses
+    the textbook range join (days x distinct-pairs); the Spark plan
+    is the scalable rewrite — each distinct (day, user) pair explodes
+    to its <=7 future grid days (map-side, no inequality join), so
+    everything downstream is equi-keyed hash aggregation.  A hash
+    match certifies the rewrite."""
+    e = t(spark, sf, "events")
+    d = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = d.select("day").distinct()
+    dau = d.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    exp = d.select(
+        F.explode(
+            F.expr("sequence(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)")
+        ).alias("day"),
+        "user_id",
+    )
+    wau = (
+        exp.join(days, "day", "semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+# ------------------------------------------- linear-interpolated fill
+
+
+@_q(
+    "events_gap_fill_linear",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS tt, avg(value) AS obs
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(tt) AS lo, max(tt) AS hi FROM b
+    ), grid AS (
+      SELECT k.event_type, g.tt
+      FROM (SELECT DISTINCT event_type FROM b) k,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS tt
+            FROM bounds) g
+    ), dense AS (
+      SELECT grid.event_type, grid.tt, b.obs,
+        last_value(CASE WHEN b.obs IS NOT NULL
+                        THEN {'t': grid.tt, 'v': b.obs} END IGNORE NULLS)
+          OVER (PARTITION BY grid.event_type ORDER BY grid.tt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        first_value(CASE WHEN b.obs IS NOT NULL
+                         THEN {'t': grid.tt, 'v': b.obs} END IGNORE NULLS)
+          OVER (PARTITION BY grid.event_type ORDER BY grid.tt
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM grid LEFT JOIN b
+        ON b.event_type = grid.event_type AND b.tt = grid.tt
+    )
+    SELECT event_type, tt AS bucket_ts,
+      round(CASE
+        WHEN obs IS NOT NULL THEN obs
+        WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN
+          prev.v + (nxt.v - prev.v) *
+            ((epoch_us(tt) - epoch_us(prev.t)) /
+             (epoch_us(nxt.t) - epoch_us(prev.t)))
+      END, 6) AS value,
+      obs IS NULL AS is_gap
+    FROM dense
+    """,
+)
+def events_gap_fill_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly per-type grid with interior gaps linearly interpolated
+    (time-weighted between the surrounding observations); boundary
+    gaps stay NULL (functions/timeseries.py gap_fill_linear)."""
+    from ..functions.timeseries import gap_fill_linear
+
+    filled = gap_fill_linear(
+        t(spark, sf, "events"), "event_type", "ts", "value", "1 hour"
+    )
+    return filled.select(
+        "event_type",
+        "bucket_ts",
+        F.round("value", 6).alias("value"),
+        "is_gap",
+    )
+
+
+# ------------------------------------------------- int8 quantization
+
+
+@_q(
+    "sim_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> abs(x))) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+      round(CASE WHEN mx > 0 THEN mx ELSE 0.0 END, 6) AS scale,
+      array_to_string(
+        CASE WHEN mx > 0
+             THEN list_transform(e, x -> CAST(floor(x * 127.0 / mx + 0.5)
+                                              AS INT))
+             ELSE list_transform(e, x -> 0) END, ',') AS qvec
+    FROM s
+    """,
+    bench=True,
+)
+def sim_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column via
+    mapInArrow (operators/quantize.py) — the 4x memory tier for
+    ANN at corpus scale.  The kernel is one vectorized NumPy pass per
+    Arrow batch; the oracle recomputes the same floor-based half-up
+    arithmetic in SQL, so the hash match pins the Arrow boundary
+    end-to-end (offsets, casts, rounding)."""
+    from ..operators.quantize import quantize_int8
+
+    emb = t(spark, sf, "embeddings")
+    out = quantize_int8(emb, "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec"),
+    )
+
+
+# ------------------------------------------------------ radius search
+
+
+_DOT_D = (
+    "list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), x -> x[1] * x[2]))"
+)
+
+
+@_q(
+    "sim_radius_search",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT b.vec_id AS query_id, a.vec_id AS nbr_id,
+      round({_DOT_D} / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a, n b
+    WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+      AND {_DOT_D} / (a.nrm * b.nrm) >= 0.3
+    """,
+)
+def sim_radius_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-radius cosine search (all corpus vectors with cosine >=
+    0.3 of the first 10 queries) — the range-search twin of
+    sim_cosine_topk: no window, no k, output bounded only by the
+    similarity floor (operators/similarity.py cosine_radius)."""
+    from ..operators.similarity import cosine_radius
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_radius(emb, queries, threshold=0.3)
+
+
+# ---------------------------------------------------- SQL-API surface
+
+
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           (CAST(SUM(CAST(round(volume * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000.0) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM {p}supplier s
+      JOIN {p}lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN {p}orders o ON o.o_orderkey = l.l_orderkey
+      JOIN {p}customer c ON c.c_custkey = o.o_custkey
+      JOIN {p}nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN {p}nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                             AND TIMESTAMP '1996-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@_q("sql_tpch_q7", _Q7_SQL.format(p=""))
+def sql_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q7 (volume shipping between two nations) run through the
+    *SQL interface*: fixture tables registered as temp views, the
+    query submitted verbatim via spark.sql — same Catalyst plan
+    space as the DataFrame API (broadcast dims, partial+final agg),
+    certifying the engine's SQL entry point against the identical
+    DuckDB text.  Money sums use the scaled-long idiom (exact,
+    order-independent)."""
+    for tb in ("supplier", "lineitem", "orders", "customer", "nation"):
+        t(spark, sf, tb).createOrReplaceTempView(f"q7_{tb}")
+    return spark.sql(_Q7_SQL.format(p="q7_"))

@@ -242,3 +242,36 @@ def test_cdc_apply_target_not_shuffled_when_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_round4b_analytics_plans(spark):
+    """Round-4b ops: Python only at the one intended Arrow boundary
+    (int8 quantization), no cartesian products, and the active-users
+    rewrite must stay equi-keyed (no nested-loop range join)."""
+    for name in [
+        "text_repetition_stats", "text_inverted_index",
+        "text_pmi_bigrams", "events_active_users", "sql_tpch_q7",
+    ]:
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "MapInArrow" not in p and "MapInPandas" not in p, name
+        assert "CartesianProduct" not in p, name
+
+    # the whole point of the explode rewrite: WAU is hash-keyed
+    p = plan_of(spark, "events_active_users")
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # quantization: exactly one Arrow boundary, nothing else
+    p = plan_of(spark, "sim_quantize_int8")
+    assert p.count("MapInArrow") == 1
+    assert "Exchange" not in p  # pure per-batch map: no shuffle at all
+
+    # SQL API lands in the same plan space: dims broadcast
+    p = plan_of(spark, "sql_tpch_q7")
+    assert "BroadcastHashJoin" in p
+
+    # linear fill: same shape as forward fill (grid BNLJ is the
+    # 1-row bounds broadcast; windows, no Python)
+    p = plan_of(spark, "events_gap_fill_linear")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
