@@ -144,6 +144,9 @@ _SCALED_QUERIES = [
     "events_concurrency",
     "tok_vocab_topk",
     "tok_vocab_sketch",
+    "text_repetition_stats",
+    "events_active_users",
+    "sim_quantize_int8",
 ]
 
 

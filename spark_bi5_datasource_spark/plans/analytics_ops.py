@@ -468,6 +468,263 @@ _Q7_SQL = """
 """
 
 
+# ------------------------------------------------ LM quality score
+
+
+@_q(
+    "text_lm_perplexity",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS tks
+      FROM documents
+    ), dd AS (
+      SELECT doc_id, tks FROM d WHERE len(tks) >= 2
+    ), toks AS (
+      SELECT unnest(tks) AS tok FROM dd
+    ), u AS (
+      SELECT tok, count(*) AS cu FROM toks GROUP BY 1
+    ), v1 AS (
+      SELECT count(*) AS v FROM u
+    ), db AS (
+      SELECT doc_id, tks[i] AS w1, tks[i+1] AS w2
+      FROM dd, unnest(generate_series(1, len(tks) - 1)) AS t(i)
+    ), cb AS (
+      SELECT w1, w2, count(*) AS cb FROM db GROUP BY 1, 2
+    ), scored AS (
+      SELECT db.doc_id,
+        CAST(round(ln((cb.cb + 1) / (u.cu + v1.v)) * 1000000)
+             AS BIGINT) AS q
+      FROM db
+      JOIN cb USING (w1, w2)
+      JOIN u ON u.tok = db.w1
+      CROSS JOIN v1
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      round((CAST(sum(q) AS DOUBLE) / 1000000.0) / count(*), 6)
+        AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style language-model quality score: train an add-1
+    bigram LM on the corpus itself, then score each document by its
+    mean log-probability — the classic perplexity filter that ranks
+    fluent text above gibberish.  Per-bigram log-probs are scaled to
+    integer millionths BEFORE summation so the per-doc mean is exact
+    and order-independent (FP addition order would otherwise differ
+    between engines and partitionings).
+
+    Scale shape: two corpus-wide count aggregations (the LM), then
+    one equi-join of the doc-bigram stream against the bigram counts
+    — shuffle keyed on the gram, the same profile as the vocabulary
+    ops; unigram counts and V ride along broadcast."""
+    d = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.expr(_TKS).alias("tks"))
+        .filter(F.size("tks") >= 2)
+    )
+    toks = d.select(F.explode("tks").alias("tok"))
+    u = toks.groupBy("tok").agg(F.count("*").alias("cu"))
+    v1 = u.agg(F.count("*").alias("v"))
+    db = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tks) - 1), i -> named_struct("
+                "'w1', element_at(tks, i), 'w2', element_at(tks, i + 1)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cb = db.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    scored = (
+        db.join(cb, ["w1", "w2"])
+        .join(F.broadcast(u.withColumnRenamed("tok", "w1")), "w1")
+        .crossJoin(F.broadcast(v1))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("cb") + 1) / (F.col("cu") + F.col("v")))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(
+            (F.sum("q").cast("double") / 1_000_000.0) / F.count("*"), 6
+        ).alias("avg_logp"),
+    )
+
+
+# ---------------------------------------------------- BM25 retrieval
+
+
+_BM25_QUERIES = [
+    ("q1", ["spark", "join", "fast"]),
+    ("q2", ["customer", "order", "table"]),
+    ("q3", ["slow", "scan"]),
+]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    qrows = " UNION ALL ".join(
+        f"SELECT '{qid}' AS qid, '{tok}' AS tok"
+        for qid, toks in _BM25_QUERIES
+        for tok in toks
+    )
+    return f"""
+    WITH q AS ({qrows}),
+    d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS tks
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(tks) AS tok FROM d
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, len(tks) AS dl FROM d
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), df AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1
+    ), terms AS (
+      -- k1/b forced to DOUBLE: DuckDB would otherwise evaluate the
+      -- 1.2 literal in exact DECIMAL arithmetic, one ulp off Spark's
+      -- binary double
+      SELECT q.qid, tf.doc_id,
+        CAST(round(
+          ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+          (tf.tf * (CAST({_BM25_K1} AS DOUBLE) + 1)) /
+          (tf.tf + CAST({_BM25_K1} AS DOUBLE) *
+            (1 - CAST({_BM25_B} AS DOUBLE)
+               + CAST({_BM25_B} AS DOUBLE) * dl.dl / stats.avgdl))
+          * 1000000) AS BIGINT) AS q
+      FROM q
+      JOIN tf USING (tok)
+      JOIN df USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ), scores AS (
+      SELECT qid, doc_id, sum(q) AS sq FROM terms GROUP BY 1, 2
+    )
+    SELECT qid, doc_id,
+      round(CAST(sq AS DOUBLE) / 1000000.0, 6) AS score,
+      CAST(row_number() OVER (
+        PARTITION BY qid ORDER BY sq DESC, doc_id) AS INT) AS rank
+    FROM scores QUALIFY rank <= 10
+    """
+
+
+@_q("text_bm25_topk", _bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for a fixed query set — the sparse
+    (lexical) tier of the retrieval stack, complementing the dense
+    tiers (cosine/LSH/IVF/GEMM).  Per-term contributions are scaled
+    to integer millionths before the per-(query, doc) sum, so scores
+    — and the rank order, which sorts the exact integer — are
+    deterministic across engines and partitionings.
+
+    Scale shape: tf/df/dl are corpus aggregations (the index); the
+    scoring join touches only postings of query terms — the classic
+    term-at-a-time evaluation, shuffle ∝ matched postings, with the
+    tiny query relation broadcast."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    d = docs.select("doc_id", F.expr(_TKS).alias("tks"))
+    toks = d.select("doc_id", F.explode("tks").alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = d.select("doc_id", F.size("tks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    q = spark.createDataFrame(
+        [(qid, tok) for qid, toks_ in _BM25_QUERIES for tok in toks_],
+        "qid string, tok string",
+    )
+    k1, b = _BM25_K1, _BM25_B
+    term_score = (
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * (F.col("tf") * (k1 + 1))
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    terms = (
+        tf.join(F.broadcast(q), "tok")
+        .join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(term_score * 1_000_000).cast("bigint").alias("q"),
+        )
+    )
+    scores = terms.groupBy("qid", "doc_id").agg(F.sum("q").alias("sq"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sq").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "qid",
+            "doc_id",
+            F.round(F.col("sq").cast("double") / 1_000_000.0, 6).alias(
+                "score"
+            ),
+            "rank",
+        )
+    )
+
+
+# ------------------------------------------- correlated subqueries
+
+
+_EXISTS_SQL = """
+    SELECT c.c_custkey, c.c_name
+    FROM {p}customer c
+    WHERE EXISTS (
+        SELECT 1 FROM {p}orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM {p}orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '5-LOW'
+      )
+"""
+
+
+@_q("sql_exists_subquery", _EXISTS_SQL.format(p=""))
+def sql_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL interface:
+    customers with at least one urgent order and no low-priority
+    order.  Catalyst decorrelates both subqueries into a left-semi
+    and a left-anti hash join (pinned by the plan test) — the
+    subquery surface users port first when switching engines."""
+    for tb in ("customer", "orders"):
+        t(spark, sf, tb).createOrReplaceTempView(f"ex_{tb}")
+    return spark.sql(_EXISTS_SQL.format(p="ex_"))
+
+
+# ---------------------------------------------------- SQL-API surface
+
+
 @_q("sql_tpch_q7", _Q7_SQL.format(p=""))
 def sql_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H q7 (volume shipping between two nations) run through the

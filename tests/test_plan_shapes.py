@@ -275,3 +275,18 @@ def test_round4b_analytics_plans(spark):
     p = plan_of(spark, "events_gap_fill_linear")
     assert "BroadcastNestedLoopJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_lm_bm25_exists_plans(spark):
+    """LM scoring / BM25 / EXISTS-subquery: pure Catalyst (no Python),
+    no cartesians; the correlated subqueries must decorrelate into
+    semi + anti hash joins."""
+    for name in ["text_lm_perplexity", "text_bm25_topk"]:
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "MapInArrow" not in p and "MapInPandas" not in p, name
+        assert "CartesianProduct" not in p, name
+
+    p = plan_of(spark, "sql_exists_subquery")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
