@@ -722,6 +722,151 @@ def sql_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_EXISTS_SQL.format(p="ex_"))
 
 
+# ------------------------------------------- scalar correlated subquery
+
+
+_SCALAR_SQL = """
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
+    FROM {p}orders o
+    WHERE o.o_totalprice = (
+      SELECT max(o2.o_totalprice) FROM {p}orders o2
+      WHERE o2.o_orderpriority = o.o_orderpriority
+    )
+"""
+
+
+@_q("sql_scalar_subquery", _SCALAR_SQL.format(p=""))
+def sql_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated *scalar* subquery through the SQL interface (orders
+    matching their priority class's maximum price) — the aggregate
+    decorrelation shape, complementing sql_exists_subquery's
+    semi/anti shape: Catalyst rewrites it to a grouped max + join,
+    never a per-row re-scan."""
+    t(spark, sf, "orders").createOrReplaceTempView("sc_orders")
+    return spark.sql(_SCALAR_SQL.format(p="sc_"))
+
+
+# ---------------------------------------------- seasonal profile
+
+
+@_q(
+    "events_seasonal_profile",
+    # mean/stddev from exact scaled-integer sums: a plain avg() of
+    # doubles depends on addition order, and at a .00005 rounding
+    # boundary Spark's partial-agg sum and DuckDB's serial sum land
+    # on opposite sides (observed at sf0.001)
+    """
+    WITH s AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+        CAST(count(*) AS BIGINT) AS n,
+        sum(CAST(round(value * 10000) AS BIGINT)) AS sq,
+        sum(CAST(round(value * 10000) AS BIGINT)
+            * CAST(round(value * 10000) AS BIGINT)) AS sqq
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hod, n,
+      round(CAST(sq AS DOUBLE) / n) / 10000 AS mu,
+      CASE WHEN n > 1 THEN
+        round(sqrt((CAST(sqq AS DOUBLE)
+                    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+                   / (n - 1))) / 10000
+      END AS sd
+    FROM s
+    """,
+)
+def events_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type (the baseline
+    table a seasonality-aware anomaly detector joins against —
+    events_anomaly_mad is the season-blind robust twin).  One hash
+    aggregation; output is |types| x 24 rows regardless of input
+    volume.
+
+    Mean/stddev accumulate value*1e4 as exact BIGINTs (fixture values
+    carry <=4 decimals) so both moments are order-independent and
+    engine-identical; the sum-of-squares fits bigint up to ~1e18 /
+    (1e4*max|v|)^2 rows per group — at the 100-TB tier swap to
+    Welford partials or decimal accumulation."""
+    e = t(spark, sf, "events")
+    q = F.round(F.col("value") * 10000).cast("bigint")
+    s = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sqq"),
+    )
+    n, sq, sqq = F.col("n"), F.col("sq").cast("double"), F.col("sqq").cast("double")
+    # round to INTEGER in the 1e4-scaled space, then divide back:
+    # half-integers are exactly representable doubles, so both engines
+    # round the identical value — whereas round(x, 4) on a double at a
+    # .00005 boundary diverges (Spark rounds the shortest decimal
+    # repr, DuckDB the binary value; observed at sf0.001)
+    return s.select(
+        "event_type",
+        "hod",
+        "n",
+        (F.round(sq / n) / 10000).alias("mu"),
+        F.when(
+            n > 1, F.round(F.sqrt((sqq - sq * sq / n) / (n - 1))) / 10000
+        ).alias("sd"),
+    )
+
+
+# ---------------------------------------------- trigram-index grep
+
+
+_GREP_PATTERN = "slow scan"
+
+
+def _pattern_trigrams(p: str) -> list[str]:
+    return sorted({p[i : i + 3] for i in range(len(p) - 2)})
+
+
+@_q(
+    "text_grep_trigram",
+    # oracle = the naive full-scan contains(): a hash match proves the
+    # trigram blocking recalled every matching document
+    f"""
+    SELECT doc_id FROM documents
+    WHERE position('{_GREP_PATTERN}' IN text) > 0
+    """,
+)
+def text_grep_trigram(spark: SparkSession, sf: str) -> DataFrame:
+    """pg_trgm-style accelerated substring search: documents are
+    exploded to their character trigrams ONCE (the inverted index); a
+    candidate must contain every trigram of the pattern (count of
+    distinct matched trigrams == pattern trigram count), and only
+    candidates run the exact ``contains`` verify.  At 100 TB the
+    index is materialized and the per-query cost is |postings of the
+    pattern's rarest trigrams|, not a full-corpus scan — same
+    filter-and-verify discipline as the q-gram fuzzy join.
+
+    The oracle is the naive full scan, so the driver hash match
+    certifies the blocking's recall."""
+    pats = _pattern_trigrams(_GREP_PATTERN)
+    docs = t(spark, sf, "documents")
+    tg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tg"),
+    ).filter(F.col("tg").isin(pats))
+    cands = (
+        tg.groupBy("doc_id")
+        .agg(F.count_distinct("tg").alias("k"))
+        .filter(F.col("k") == len(pats))
+        .select("doc_id")
+    )
+    return (
+        docs.join(cands, "doc_id", "semi")
+        .filter(F.col("text").contains(_GREP_PATTERN))
+        .select("doc_id")
+    )
+
+
 # ---------------------------------------------------- SQL-API surface
 
 

@@ -290,3 +290,19 @@ def test_lm_bm25_exists_plans(spark):
     p = plan_of(spark, "sql_exists_subquery")
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_scalar_subquery_profile_grep_plans(spark):
+    """Scalar-subquery decorrelation, seasonal profile, trigram grep:
+    pure Catalyst, no cartesians; the scalar subquery must become an
+    aggregate + join, and the grep's verify must run on a semi-joined
+    candidate set."""
+    p = plan_of(spark, "sql_scalar_subquery")
+    assert "HashAggregate" in p and "CartesianProduct" not in p
+
+    p = plan_of(spark, "events_seasonal_profile")
+    assert "BatchEvalPython" not in p and "Exchange" in p  # partial+final agg
+
+    p = plan_of(spark, "text_grep_trigram")
+    assert "LeftSemi" in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
