@@ -12,6 +12,7 @@ from .analytics_ops import ANALYTICS_OPS
 from .curation_ops import CURATION_OPS
 from .llm_ops import LLM_OPS
 from .relational import RELATIONAL
+from .round4_ops import ROUND4_OPS
 
 # name -> (fn, oracle_sql | None, in_bench)
 CATALOG: dict[str, tuple] = {
@@ -19,6 +20,7 @@ CATALOG: dict[str, tuple] = {
     **LLM_OPS,
     **CURATION_OPS,
     **ANALYTICS_OPS,
+    **ROUND4_OPS,
 }
 
 # The driver's correctness gate checks the FIRST 50 entries of

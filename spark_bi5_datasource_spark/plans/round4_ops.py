@@ -1,0 +1,503 @@
+"""Round-4 catalog: SQL-interface TPC-H pack (q13/q18/q22 shapes over
+the fixture columns), interval-overlap join (bin-blocked), rolling
+correlation from exact integer moments, co-occurrence graph + triangle
+counting, dataset-mixture resampling, and cumulative-distinct users.
+
+Oracle policy matches analytics_ops: deterministic, SQL-expressible
+operators carry an exact DuckDB twin; money/value arithmetic runs in
+scaled-integer space before any FP step so sums are order-independent
+and engine-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import t
+
+ROUND4_OPS: dict[str, tuple] = {}
+
+
+def _q(name: str, sql: str | None, bench: bool = False):
+    def wrap(fn):
+        ROUND4_OPS[name] = (fn, sql, bench)
+        return fn
+
+    return wrap
+
+
+# ------------------------------------------------- TPC-H q13 shape
+
+
+_Q13_SQL = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM {p}customer c
+      LEFT OUTER JOIN {p}orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@_q("sql_tpch_q13", _Q13_SQL.format(p=""))
+def sql_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q13 (customer order-count distribution) through the SQL
+    interface: outer join with an ON-clause filter on the null-
+    producing side — the decorrelation-free outer-aggregate shape that
+    trips engines which push the filter below the join.  Two hash
+    aggregations; the second runs over |customers| rows only."""
+    for tb in ("customer", "orders"):
+        t(spark, sf, tb).createOrReplaceTempView(f"q13_{tb}")
+    return spark.sql(_Q13_SQL.format(p="q13_"))
+
+
+# ------------------------------------------------- TPC-H q18 shape
+
+
+_Q18_SQL = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM {p}customer c
+    JOIN {p}orders o ON c.c_custkey = o.o_custkey
+    JOIN {p}lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM {p}lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 120
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@_q("sql_tpch_q18", _Q18_SQL.format(p=""))
+def sql_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q18 (large-volume customers) via spark.sql: an IN
+    subquery over a grouped HAVING — Catalyst rewrites it to a
+    left-semi join against the aggregated lineitem, so the big table
+    is scanned twice but never nested-looped.  Quantities are
+    integral in the fixtures; summing them as BIGINT keeps the HAVING
+    threshold and the output sums exact on both engines."""
+    for tb in ("customer", "orders", "lineitem"):
+        t(spark, sf, tb).createOrReplaceTempView(f"q18_{tb}")
+    return spark.sql(_Q18_SQL.format(p="q18_"))
+
+
+# ------------------------------------------------- TPC-H q22 shape
+
+
+_Q22_SQL = """
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / count(*) AS a
+      FROM {p}customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS totacctbal
+    FROM {p}customer c CROSS JOIN avg_bal
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM {p}orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_mktsegment
+"""
+
+
+@_q("sql_tpch_q22", _Q22_SQL.format(p=""))
+def sql_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q22 shape (wealthy customers with no urgent orders,
+    grouped by market segment) via spark.sql: an uncorrelated scalar
+    subquery
+    (the global average balance, broadcast as a literal-like one-row
+    join) AND a correlated NOT EXISTS (anti join) in one query.
+    Balances are compared and summed as exact cents (scaled BIGINT)
+    so the average threshold and the totals are order-independent."""
+    for tb in ("customer", "orders"):
+        t(spark, sf, tb).createOrReplaceTempView(f"q22_{tb}")
+    return spark.sql(_Q22_SQL.format(p="q22_"))
+
+
+# ----------------------------------------- interval-overlap join
+#
+# Intervals are derived deterministically from events: start = ts,
+# duration = (round(value*100) % 3600) + 60 seconds (integral, 1-61
+# min).  The query side is the first 300 event ids; a pair matches
+# when the two same-type intervals overlap (half-open [s, e)).
+
+_IV_DUR = "(CAST(round(value * 100) AS BIGINT) % 3600 + 60)"
+
+
+_OVERLAP_SQL = f"""
+    WITH iv AS (
+      SELECT event_id, event_type, epoch_us(ts) AS s,
+             epoch_us(ts) + {_IV_DUR} * 1000000 AS e
+      FROM events
+    )
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT)
+             AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.event_type = b.event_type
+     AND a.s < b.e AND b.s < a.e
+     AND a.event_id <> b.event_id
+    WHERE a.event_id < 300
+"""
+
+
+@_q("join_interval_overlap", _OVERLAP_SQL, bench=True)
+def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join (same-type event intervals that
+    intersect) via BIN BLOCKING: each interval explodes to the hour
+    buckets it covers (<=2 here, duration-bounded), candidates meet
+    on the (type, bucket) equi-key, duplicates collapse, and only
+    candidates evaluate the exact overlap predicate.  The oracle is
+    the naive theta join, so the driver hash match certifies the
+    blocking lost no pair.
+
+    At 100 TB the theta join is a cross product per type; the binned
+    rewrite's shuffle is instead ∝ Σ interval-hours, the same
+    filter-and-verify discipline as the fuzzy/grep ops.  Skewed
+    buckets (one hot hour) fall back to the salted-join escape hatch."""
+    from ..operators.interval_join import interval_overlap_join
+
+    iv = t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("s"),
+        (F.expr("unix_micros(ts)") + F.expr(_IV_DUR) * 1_000_000).alias("e"),
+    )
+    pairs = interval_overlap_join(
+        iv.filter(F.col("event_id") < 300), iv, on=["event_type"]
+    )
+    return pairs.filter(F.col("event_id") != F.col("b_event_id")).select(
+        F.col("event_id").alias("a_id"),
+        F.col("b_event_id").alias("b_id"),
+        (F.least("e", "b_e") - F.greatest("s", "b_s"))
+        .cast("bigint")
+        .alias("overlap_us"),
+    )
+
+
+# ------------------------------------------- rolling correlation
+
+
+_RCORR_SQL = """
+    WITH q AS (
+      SELECT event_id, event_type, ts,
+             CAST(round(value * 10000) AS BIGINT) AS x,
+             lag(CAST(round(value * 10000) AS BIGINT)) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS y
+      FROM events
+    ), s AS (
+      SELECT event_id, event_type, ts,
+        count(y) OVER w AS n,
+        sum(CASE WHEN y IS NOT NULL THEN x END) OVER w AS sx,
+        sum(y) OVER w AS sy,
+        sum(x * y) OVER w AS sxy,
+        sum(CASE WHEN y IS NOT NULL THEN x * x END) OVER w AS sxx,
+        sum(y * y) OVER w AS syy
+      FROM q
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type,
+      CASE WHEN n >= 2
+        AND (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) > 0
+        AND (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy) > 0
+      THEN round(
+        (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+        (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) *
+         sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+      END AS corr20
+    FROM s
+"""
+
+
+@_q("window_rolling_corr", _RCORR_SQL)
+def window_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 20-row Pearson autocorrelation (value vs its lag) per
+    event type — the rolling-moment window family beyond plain sums.
+    All five moments accumulate 1e4-scaled BIGINTs over the rows
+    frame, so every FP input is an identical exact integer on both
+    engines and the final correlation (a fixed expression over those
+    integers) is bit-identical before rounding.
+
+    Scale shape: two window passes over the same (type, ts) sort —
+    Catalyst computes lag and the five frame sums in ONE Window node
+    each, no self-join, no shuffle beyond the partitionBy."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events")
+    q = F.round(F.col("value") * 10000).cast("bigint")
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        q.alias("x"),
+        F.lag(q).over(wo).alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    y_ok = F.col("y").isNotNull()
+    s = base.select(
+        "event_id",
+        "event_type",
+        F.count("y").over(w).alias("n"),
+        F.sum(F.when(y_ok, F.col("x"))).over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.when(y_ok, F.col("x") * F.col("x"))).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    vx = n * sxx - sx * F.col("sx")
+    vy = n * syy - sy * F.col("sy")
+    return s.select(
+        "event_id",
+        "event_type",
+        F.when(
+            (n >= 2) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * F.col("sy")) / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("corr20"),
+    )
+
+
+# ------------------------------------- co-occurrence graph + triangles
+
+
+_TRI_SQL = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+      SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS triangles
+    FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) m
+    GROUP BY node
+    ORDER BY triangles DESC, node
+    LIMIT 50
+"""
+
+
+@_q("graph_triangle_count", _TRI_SQL)
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts
+    co-occurring in >= 2 orders).  Edges are node-ordered (u < v) so
+    each triangle materializes exactly once as (a < b < c) — the
+    standard distributed formulation: one self-join extends edges to
+    wedges, one more equi-join closes them; no wedge ever leaves the
+    shuffle keyed on its endpoints.  Per-order fan-out is bounded
+    (<= items-per-order choose 2), so the pair explosion is linear in
+    lineitem with a small constant.  Returns the top-50 parts by
+    triangle membership."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.toDF("l_orderkey", "b_partkey")
+    pairs = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("b_partkey"))
+        .select(
+            "l_orderkey",
+            F.col("l_partkey").alias("u"),
+            F.col("b_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    e = (
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    e2 = e.toDF("v", "w")
+    e3 = e.toDF("u3", "w3")
+    tri = (
+        e.join(e2, "v")
+        .join(
+            e3,
+            (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")),
+            "semi",
+        )
+        .select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("w").alias("c"))
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+        .orderBy(F.col("triangles").desc(), "node")
+        .limit(50)
+    )
+
+
+# --------------------------------------- dataset mixture resampling
+#
+# Target mixture: even-numbered sources get weight 2, odd get weight 1
+# (the fixtures are uniform, so a non-trivial target is imposed).
+# Deterministic acceptance: md5-fingerprint mod 1e6 < keep_ppm, where
+# keep_ppm is exact integer arithmetic — reproducible across engines,
+# runs, and partitionings, and commutes with dedup (content-keyed).
+
+_MIX_SQL = """
+    WITH w AS (
+      SELECT source, count(*) AS cnt,
+        CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+             THEN 2 ELSE 1 END AS wt
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(cnt) AS n, sum(wt) AS sw FROM w
+    ), rates AS (
+      SELECT source, cnt,
+        least(1000000, (n * wt * 1000000) // (sw * cnt)) AS keep_ppm
+      FROM w CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(
+        ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || d.text),
+                        1, 12)) AS BIGINT) % 1000000 < r.keep_ppm
+"""
+
+
+@_q("sample_mixture", _MIX_SQL)
+def sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-mixture resampling: downsample each source toward a
+    target weight profile (the core knob of LLM data curation —
+    up/down-weighting web vs books vs code).  Per-source keep rates
+    come from exact integer arithmetic over the count table (tiny,
+    broadcast); acceptance is a content-keyed md5 threshold, so the
+    sample is reproducible under any partitioning and commutes with
+    dedup.  One aggregation + one broadcast join — no sampler state,
+    no RNG."""
+    d = t(spark, sf, "documents")
+    w = d.groupBy("source").agg(F.count("*").alias("cnt")).withColumn(
+        "wt",
+        F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, 2).otherwise(1),
+    )
+    tot = w.agg(F.sum("cnt").alias("n"), F.sum("wt").alias("sw"))
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1_000_000).cast("bigint"),
+            F.expr("(n * wt * 1000000) div (sw * cnt)"),
+        ).alias("keep_ppm"),
+    )
+    fp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "text")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(fp < F.col("keep_ppm"))
+        .select("doc_id", "source")
+    )
+
+
+# --------------------------------------------- BPE-merge training
+
+
+@_q("text_bpe_train", None)
+def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE-merge training over the documents corpus
+    (operators/bpe.py): 12 merges learned in word-count space — the
+    subword tokenizer-training step of an LLM data pipeline.  No SQL
+    oracle (inherently iterative: each merge conditions on the
+    previous one); pinned by exact merge-sequence equality against a
+    pure-Python reference trainer in tests/test_operators.py."""
+    from ..operators.bpe import train_bpe
+
+    return train_bpe(
+        spark, t(spark, sf, "documents"), num_merges=12, min_pair_count=2
+    )
+
+
+# ------------------------------------- cumulative distinct users
+
+
+_CUME_SQL = """
+    WITH d AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             user_id
+      FROM events
+    ), f AS (
+      SELECT user_id, min(day) AS fd FROM d GROUP BY 1
+    ), nu AS (
+      SELECT fd AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM f GROUP BY 1
+    ), days AS (
+      SELECT DISTINCT day FROM d
+    )
+    SELECT days.day, coalesce(nu.new_users, 0) AS new_users,
+      CAST(sum(coalesce(nu.new_users, 0)) OVER
+             (ORDER BY days.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_users
+    FROM days LEFT JOIN nu USING (day)
+"""
+
+
+@_q("events_cume_users", _CUME_SQL)
+def events_cume_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct users per day.  A naive running
+    count(DISTINCT) window re-scans the pair table per day; the
+    scalable rewrite aggregates each user to their FIRST day (one
+    shuffle on user), so the cumulative curve is a plain running sum
+    over the day table — |days| rows, single partition by design
+    (bounded), everything upstream distributed."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events")
+    d = e.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    f = d.groupBy("user_id").agg(F.min("day").alias("fd"))
+    nu = f.groupBy(F.col("fd").alias("day")).agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    days = d.select("day").distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    joined = days.join(nu, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    return joined.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
