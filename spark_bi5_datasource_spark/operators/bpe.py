@@ -27,6 +27,7 @@ same corpus (exact merge-sequence equality).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -154,6 +155,129 @@ def train_bpe(
         merges or [],
         "rank int, left string, right string, merged string, pair_count bigint",
     )
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned merges to a corpus — the GPT-2-style encoder:
+    per word, repeatedly merge every occurrence of the LOWEST-RANK
+    pair present (left-to-right within a pass) until none applies.
+
+    The merge table is tiny (merge count rows) and ships inside the
+    Arrow-batched pandas UDF closure — the realistic deployment shape
+    for tokenization, which is Python-side in every production
+    pipeline; per-batch word caching amortizes repeated words.
+
+    Returns ``(id_col, n_tokens bigint, tokens array<string>)``."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        import re
+
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            while len(syms) > 1:
+                best = min(
+                    (
+                        ranks[p]
+                        for p in zip(syms, syms[1:])
+                        if p in ranks
+                    ),
+                    default=None,
+                )
+                if best is None:
+                    break
+                left, right = merges[best]
+                acc: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        acc.append(left + right)
+                        i += 2
+                    else:
+                        acc.append(syms[i])
+                        i += 1
+                syms = acc
+            cache[w] = syms
+            return syms
+
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in re.split(r"[^a-z]+", (t or "").lower()):
+                if w:
+                    toks.extend(enc_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return docs.select(
+        id_col, encode(F.col(text_col)).alias("tokens")
+    ).select(
+        id_col,
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        "tokens",
+    )
+
+
+def encode_bpe_local(
+    texts: list[str], merges: list[tuple[str, str]]
+) -> list[list[str]]:
+    """Pure-Python reference encoder (same lowest-rank-first merge
+    loop) — the pytest oracle for :func:`encode_bpe`."""
+    import re
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def enc_word(w: str) -> list[str]:
+        syms = list(w)
+        while len(syms) > 1:
+            best = min(
+                (ranks[p] for p in zip(syms, syms[1:]) if p in ranks),
+                default=None,
+            )
+            if best is None:
+                break
+            left, right = merges[best]
+            acc: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    acc.append(left + right)
+                    i += 2
+                else:
+                    acc.append(syms[i])
+                    i += 1
+            syms = acc
+        return syms
+
+    out = []
+    for t in texts:
+        toks: list[str] = []
+        for w in re.split(r"[^a-z]+", (t or "").lower()):
+            if w:
+                toks.extend(enc_word(w))
+        out.append(toks)
+    return out
 
 
 def train_bpe_local(texts: list[str], num_merges: int = 20,

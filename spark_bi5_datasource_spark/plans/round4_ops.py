@@ -432,6 +432,130 @@ def sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- sentence statistics
+
+
+@_q(
+    "text_sentence_stats",
+    """
+    WITH s AS (
+      SELECT doc_id,
+        list_filter(
+          list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+          x -> x <> '') AS sents
+      FROM documents
+    ), e AS (
+      SELECT doc_id, unnest(sents) AS sent FROM s
+    ), w AS (
+      SELECT doc_id, sent,
+        len(list_filter(string_split_regex(lower(sent), '[^a-z]+'),
+                        x -> x <> '')) AS nw
+      FROM e
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+      CAST(sum(nw) AS BIGINT) AS n_words,
+      round(CAST(sum(nw) AS DOUBLE) / count(*), 6) AS words_per_sentence,
+      CAST(max(nw) AS BIGINT) AS max_sentence_words
+    FROM w GROUP BY doc_id
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document sentence segmentation statistics (sentence count,
+    word totals, mean/max sentence length) — the readability tier of
+    the quality stack: run-on or fragment-heavy documents score far
+    from the natural-language band.  Punctuation split + trim + word
+    count all in one generator pass; one hash aggregation keyed on
+    doc."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(split(text, '[.!?]+'), x -> trim(x)),"
+                " x -> x <> '')"
+            )
+        ).alias("sent"),
+    )
+    w = d.select(
+        "doc_id",
+        F.size(
+            F.expr("filter(split(lower(sent), '[^a-z]+'), x -> x <> '')")
+        ).alias("nw"),
+    )
+    return w.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_sentences"),
+        F.sum("nw").cast("bigint").alias("n_words"),
+        F.round(F.sum("nw").cast("double") / F.count("*"), 6).alias(
+            "words_per_sentence"
+        ),
+        F.max("nw").cast("bigint").alias("max_sentence_words"),
+    )
+
+
+# ------------------------------------------- dedup cluster profile
+
+
+def _cluster_sizes_sql() -> str:
+    from .llm_ops import _PAIRS_SQL
+
+    return (
+        _PAIRS_SQL
+        + """
+    , sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), closure(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT c.a, s.b FROM closure c JOIN sym s ON c.b = s.a
+    ), comp AS (
+      SELECT a AS node, least(a, min(b)) AS component
+      FROM closure GROUP BY a
+    ), csz AS (
+      SELECT component, count(*) AS sz FROM comp GROUP BY 1
+    ), hist AS (
+      SELECT sz, count(*) AS n_clusters FROM csz GROUP BY 1
+    ), singles AS (
+      SELECT 1 AS sz,
+        (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+          AS n_clusters
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+    FROM (SELECT * FROM hist
+          UNION ALL SELECT * FROM singles WHERE n_clusters > 0) u
+    GROUP BY sz
+    """
+    )
+
+
+@_q("dedup_cluster_sizes", _cluster_sizes_sql())
+def dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate cluster-size histogram (cluster_size →
+    n_clusters, singletons included) — the curation report that tells
+    you HOW duplicated a crawl is, not just which rows survive.
+    Composition: jaccard pairs → connected components → two tiny
+    aggregations; everything heavy is the already-verified components
+    machinery."""
+    from .llm_ops import dedup_components
+
+    docs = t(spark, sf, "documents")
+    comp = dedup_components(spark, sf)
+    csz = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    hist = csz.groupBy("sz").agg(F.count("*").alias("n_clusters"))
+    totals = docs.agg(F.count("*").alias("nd")).crossJoin(
+        comp.agg(F.count("*").alias("nc"))
+    )
+    singles = totals.select(
+        F.lit(1).alias("sz"), (F.col("nd") - F.col("nc")).alias("n_clusters")
+    ).filter(F.col("n_clusters") > 0)
+    return (
+        hist.unionByName(singles)
+        .groupBy("sz")
+        .agg(F.sum("n_clusters").cast("bigint").alias("n_clusters"))
+        .select(F.col("sz").cast("bigint").alias("cluster_size"), "n_clusters")
+    )
+
+
 # --------------------------------------------- BPE-merge training
 
 
@@ -447,6 +571,34 @@ def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
 
     return train_bpe(
         spark, t(spark, sf, "documents"), num_merges=12, min_pair_count=2
+    )
+
+
+@_q("text_bpe_encode", None)
+def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer application: encode every document with the learned
+    BPE merges (train on the corpus, then GPT-2-style lowest-rank
+    merge loop per word inside an Arrow-batched pandas UDF with the
+    tiny merge table in the closure).  Completes the tokenizer
+    pipeline: train (text_bpe_train) → encode → count.  No SQL
+    oracle (the encode loop is iterative per word); pinned by exact
+    token-sequence equality against the pure-Python reference encoder
+    in tests/test_round4_ops.py.  Token arrays are surfaced as a
+    joined prefix string so the rows-only driver check sees a stable
+    value column."""
+    from ..operators.bpe import encode_bpe, train_bpe
+
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(
+            spark, t(spark, sf, "documents"), num_merges=12
+        ).collect()
+    ]
+    enc = encode_bpe(t(spark, sf, "documents"), merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.slice("tokens", 1, 30), " ").alias("token_prefix"),
     )
 
 

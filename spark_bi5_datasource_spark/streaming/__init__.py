@@ -3,6 +3,7 @@ from .events import (
     dedup_within_watermark,
     session_windows,
     sliding_value_sums,
+    stream_static_enrich,
     stream_stream_join,
     streaming_ohlc,
     windowed_counts,
@@ -15,6 +16,7 @@ __all__ = [
     "running_stats",
     "session_windows",
     "sliding_value_sums",
+    "stream_static_enrich",
     "stream_stream_join",
     "stream_upsert_writer",
     "streaming_ohlc",

@@ -27,6 +27,7 @@ __all__ = [
     "session_windows",
     "dedup_within_watermark",
     "stream_stream_join",
+    "stream_static_enrich",
 ]
 
 
@@ -159,3 +160,19 @@ def stream_stream_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
     )
     return l.join(r, cond, how)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "event_type",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) static
+    dimension table.  The static side is pinned broadcast, so each
+    micro-batch joins map-side — no state store, no watermark
+    requirement (unlike stream-stream joins), and the dim is re-read
+    per trigger, so slowly-changing dimensions pick up updates at
+    batch boundaries.  This is the standard enrichment stage in front
+    of every streaming aggregate."""
+    return stream.join(F.broadcast(dim), key, how)

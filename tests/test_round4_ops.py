@@ -60,6 +60,75 @@ class TestBpeTrain:
         assert self._spark_merges(spark, texts, n=1) == ref
 
 
+class TestBpeEncode:
+    def test_matches_reference_encoder(self, spark):
+        from spark_bi5_datasource_spark.operators.bpe import (
+            encode_bpe,
+            encode_bpe_local,
+            train_bpe_local,
+        )
+
+        texts = [
+            "the lower the newer the wider",
+            "low lower lowest new newer newest",
+            "wide wider widest low low low",
+        ]
+        merges = [(l, r) for l, r, _ in train_bpe_local(texts, num_merges=8)]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: list(r["tokens"])
+            for r in encode_bpe(docs, merges).collect()
+        }
+        ref = encode_bpe_local(texts, merges)
+        assert got == {i: ref[i] for i in range(len(texts))}
+
+    def test_lowest_rank_merges_first(self, spark):
+        from spark_bi5_datasource_spark.operators.bpe import encode_bpe
+
+        # merges: rank0 (b,c), rank1 (a,bc) — 'abc' must become ['abc']
+        # via bc-first, not stall at ['ab','c']
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        got = encode_bpe(docs, [("b", "c"), ("a", "bc")]).collect()[0]
+        assert list(got["tokens"]) == ["abc"]
+        assert got["n_tokens"] == 1
+
+
+class TestSentenceStats:
+    def test_hand_counts(self, spark):
+        import os
+        import tempfile
+
+        from spark_bi5_datasource_spark.plans.round4_ops import (
+            text_sentence_stats,
+        )
+
+        rows = [
+            (1, "One two three. Four five! six?", "en", "s", 30),
+            (2, "No terminal punctuation here", "en", "s", 28),
+            (3, "a. b. c. d.", "en", "s", 11),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (
+                r["n_sentences"],
+                r["n_words"],
+                r["words_per_sentence"],
+                r["max_sentence_words"],
+            )
+            for r in text_sentence_stats(spark, d).collect()
+        }
+        assert got[1] == (3, 6, 2.0, 3)
+        assert got[2] == (1, 4, 4.0, 4)
+        assert got[3] == (4, 4, 1.0, 1)
+
+
 # ----------------------------------------------- interval overlap
 
 

@@ -566,3 +566,53 @@ def test_bi5_stream_to_ohlc_continuous_aggregate(spark, tmp_path):
     }
     assert len(expect) == 2
     assert got == expect
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment (availableNow replay) must
+    equal the batch join, including stream rows with no dim match
+    (left join keeps them with nulls)."""
+    from spark_bi5_datasource_spark.streaming import stream_static_enrich
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    rows = [
+        (i, f"2024-01-01 0{i % 8}:00:00", t, float(i))
+        for i, t in enumerate(["buy", "sell", "hold", "unknown"] * 6)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    d = str(tmp_path / "ev")
+    df.write.parquet(d)
+    dim = spark.createDataFrame(
+        [("buy", 1), ("sell", -1), ("hold", 0)],
+        "event_type string, direction int",
+    )
+
+    enriched = stream_static_enrich(
+        spark.readStream.schema(schema).parquet(d), dim
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.direction)
+        for r in spark.sql("SELECT event_id, direction FROM enrich_out").collect()
+    }
+    expected = {
+        (r.event_id, r.direction)
+        for r in df.join(dim, "event_type", "left")
+        .select("event_id", "direction")
+        .collect()
+    }
+    assert got == expected
+    assert any(d is None for _, d in got)  # unmatched type survives
