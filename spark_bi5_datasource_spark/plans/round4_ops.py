@@ -281,6 +281,75 @@ def window_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- EWMA window
+#
+# Exponentially weighted moving average with binary decay (alpha =
+# 1/2) over a trailing 16-row frame.  Per-row weights 2^0..2^15 make
+# every term an exact BIGINT (q <= 5e6 ≈ 2^23, max term 2^38, 16
+# terms < 2^43), so the weighted sum is order-independent and the
+# final double division is computed from identical integers on both
+# engines.  The frame-ordered list is the weight carrier: collect
+# over ROWS BETWEEN 15 PRECEDING AND CURRENT ROW preserves frame
+# order in both Spark's collect_list and DuckDB's list().
+
+_EWMA_SQL = """
+    WITH q AS (
+      SELECT event_id, event_type, ts,
+             CAST(round(value * 10000) AS BIGINT) AS x
+      FROM events
+    ), l AS (
+      SELECT event_id, event_type,
+        list(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS xs
+      FROM q
+    )
+    SELECT event_id, event_type,
+      round(
+        CAST(list_sum(list_transform(xs, (v, i) -> v * (1::BIGINT << (i - 1))))
+             AS DOUBLE)
+        / (((1::BIGINT << len(xs)) - 1) * 10000.0), 6) AS ewma
+    FROM l
+"""
+
+
+@_q("window_ewma", _EWMA_SQL)
+def window_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially weighted moving average (binary decay, trailing
+    16 rows) per event type — the smoothing primitive of every
+    monitoring/trading pipeline.  EWMA's recursive definition is not
+    a plain frame sum; the rewrite carries the frame as an ordered
+    list and folds position-dependent power-of-two weights over it —
+    exact BIGINT arithmetic end-to-end (see module comment), one
+    Window node, no self-join."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events")
+    q = F.round(F.col("value") * 10000).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, 0)
+    )
+    xs = F.collect_list(q).over(w)
+    fold = (
+        "aggregate(xs, named_struct('i', 0, 's', 0L), (st, v) -> "
+        "named_struct('i', st.i + 1, 's', st.s + v * shiftleft(1L, st.i)), "
+        "st -> st.s)"
+    )
+    return (
+        e.select("event_id", "event_type", "ts", xs.alias("xs"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.expr(fold).cast("double")
+                / ((F.expr("shiftleft(1L, size(xs))") - 1) * 10000.0),
+                6,
+            ).alias("ewma"),
+        )
+    )
+
+
 # ------------------------------------- co-occurrence graph + triangles
 
 

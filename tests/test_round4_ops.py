@@ -239,6 +239,44 @@ class TestRollingCorr:
         assert all(v is None for v in got.values())
 
 
+class TestEwma:
+    def _ewma(self, spark, vals):
+        import datetime as dt
+        import os
+        import tempfile
+
+        from spark_bi5_datasource_spark.plans.round4_ops import window_ewma
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 1, "t", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        return {r["event_id"]: r["ewma"] for r in window_ewma(spark, d).collect()}
+
+    def test_known_values(self, spark):
+        got = self._ewma(spark, [1.0, 3.0])
+        # row 0: frame [1.0] -> 1.0
+        assert got[0] == pytest.approx(1.0)
+        # row 1: (1*1 + 3*2) / 3 = 7/3
+        assert got[1] == pytest.approx(2.333333)
+
+    def test_constant_series_is_identity(self, spark):
+        got = self._ewma(spark, [5.0] * 20)
+        assert all(v == pytest.approx(5.0) for v in got.values())
+
+    def test_recent_values_dominate(self, spark):
+        got = self._ewma(spark, [0.0] * 15 + [100.0])
+        # current row carries weight 2^15 of (2^16 - 1) total ≈ half
+        assert got[15] == pytest.approx(100.0 * (1 << 15) / ((1 << 16) - 1))
+
+
 # ---------------------------------------------------- triangles
 
 
