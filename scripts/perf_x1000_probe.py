@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""x1000 probe: sf100-equivalent (600M lineitem / 150M orders / 100M
+events — ~28 GB parquet), the third 10x step of the scale ladder.
+
+One-off (not part of bench.py: generation is tens of minutes and the
+driver's per-round bench must stay fast).  Replicates the sf0.1
+tables 1000x with per-replica key strides, then times Spark vs DuckDB
+(threads=32) on the identical files for the aggregate-shaped headline
+queries plus the q3/q5 join shapes.  Results are recorded in
+SCALE_NOTES.md.
+
+Spark reads the multi-file tables with default maxPartitionBytes
+(files this size split naturally); no bucketed layout — rebuilding it
+for 600M rows would measure the rewrite, not the queries, and the
+x100 tier already pins the bucketed-join win.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import CPUS, SF_DIR, build_spark, synth_scaled_dir, timed  # noqa: E402
+
+TABLES = ["lineitem", "orders", "customer", "supplier", "nation", "region", "events"]
+QUERIES = [
+    "b5_groupby_count",
+    "q1_pricing_summary",
+    "events_daily_ohlc",
+    "events_sessionize",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    # join_asof excluded: DuckDB's ASOF JOIN was already 14 s at x100
+    # (degrading superlinearly); at x1000 it would dominate the probe
+    # wall-clock without adding information — the x100 tier pins it.
+]
+
+
+def main() -> None:
+    import duckdb
+
+    from spark_bi5_datasource_spark import plans, register
+
+    t0 = time.time()
+    scaled = synth_scaled_dir(SF_DIR, 1000, TABLES)
+    print(f"# generation/cache: {time.time() - t0:.0f}s", file=sys.stderr)
+
+    spark = build_spark()
+    register(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    qs = {n: fn for n, (fn, _s, _b) in plans.CATALOG.items()}
+    oracles = plans.oracle_sql()
+
+    spark_t: dict[str, float] = {}
+    for q in QUERIES:
+        spark_t[q] = timed(qs[q](spark, scaled), runs=2)
+        print(f"# spark {q}: {spark_t[q]}", file=sys.stderr)
+    spark.stop()
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={CPUS}")
+    for tb in TABLES:
+        con.execute(f"CREATE VIEW {tb} AS FROM '{scaled}/{tb}.parquet'")
+    duck_t: dict[str, float] = {}
+    for q in QUERIES:
+        con.execute(oracles[q]).fetchall()
+        best = float("inf")
+        for _ in range(2):
+            s = time.perf_counter()
+            con.execute(oracles[q]).fetchall()
+            best = min(best, time.perf_counter() - s)
+        duck_t[q] = round(best, 3)
+        print(f"# duckdb {q}: {duck_t[q]}", file=sys.stderr)
+    con.close()
+
+    s_total = round(sum(spark_t.values()), 3)
+    d_total = round(sum(duck_t.values()), 3)
+    print(
+        json.dumps(
+            {
+                "x": 1000,
+                "spark": spark_t,
+                "duckdb": duck_t,
+                "per_query_ratio": {
+                    q: (round(spark_t[q] / duck_t[q], 2) if duck_t[q] else None)
+                    for q in QUERIES
+                },
+                "spark_total": s_total,
+                "duckdb_total": d_total,
+                "ratio": round(s_total / d_total, 2) if d_total else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -671,6 +671,49 @@ def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- winsorization
+
+
+@_q(
+    "events_winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+        quantile_cont(value, 0.01) AS lo,
+        quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+      round(least(greatest(e.value, b.lo), b.hi), 4) AS clipped,
+      (e.value < b.lo OR e.value > b.hi) AS was_clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def events_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorization: clip each value into its type's [p1, p99] band
+    — the standard outlier treatment before training-data statistics
+    (a single wild sensor reading otherwise owns the mean).  Exact
+    interpolated percentiles (the distributed-sort path; swap
+    approx_percentile at the 100-TB tier, same shape) produce a
+    |types|-row bound table that broadcasts back onto the scan —
+    two passes over events, no window, no self-join."""
+    e = t(spark, sf, "events")
+    b = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    return e.join(F.broadcast(b), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.least(F.greatest("value", F.col("lo")), F.col("hi")), 4).alias(
+            "clipped"
+        ),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )
+
+
 # ------------------------------------- cumulative distinct users
 
 

@@ -306,3 +306,39 @@ def test_scalar_subquery_profile_grep_plans(spark):
     p = plan_of(spark, "text_grep_trigram")
     assert "LeftSemi" in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_round5_plans(spark):
+    # interval-overlap join: the bin-blocking must keep the theta
+    # predicate OFF the join method — no cartesian product anywhere
+    p = plan_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+    # active users: the flag-agg rewrite has no count_distinct, so no
+    # Expand node (which doubles the shuffle) may reappear
+    p = plan_of(spark, "events_active_users")
+    assert "Expand" not in p
+
+    # rolling corr: lag + five frame moments must fuse into Window
+    # nodes over ONE sort order — no join, no extra exchanges beyond
+    # the partitionBy
+    p = plan_of(spark, "window_rolling_corr")
+    assert "Join" not in p
+
+    # EWMA: single Window pass, the fold is a projection
+    p = plan_of(spark, "window_ewma")
+    assert "Join" not in p
+
+    # repetition stats: the run-length-fold rewrite is map-side only —
+    # zero exchanges (the old gram-explode plan shuffled 2x every gram)
+    p = plan_of(spark, "text_repetition_stats")
+    assert "Exchange" not in p
+
+    # mixture resampling: the rate table joins broadcast; the corpus
+    # is never shuffled
+    p = plan_of(spark, "sample_mixture")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    # winsorize: the p1/p99 band table joins broadcast
+    p = plan_of(spark, "events_winsorize")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
