@@ -329,6 +329,41 @@ def sim_ivf_exact(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, nlist=8, nprobe=8, iters=2)
 
 
+@_q(
+    "sim_lsh_exact",
+    # one hyperplane + hamming-1 multiprobe probes BOTH buckets, so
+    # the bucket equi-join enumerates the full corpus per query and
+    # the result is provably exact — the same exact-mode trick as
+    # sim_ivf_exact, putting the signature/probe/bucket-join plumbing
+    # of rp_lsh_topk under the hard hash gate.  The approximate
+    # production mode (12 planes) remains sim_lsh_topk, pinned by the
+    # recall-vs-exact pytest.
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT b.vec_id AS query_id, a.vec_id AS nbr_id,
+      round({_DOT_D} / (a.nrm * b.nrm), 6) AS cosine,
+      CAST(row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_DOT_D} / (a.nrm * b.nrm) DESC, a.vec_id ASC) AS INT) AS rank
+    FROM n a, n b
+    WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+    QUALIFY rank <= 5
+    """,
+)
+def sim_lsh_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH ANN in exact mode (1 plane + multiprobe = both
+    buckets probed), hash-checked against the brute-force oracle."""
+    from ..operators.similarity import rp_lsh_topk
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return rp_lsh_topk(emb, queries, k=5, n_planes=1, multiprobe=True)
+
+
 def _cosine_pairs_exact(emb: DataFrame) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.5 (quadratic verify baseline for
     the LSH pair variants) — driver-checked as the 'exact' leg of the
