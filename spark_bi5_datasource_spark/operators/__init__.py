@@ -1,6 +1,7 @@
 from .ann_shard import ann_topk_gemm
 from .asof_join import asof_join
 from .bloom import bloom_semi_join
+from .bpe import encode_bpe, train_bpe
 from .components import connected_components, dedup_by_components
 from .dedup import (
     exact_dedup,
@@ -14,6 +15,7 @@ from .dedup import (
 )
 from .fuzzy_join import edit_distance_join
 from .grouped import whiten_per_group
+from .interval_join import interval_overlap_join
 from .heavy import top_k_sketch
 from .ivf import ivf_topk, kmeans_centroids
 from .knn import knn_graph
@@ -37,8 +39,10 @@ __all__ = [
     "cosine_topk",
     "dedup_by_components",
     "edit_distance_join",
+    "encode_bpe",
     "exact_dedup",
     "global_running_sum",
+    "interval_overlap_join",
     "ivf_topk",
     "knn_graph",
     "kmeans_centroids",
@@ -60,6 +64,7 @@ __all__ = [
     "top_k",
     "top_k_per_group",
     "top_k_sketch",
+    "train_bpe",
     "whiten_per_group",
     "with_global_rank",
     "with_shingles",

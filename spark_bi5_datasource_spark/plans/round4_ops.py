@@ -18,6 +18,9 @@ from .tables import t
 
 ROUND4_OPS: dict[str, tuple] = {}
 
+# one tokenization, same regex as the text/analytics tiers
+_TKS_R4 = "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+
 
 def _q(name: str, sql: str | None, bench: bool = False):
     def wrap(fn):
@@ -668,6 +671,92 @@ def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         F.array_join(F.slice("tokens", 1, 30), " ").alias("token_prefix"),
+    )
+
+
+# ----------------------------------------------- span-level dedup
+#
+# Substring-level duplication report (the signal behind train-data
+# substring dedup a la "Deduplicating Training Data Makes Language
+# Models Better"): overlapping token windows (12 tokens, stride 4)
+# hashed... kept as exact strings here, counted across documents; a
+# span appearing in >= 2 distinct docs is duplicated, and each doc
+# reports the fraction of its spans that are duplicated.
+
+_SPAN_W, _SPAN_S = 12, 4
+
+
+_SPAN_SQL = f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS tks
+      FROM documents
+    ), dd AS (
+      SELECT doc_id, tks FROM d WHERE len(tks) >= {_SPAN_W}
+    ), spans AS (
+      SELECT doc_id,
+        array_to_string(tks[(i * {_SPAN_S}) + 1 : (i * {_SPAN_S}) + {_SPAN_W}],
+                        ' ') AS span
+      FROM dd, unnest(generate_series(0,
+        (len(tks) - {_SPAN_W}) // {_SPAN_S})) AS u(i)
+    ), df AS (
+      SELECT span, count(DISTINCT doc_id) AS ndocs
+      FROM spans GROUP BY span
+    )
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      round(CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS dup_span_frac
+    FROM spans s JOIN df USING (span)
+    GROUP BY s.doc_id
+"""
+
+
+@_q("text_span_dedup", _SPAN_SQL)
+def text_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document substring-duplication report: overlapping
+    12-token windows (stride 4) counted across the corpus; a doc's
+    score is the fraction of its windows appearing in >= 2 distinct
+    documents — the detection side of substring-level dedup (docs
+    above a threshold get their duplicated spans cut or the doc
+    dropped).
+
+    Scale shape: span stream ∝ tokens/stride, one shuffle keyed on
+    the span for the document-frequency count, one more keyed back on
+    doc for the report.  At 100 TB spans would hash to 64-bit keys
+    before the shuffle (8-byte keys vs ~80-byte strings); kept exact
+    strings here so the DuckDB twin certifies the full pipeline."""
+    d = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.expr(_TKS_R4).alias("tks"))
+        .filter(F.size("tks") >= _SPAN_W)
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(tks) - {_SPAN_W}) div {_SPAN_S}),"
+                f" i -> array_join(slice(tks, i * {_SPAN_S} + 1, {_SPAN_W}),"
+                f" ' '))"
+            )
+        ).alias("span"),
+    )
+    df_ = spans.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    return (
+        spans.join(df_, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.round(
+                F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("dup_span_frac"),
+        )
     )
 
 
