@@ -313,6 +313,41 @@ class TestTriangleCount:
         assert got == {1: 1, 2: 1, 3: 1}
 
 
+class TestSpanDedup:
+    def test_shared_prefix_flags_spans(self, spark):
+        import os
+        import tempfile
+
+        from spark_bi5_datasource_spark.plans.round4_ops import text_span_dedup
+
+        words = [f"w{i}" for i in range(24)]  # 24 tokens -> spans at 0,4,8,12
+        shared = " ".join(words)
+        unique = " ".join(f"u{i}" for i in range(24))
+        rows = [
+            (1, shared, "en", "s", 1),
+            (2, shared + " tail tokens here", "en", "s", 1),
+            (3, unique, "en", "s", 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_spans"], r["dup_span_frac"])
+            for r in text_span_dedup(spark, d).collect()
+        }
+        # doc1: 4 spans, all shared with doc2 -> frac 1.0
+        assert got[1] == (4, 1.0)
+        # doc3: all spans unique -> frac 0.0
+        assert got[3][1] == 0.0
+        # doc2: 27 tokens -> spans at offsets 0..3 (leftover tail not
+        # window-aligned); the first 4 windows equal doc1's
+        n2, frac2 = got[2]
+        assert n2 == 4 and frac2 == 1.0
+
+
 # ------------------------------------------------ mixture resampling
 
 
