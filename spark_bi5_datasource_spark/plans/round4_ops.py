@@ -132,6 +132,95 @@ def sql_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_Q22_SQL.format(p="q22_"))
 
 
+# ------------------------------------------------- TPC-H q6 shape
+
+
+_Q6_SQL = """
+    SELECT (CAST(sum(CAST(round(l_extendedprice * l_discount * 1000000)
+                          AS BIGINT)) AS DOUBLE) / 1000000.0) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM {p}lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+"""
+
+
+@_q("sql_tpch_q6", _Q6_SQL.format(p=""))
+def sql_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q6 (forecasting revenue change) via spark.sql — the
+    purest pushdown probe in the suite: three range predicates and a
+    single global aggregate, no join.  All three filters must reach
+    the parquet scan (PushedFilters) and the sum runs partial+final;
+    the scaled-long idiom keeps the money total exact."""
+    t(spark, sf, "lineitem").createOrReplaceTempView("q6_lineitem")
+    return spark.sql(_Q6_SQL.format(p="q6_"))
+
+
+# ------------------------------------------------ TPC-H q10 shape
+
+
+_Q10_SQL = """
+    SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+           (CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000.0) AS revenue
+    FROM {p}customer c
+    JOIN {p}orders o ON c.c_custkey = o.o_custkey
+    JOIN {p}lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN {p}nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@_q("sql_tpch_q10", _Q10_SQL.format(p=""))
+def sql_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q10 (returned-item reporting: top-20 customers by lost
+    revenue) via spark.sql: a three-table fact join with a broadcast
+    dim, selective date + returnflag filters pushed to both fact
+    scans, grouped aggregation over customer attributes, global
+    top-k via TakeOrderedAndProject — the canonical reporting query
+    shape."""
+    for tb in ("customer", "orders", "lineitem", "nation"):
+        t(spark, sf, tb).createOrReplaceTempView(f"q10_{tb}")
+    return spark.sql(_Q10_SQL.format(p="q10_"))
+
+
+# ------------------------------------------------ TPC-H q14 shape
+
+
+_Q14_SQL = """
+    SELECT (100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%%'
+             THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 1000000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+            / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 1000000) AS BIGINT)) AS DOUBLE))
+           AS promo_revenue_pct
+    FROM {p}lineitem l
+    JOIN {p}part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@_q("sql_tpch_q14", _Q14_SQL.format(p="").replace("%%", "%"))
+def sql_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q14 (promotion effect) via spark.sql: conditional
+    aggregation over a fact⋈dim join — part broadcasts, the month
+    filter prunes lineitem at the scan, and the CASE-weighted ratio
+    is computed from two exact scaled-long sums (the division is the
+    only FP step, identical on both engines)."""
+    for tb in ("lineitem", "part"):
+        t(spark, sf, tb).createOrReplaceTempView(f"q14_{tb}")
+    return spark.sql(_Q14_SQL.format(p="q14_").replace("%%", "%"))
+
+
 # ----------------------------------------- interval-overlap join
 #
 # Intervals are derived deterministically from events: start = ts,
