@@ -132,6 +132,39 @@ def sql_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_Q22_SQL.format(p="q22_"))
 
 
+# --------------------------------------------- VARIANT (semi-structured)
+
+
+@_q(
+    "scalar_variant_funcs",
+    """
+    SELECT event_id,
+      CAST(json_extract(props, '$.k') AS INT) AS k,
+      json_extract(props, '$.missing') IS NULL AS no_such_path,
+      CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod
+    FROM events
+    """,
+)
+def scalar_variant_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT type over the JSON props column: parse once
+    into the binary semi-structured encoding, then typed path
+    extraction (``variant_get``) and missing-path probes
+    (``try_variant_get``) — the modern engine path for schema-on-read
+    JSON, replacing per-access string re-parsing (get_json_object,
+    covered by scalar_json_funcs) with a decoded tree the optimizer
+    can push into.  The oracle reads the same paths with DuckDB's
+    JSON extraction, certifying values and null semantics."""
+    e = t(spark, sf, "events").withColumn("v", F.parse_json("props"))
+    return e.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.expr("try_variant_get(v, '$.missing', 'string')")
+        .isNull()
+        .alias("no_such_path"),
+        (F.expr("variant_get(v, '$.k', 'int')") % 10).alias("k_mod"),
+    )
+
+
 # ------------------------------------------------- TPC-H q6 shape
 
 
