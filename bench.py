@@ -173,6 +173,10 @@ def synth_scaled_dir(
         if con is None:
             con = duckdb.connect()
             con.execute(f"PRAGMA threads={CPUS}")
+            # large COPYs otherwise buffer the ENTIRE result to keep
+            # row order (observed: 76+ GB RSS writing 600M-row
+            # lineitem at x1000); replica order is meaningless here
+            con.execute("SET preserve_insertion_order = false")
         if not keys:
             sel = f"SELECT * FROM '{src}'"
         else:
