@@ -21,6 +21,7 @@ from .ivf import ivf_topk, kmeans_centroids
 from .knn import knn_graph
 from .pagerank import pagerank
 from .pca import pca_fit, pca_project
+from .pq import pq_topk, pq_train
 from .ranking import global_running_sum, ntile_expr, with_global_rank
 from .scd import scd2_build
 from .similarity import cosine_pairs, cosine_topk, rp_lsh_topk, rp_signature
@@ -55,6 +56,8 @@ __all__ = [
     "pagerank",
     "pca_fit",
     "pca_project",
+    "pq_topk",
+    "pq_train",
     "rp_lsh_topk",
     "rp_signature",
     "salted_join",

@@ -13,6 +13,7 @@ from .curation_ops import CURATION_OPS
 from .llm_ops import LLM_OPS
 from .relational import RELATIONAL
 from .round4_ops import ROUND4_OPS
+from .round5_ops import ROUND5_OPS
 from .tpch_pack import TPCH_PACK
 
 # name -> (fn, oracle_sql | None, in_bench)
@@ -23,6 +24,7 @@ CATALOG: dict[str, tuple] = {
     **ANALYTICS_OPS,
     **ROUND4_OPS,
     **TPCH_PACK,
+    **ROUND5_OPS,
 }
 
 # The driver's correctness gate checks the FIRST 50 entries of

@@ -1,0 +1,273 @@
+"""Round-5 catalog additions: deterministic MODE aggregation, the
+parse_url scalar tier, last-touch attribution (as-of composition over
+a single event stream), an A/B conversion-lift report, and the PQ
+(product-quantization) ANN tier in exact and production modes.
+
+Oracle policy unchanged: deterministic SQL-expressible ops carry an
+exact DuckDB twin running the same logical statement; the PQ
+production mode is approximate by nature and is pinned by the
+recall/equality pytest suite instead, while its exact mode
+(shortlist >= corpus) shares the brute-force cosine oracle — the
+same exact-mode-under-the-hash-gate trick as sim_ivf_exact /
+sim_lsh_exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tables import t
+
+ROUND5_OPS: dict[str, tuple] = {}
+
+
+def _q(name: str, sql: str | None, bench: bool = False):
+    def wrap(fn):
+        ROUND5_OPS[name] = (fn, sql, bench)
+        return fn
+
+    return wrap
+
+
+# ---------------------------------------------------- deterministic mode
+
+
+@_q(
+    "agg_mode",
+    """
+    SELECT l_returnflag, mode_qty, mode_count FROM (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS mode_qty,
+             CAST(count(*) AS BIGINT) AS mode_count,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY count(*) DESC, CAST(l_quantity AS BIGINT) ASC
+             ) AS rn
+      FROM lineitem
+      GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic MODE (most frequent value) per group.  Engines'
+    native ``mode()`` leaves ties implementation-defined (both Spark
+    and DuckDB pick an arbitrary winner), so the catalog form is the
+    composition that pins them: count per (group, value), then a
+    row_number window ordered by (count DESC, value ASC) — exact,
+    engine-identical, and the same two-exchange plan a native
+    tie-broken mode would need.  Quantities are integral doubles;
+    grouping on their BIGINT cast keeps the key exact."""
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("mode_qty")
+    )
+    counts = li.groupBy("l_returnflag", "mode_qty").agg(
+        F.count("*").alias("mode_count")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("mode_count").desc(), F.col("mode_qty").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", "mode_qty", "mode_count")
+    )
+
+
+# ---------------------------------------------------- parse_url tier
+
+
+@_q(
+    "scalar_url_funcs",
+    # the oracle certifies Spark's parse_url against ground truth:
+    # it rebuilds the same URL fields directly from the source
+    # columns instead of re-parsing the string
+    """
+    SELECT doc_id,
+           source || '.example.com' AS url_host,
+           '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url_path,
+           'ref=corpus&page=' || CAST(doc_id % 7 AS VARCHAR) AS url_query,
+           CAST(doc_id % 7 AS INT) AS page,
+           'sec' || CAST(doc_id % 3 AS VARCHAR) AS url_frag
+    FROM documents
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """URL scalar-function tier: build a deterministic URL per
+    document, then extract host / path / query / named query param /
+    fragment with Spark's ``parse_url`` (a JVM engine function the
+    scalar tiers hadn't covered).  The oracle reconstructs each field
+    from the source columns — certifying the parser against ground
+    truth rather than against another parser."""
+    d = t(spark, sf, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref=corpus&page="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("#sec"),
+            (F.col("doc_id") % 3).cast("string"),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("url_host"),
+        F.parse_url("url", F.lit("PATH")).alias("url_path"),
+        F.parse_url("url", F.lit("QUERY")).alias("url_query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page"))
+        .cast("int")
+        .alias("page"),
+        F.parse_url("url", F.lit("REF")).alias("url_frag"),
+    )
+
+
+# ---------------------------------------------------- last-touch attribution
+
+
+@_q(
+    "events_attribution",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 7 DAY) AS click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def events_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's most recent click within a 7-day lookback — the as-of-join
+    composition (union + last-value window) applied WITHIN one event
+    stream, the marketing-analytics twin of the tick-data as-of.
+    Unmatched purchases keep a null click_ts.  The oracle is the
+    correlated MAX form; Catalyst plans the composition as one
+    user-partitioned window over the union — no correlated re-scan
+    of events per purchase, which is the difference at 100 TB.
+    Only the winning timestamp is projected, so same-ts click ties
+    cannot produce nondeterminism."""
+    from ..operators.asof_join import asof_join
+
+    ev = t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases, clicks, on="ts", by="user_id", tolerance="7 days"
+    )
+    return out.select(
+        "purchase_id", "user_id", F.col("ts").alias("purchase_ts"), "click_ts"
+    )
+
+
+# ---------------------------------------------------- A/B conversion lift
+
+
+@_q(
+    "events_ab_lift",
+    """
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) AS DOUBLE) / count(*) AS conv_rate
+    FROM per_user
+    GROUP BY variant
+    ORDER BY variant
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B experiment readout: users deterministically assigned to a
+    variant (id parity — in production, a salted hash), conversion =
+    any purchase event; per-variant user counts, conversions, and
+    conversion rate.  Two stacked aggregations (event->user,
+    user->variant) — the first is the heavy one and is a map-side
+    partial over the events scan; the variant rollup is 2 rows.
+    Rates are exact-integer ratios, so the oracle compare is safe."""
+    ev = t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    return (
+        per_user.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+            (F.sum("converted").cast("double") / F.count("*")).alias(
+                "conv_rate"
+            ),
+        )
+        .orderBy("variant")
+    )
+
+
+# ---------------------------------------------------- PQ ANN tier
+
+
+_BRUTE_COSINE_SQL = """
+    WITH n AS (
+      SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT b.vec_id AS query_id, a.vec_id AS nbr_id,
+      round(list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])), x -> x[1] * x[2]))
+            / (a.nrm * b.nrm), 6) AS cosine,
+      CAST(row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), x -> x[1] * x[2]))
+              / (a.nrm * b.nrm) DESC, a.vec_id ASC) AS INT) AS rank
+    FROM n a, n b
+    WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+    QUALIFY rank <= 5
+"""
+
+
+@_q("sim_pq_exact", _BRUTE_COSINE_SQL)
+def sim_pq_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ ANN in exact mode: with ``shortlist`` >= |corpus| every
+    non-self candidate reaches the exact re-scorer, so the train /
+    encode / ADC-scan / shortlist / refine pipeline provably equals
+    brute force and shares its oracle — putting the whole PQ
+    plumbing under the hard hash gate.  Production mode (small
+    shortlist) is sim_pq_topk."""
+    from ..operators.pq import pq_topk
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    return pq_topk(emb, queries, k=5, shortlist=n, iters=4, sample=512)
+
+
+@_q("sim_pq_topk", None)
+def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ ANN, production mode: 8-byte codes scanned in place of
+    256-byte vectors, ADC shortlist of 64, exact re-scoring of the
+    shortlist only.  Approximate by nature (no SQL twin); recall vs
+    the exact baseline and determinism are pinned in
+    tests/test_operators.py."""
+    from ..operators.pq import pq_topk
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, k=5, shortlist=64, iters=4, sample=512)

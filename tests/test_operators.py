@@ -281,6 +281,68 @@ class TestIvf:
         assert c1.shape == (4, 16)
 
 
+class TestPq:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(47)
+        vecs = rng.standard_normal((120, 16))
+        vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16)  # planted neighbor
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def test_full_shortlist_equals_exact(self, spark, emb):
+        """shortlist >= |corpus| re-scores every candidate exactly ⇒
+        the PQ pipeline must equal brute force bit-for-bit."""
+        from spark_bi5_datasource_spark.operators import pq_topk
+
+        queries = emb.filter("vec_id < 5")
+        exact = {
+            (r.query_id, r.rank): (r.nbr_id, r.cosine)
+            for r in cosine_topk(emb, queries, k=3).collect()
+        }
+        full = {
+            (r.query_id, r.rank): (r.nbr_id, r.cosine)
+            for r in pq_topk(
+                emb, queries, k=3, shortlist=120, m=8, iters=3, sample=120
+            ).collect()
+        }
+        assert full == exact
+
+    def test_short_shortlist_recall_and_planted_pair(self, spark, emb):
+        """Production mode: a 20-of-120 ADC shortlist must keep recall
+        far above random and must surface the planted near-duplicate
+        (ADC error is tiny relative to a ~0.999 cosine gap)."""
+        from spark_bi5_datasource_spark.operators import pq_topk
+
+        queries = emb.filter("vec_id < 8")
+        exact = {
+            (r.query_id, r.nbr_id)
+            for r in cosine_topk(emb, queries, k=3).collect()
+        }
+        got_rows = pq_topk(
+            emb, queries, k=3, shortlist=20, m=8, iters=3, sample=120
+        ).collect()
+        got = {(r.query_id, r.nbr_id) for r in got_rows}
+        assert len(exact & got) / len(exact) >= 0.6
+        assert (0, 1) in got
+        # determinism: RNG-free training + stable tie-breaks
+        again = {
+            (r.query_id, r.nbr_id)
+            for r in pq_topk(
+                emb, queries, k=3, shortlist=20, m=8, iters=3, sample=120
+            ).collect()
+        }
+        assert got == again
+
+    def test_indivisible_dim_raises(self, spark, emb):
+        from spark_bi5_datasource_spark.operators import pq_train
+
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train(emb, m=5)
+
+
 class TestAsofJoin:
     def test_backward_inclusive_and_null(self, spark):
         left = spark.createDataFrame(
