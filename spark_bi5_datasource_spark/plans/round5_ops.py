@@ -219,6 +219,216 @@ def events_ab_lift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- LATERAL top-k join
+
+
+_LATERAL_SQL = """
+    SELECT r.r_name, t.n_name, t.c_name, t.c_acctbal
+    FROM {p}region r, LATERAL (
+      SELECT n.n_name, c.c_name, c.c_acctbal
+      FROM {p}customer c
+      JOIN {p}nation n ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      ORDER BY c.c_acctbal DESC, c.c_name
+      LIMIT 3
+    ) t
+    ORDER BY r.r_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@_q("sql_lateral_topk", _LATERAL_SQL.format(p=""))
+def sql_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per-region
+    top-3 customers by balance, expressed as the SQL-standard lateral
+    join rather than the row_number idiom (window_topk_per_segment
+    covers that form).  Catalyst decorrelates the lateral limit into
+    a per-group window under a DomainJoin; DuckDB runs the same
+    statement natively, certifying the rewrite end to end."""
+    for tb in ("region", "nation", "customer"):
+        t(spark, sf, tb).createOrReplaceTempView(f"lat_{tb}")
+    return spark.sql(_LATERAL_SQL.format(p="lat_"))
+
+
+# ---------------------------------------------------- null-safe join
+
+
+@_q(
+    "join_null_safe",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN user_id % 10 = 0 THEN NULL
+                  ELSE CAST(user_id % 5 AS INT) END AS seg,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    seg_dim AS (
+      SELECT DISTINCT
+             CASE WHEN n_nationkey % 10 = 0 THEN NULL
+                  ELSE CAST(n_nationkey % 5 AS INT) END AS seg,
+             CAST(n_nationkey % 5 AS INT) AS seg_code
+      FROM nation WHERE n_nationkey < 10
+    )
+    SELECT u.user_id, u.seg, u.n_events, d.seg_code
+    FROM per_user u
+    JOIN seg_dim d ON u.seg IS NOT DISTINCT FROM d.seg
+    """,
+)
+def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join (Spark's ``<=>`` / SQL ``IS NOT DISTINCT
+    FROM``): NULL segment keys MATCH each other instead of dropping —
+    the semantics a plain equi-join silently loses.  Catalyst plans
+    ``<=>`` as a hash join on a null-safe key (no fallback to
+    nested-loop), which is what makes the form usable at scale;
+    the oracle runs the standard-SQL spelling."""
+    ev = t(spark, sf, "events")
+    na = t(spark, sf, "nation")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn(
+            "seg",
+            F.when(F.col("user_id") % 10 == 0, F.lit(None).cast("int")).otherwise(
+                (F.col("user_id") % 5).cast("int")
+            ),
+        )
+    )
+    seg_dim = (
+        na.filter(F.col("n_nationkey") < 10)
+        .select(
+            F.when(
+                F.col("n_nationkey") % 10 == 0, F.lit(None).cast("int")
+            )
+            .otherwise((F.col("n_nationkey") % 5).cast("int"))
+            .alias("seg"),
+            (F.col("n_nationkey") % 5).cast("int").alias("seg_code"),
+        )
+        .distinct()
+    )
+    return per_user.join(
+        seg_dim, per_user["seg"].eqNullSafe(seg_dim["seg"]), "inner"
+    ).select(
+        "user_id", per_user["seg"].alias("seg"), "n_events", "seg_code"
+    )
+
+
+# ---------------------------------------------------- exact-moment corr/cov
+
+
+@_q(
+    "agg_corr_cov",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sx,
+             sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS sy,
+             sum(CAST(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS syy,
+             sum(CAST(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0, 6)
+             AS covar_pop_qty_price,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100.0, 6)
+             AS covar_samp_qty_price,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS corr_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def agg_corr_cov(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlation / covariance aggregates from EXACT integer moments:
+    native corr()/covar_samp() accumulate doubles whose value depends
+    on partition merge order — fine statistically, fatal for a hash
+    gate and for reproducible pipelines.  The catalog form sums the
+    five moments as DECIMAL(38,0) (quantities integral, prices exact
+    cents; decimal sums never overflow at 100-TB row counts where a
+    BIGINT sum of squared cents would) and assembles Pearson r and
+    covariances in one final double step — order-independent,
+    engine-identical, and still a single map-side-partial hash agg
+    over the scan."""
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    num = n * sxy - sx * sy
+    return m.select(
+        "l_returnflag",
+        F.round(num / (n * n) / 100.0, 6).alias("covar_pop_qty_price"),
+        F.round(num / (n * (n - F.lit(1).cast("double"))) / 100.0, 6).alias(
+            "covar_samp_qty_price"
+        ),
+        F.round(
+            num / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------- bitwise scalar tier
+
+
+@_q(
+    "scalar_bitwise_funcs",
+    """
+    SELECT event_id,
+           user_id & 255 AS low_byte,
+           user_id | 4096 AS with_flag,
+           xor(user_id, event_id) AS mixed,
+           user_id << 3 AS shifted_l,
+           event_id >> 2 AS shifted_r,
+           CAST(bit_count(user_id) AS INT) AS popcnt,
+           ~user_id AS flipped
+    FROM events
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise scalar tier: AND/OR/XOR/NOT, shifts, and popcount over
+    BIGINT ids — the primitive layer under the simhash/banding ops,
+    exposed as engine functions (all JVM codegen, no UDFs).  The
+    oracle uses DuckDB's spellings (xor(), <<, ~); Spark's ^ is
+    bitwise xor and shiftleft/shiftright are functions."""
+    ev = t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.expr("user_id & 255").alias("low_byte"),
+        F.expr("user_id | 4096").alias("with_flag"),
+        F.expr("user_id ^ event_id").alias("mixed"),
+        F.shiftleft(F.col("user_id"), 3).alias("shifted_l"),
+        F.shiftright(F.col("event_id"), 2).alias("shifted_r"),
+        F.bit_count(F.col("user_id")).cast("int").alias("popcnt"),
+        F.expr("~user_id").alias("flipped"),
+    )
+
+
 # ---------------------------------------------------- PQ ANN tier
 
 

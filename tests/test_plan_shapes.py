@@ -342,3 +342,43 @@ def test_round5_plans(spark):
     # winsorize: the p1/p99 band table joins broadcast
     p = plan_of(spark, "events_winsorize")
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_round6_plans(spark):
+    # TPC-H q21's double correlation must decorrelate to semi + anti
+    # hash joins on l_orderkey — any nested-loop fallback is fatal at
+    # scale
+    p = plan_of(spark, "sql_tpch_q21")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+    # q17's correlated AVG subquery must become an aggregate + join,
+    # not a per-row re-scan
+    p = plan_of(spark, "sql_tpch_q17")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+    # attribution: the as-of composition is union + ONE user-keyed
+    # window — no correlated re-scan of events per purchase
+    p = plan_of(spark, "events_attribution")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "Window" in p
+
+    # deterministic mode: two hash aggs + one window, never a join
+    p = plan_of(spark, "agg_mode")
+    assert "HashAggregate" in p and "Window" in p and "Join" not in p
+
+    # exact-moment corr/cov: one partial+final hash agg over the scan;
+    # no join, no window
+    p = plan_of(spark, "agg_corr_cov")
+    assert "HashAggregate" in p and "Join" not in p
+
+    # null-safe join: <=> must stay a hash join (broadcast here), not
+    # degrade to a nested loop
+    p = plan_of(spark, "join_null_safe")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoop" not in p
+
+    # scalar tiers stay JVM-side: no Python eval nodes
+    for name in ("scalar_bitwise_funcs", "scalar_url_funcs"):
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
