@@ -83,6 +83,23 @@ class Bi5Partition(InputPartition):
     walk: bool  # True → entries are roots to walk (subdir compat mode)
 
 
+def local_path(path: str) -> str:
+    """Normalize a ``file:`` URI to a plain filesystem path.
+
+    ``spark.read.format("bi5").load(p)`` hands the reader the raw
+    string, but the SQL catalog path (``CREATE TABLE ... USING bi5
+    OPTIONS/LOCATION``) resolves it to a ``file:/...`` URI before the
+    Python data source sees it — without this the DDL surface would
+    fail the existence check on a path that exists.  Non-file schemes
+    and plain paths pass through untouched."""
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(path)
+        return unquote(parsed.path) or path
+    return path
+
+
 def _to_epoch_us(value) -> int:
     """Convert a pushed literal (datetime / int micros) to epoch micros."""
     if isinstance(value, datetime):
@@ -98,6 +115,7 @@ class Bi5Reader(DataSourceReader):
         path = options.get("path")
         if path is None:
             raise ValueError("'path' must be specified for BI5 data.")
+        path = local_path(path)
         if not os.path.exists(path):
             raise ValueError("Invalid path")
         digits_raw = options.get("digits")

@@ -33,6 +33,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
 
+from ..sources.bi5_datasource import local_path
 from ..sources.bi5_codec import (
     decode_bi5_file,
     iter_bi5_files,
@@ -62,6 +63,7 @@ class Bi5StreamReader(DataSourceStreamReader):
         path = options.get("path")
         if path is None:
             raise ValueError("'path' must be specified for BI5 data.")
+        path = local_path(path)
         if not os.path.exists(path):
             raise ValueError("Invalid path")
         digits_raw = options.get("digits")

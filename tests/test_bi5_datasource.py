@@ -533,3 +533,59 @@ class TestBi5Writer:
             df.write.format("bi5").option("digits", 5).mode("append").save(
                 str(tmp_path / "clash")
             )
+
+
+class TestSqlCatalogSurface:
+    """SQL DDL integration: the bi5 source is usable from pure SQL via
+    ``CREATE TEMPORARY VIEW ... USING bi5 OPTIONS (...)`` — the
+    standard options-carrying DDL for datasource relations.  (A
+    PERSISTENT ``CREATE TABLE ... USING bi5`` currently resolves but
+    hands the Python reader an EMPTY options dict at SELECT time —
+    Spark 4.1 does not round-trip stored table options into Python
+    data source reads — so the temp-view form is the supported SQL
+    surface.)  The catalog may also resolve paths to ``file:`` URIs;
+    local_path() normalizes them for both batch and stream readers."""
+
+    def test_temp_view_using_bi5(self, spark, bi5_tree):
+        df_api = (
+            spark.read.format("bi5").option("digits", 5).load(bi5_tree)
+        )
+        spark.sql("DROP VIEW IF EXISTS bi5_ddl_v1")
+        spark.sql(
+            "CREATE TEMPORARY VIEW bi5_ddl_v1 USING bi5 "
+            f"OPTIONS (digits '5', path '{bi5_tree}')"
+        )
+        try:
+            got = spark.sql(
+                "SELECT ticker, ts, ask, bid FROM bi5_ddl_v1 ORDER BY ticker, ts"
+            ).collect()
+            want = (
+                df_api.select("ticker", "ts", "ask", "bid")
+                .orderBy("ticker", "ts")
+                .collect()
+            )
+            assert got == want and len(got) == 7
+            # aggregation + filter through the SQL surface
+            n = spark.sql(
+                "SELECT count(*) AS n FROM bi5_ddl_v1 WHERE ticker = 'EURUSD'"
+            ).collect()[0].n
+            assert n == 5
+        finally:
+            spark.sql("DROP VIEW IF EXISTS bi5_ddl_v1")
+
+    def test_file_uri_load(self, spark, bi5_tree):
+        df = (
+            spark.read.format("bi5")
+            .option("digits", 5)
+            .load("file://" + bi5_tree)
+        )
+        assert df.count() == 7
+
+    def test_local_path_normalization(self):
+        from spark_bi5_datasource_spark.sources.bi5_datasource import local_path
+
+        assert local_path("/plain/dir") == "/plain/dir"
+        assert local_path("file:/a/b") == "/a/b"
+        assert local_path("file:///a/b") == "/a/b"
+        assert local_path("file:/a/with%20space") == "/a/with space"
+        assert local_path("s3a://bucket/key") == "s3a://bucket/key"
