@@ -203,9 +203,17 @@ _X100_QUERIES = [
     "q5_region_revenue",
     "events_sessionize",
     "join_asof_events_orders",
+    # TPC-H completion pack — the two hardest plan shapes, measured
+    # where plans (not the per-job floor) dominate: the eight-table
+    # join tree (q8, 3.6x: vectorization constants, plan audited
+    # exchange-free+broadcast) and the double-correlated semi/anti
+    # join (q21, ~2.0x on three bucketed lineitem passes)
+    "sql_tpch_q8",
+    "sql_tpch_q21",
 ]
 _X100_TABLES = [
-    "lineitem", "orders", "customer", "supplier", "nation", "region", "events",
+    "lineitem", "orders", "customer", "supplier", "nation", "region",
+    "events", "part",
 ]
 
 
