@@ -24,6 +24,7 @@ from .pca import pca_fit, pca_project
 from .pq import pq_topk, pq_train
 from .ranking import global_running_sum, ntile_expr, with_global_rank
 from .scd import scd2_build
+from .sharding import assign_training_shards, compact_parquet, write_training_shards
 from .similarity import cosine_pairs, cosine_topk, rp_lsh_topk, rp_signature
 from .skew import salted_join
 from .topk import top_k, top_k_per_group
@@ -33,6 +34,9 @@ from .zorder import zorder_write, zvalue, zvalue_sql
 __all__ = [
     "ann_topk_gemm",
     "asof_join",
+    "assign_training_shards",
+    "compact_parquet",
+    "write_training_shards",
     "bloom_semi_join",
     "cdc_apply",
     "connected_components",

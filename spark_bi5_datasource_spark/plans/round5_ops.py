@@ -429,6 +429,51 @@ def scalar_bitwise_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- training shards
+
+
+@_q(
+    "split_training_shards",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+        CAST(CAST(('0x' || substr(md5('ep0' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 8 AS INT) AS shard,
+        md5('ep0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(shuffle_key) AS first_key
+    FROM h GROUP BY shard ORDER BY shard
+    """,
+)
+def split_training_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-shard assignment profile: documents deterministically
+    sharded 8 ways by salted md5 (operators/sharding.py), per-shard
+    doc/char totals plus the first shuffle key — certifying that the
+    shard function and the within-shard hash order are engine-
+    portable and salt-reproducible (the delivery contract a training
+    pipeline rebuilds against).  The heavy path (hash-partition
+    exchange + per-partition sort + partitionBy write) is exercised
+    by the round-trip pytest; this query pins the assignment
+    arithmetic under the hash gate."""
+    from ..operators.sharding import assign_training_shards
+
+    docs = t(spark, sf, "documents")
+    a = assign_training_shards(docs, "doc_id", 8, salt="ep0")
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("shuffle_key").alias("first_key"),
+        )
+        .orderBy("shard")
+    )
+
+
 # ---------------------------------------------------- PQ ANN tier
 
 

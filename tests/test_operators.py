@@ -1588,3 +1588,94 @@ class TestBloomSemiJoin:
         # 200 true + false positives; with m=2^20, k=2, n=200 the FP
         # rate is ~0 — allow generous slack while proving real pruning
         assert 200 <= survivors < 1000
+
+
+class TestTrainingShards:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(i, f"doc text {i}") for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_roundtrip_and_determinism(self, spark, docs, tmp_path):
+        from spark_bi5_datasource_spark.operators import write_training_shards
+
+        p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        write_training_shards(docs, p1, "doc_id", 4, salt="a")
+        write_training_shards(docs, p2, "doc_id", 4, salt="a")
+        r1 = spark.read.parquet(p1)
+        # content-preserving: every row survives exactly once
+        assert sorted(r.doc_id for r in r1.select("doc_id").collect()) == list(
+            range(200)
+        )
+        # all 4 shard dirs exist and rebuilds are byte-order identical
+        import os
+
+        assert sorted(
+            d for d in os.listdir(p1) if d.startswith("shard=")
+        ) == [f"shard={i}" for i in range(4)]
+        for k in range(4):
+            a = spark.read.parquet(f"{p1}/shard={k}").select("doc_id").collect()
+            b = spark.read.parquet(f"{p2}/shard={k}").select("doc_id").collect()
+            assert a == b
+
+    def test_salt_changes_permutation(self, spark, docs):
+        from spark_bi5_datasource_spark.operators import assign_training_shards
+
+        a = assign_training_shards(docs, "doc_id", 4, salt="epoch1")
+        b = assign_training_shards(docs, "doc_id", 4, salt="epoch2")
+        oa = [r.doc_id for r in a.orderBy("shuffle_key").collect()]
+        ob = [r.doc_id for r in b.orderBy("shuffle_key").collect()]
+        assert oa != ob and sorted(oa) == sorted(ob)
+        # hash order decorrelates adjacent ids: the permutation must
+        # not be close to the identity
+        disp = sum(1 for i, d in enumerate(oa) if d != i)
+        assert disp > 150
+
+    def test_invalid_shards_raise(self, spark, docs):
+        from spark_bi5_datasource_spark.operators import assign_training_shards
+
+        with pytest.raises(ValueError, match="n_shards"):
+            assign_training_shards(docs, "doc_id", 0)
+
+
+class TestCompaction:
+    def test_compacts_small_files_content_preserving(self, spark, tmp_path):
+        from spark_bi5_datasource_spark.operators import compact_parquet
+
+        src, dest = str(tmp_path / "small"), str(tmp_path / "big")
+        # 64 tiny files
+        spark.range(10_000).repartition(64).write.parquet(src)
+        import os
+
+        n_in = sum(
+            f.endswith(".parquet") for f in os.listdir(src)
+        )
+        assert n_in == 64
+        n_out = compact_parquet(spark, src, dest, target_mb=512)
+        assert n_out < 8
+        files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+        assert len(files) == n_out
+        got = sorted(r.id for r in spark.read.parquet(dest).collect())
+        assert got == list(range(10_000))
+
+    def test_clustered_compaction_orders_by_key(self, spark, tmp_path):
+        from spark_bi5_datasource_spark.operators import compact_parquet
+
+        src, dest = str(tmp_path / "s"), str(tmp_path / "d")
+        spark.range(5_000).repartition(16).write.parquet(src)
+        compact_parquet(spark, src, dest, target_mb=512, id_col="id")
+        # range-partitioned rewrite: per-file min/max ranges must not
+        # overlap (the property parquet scan pruning relies on)
+        import os
+        import pyarrow.parquet as pq
+
+        ranges = []
+        for f in os.listdir(dest):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(dest, f), columns=["id"])
+                ids = t["id"].to_pylist()
+                if ids:
+                    ranges.append((min(ids), max(ids)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2
