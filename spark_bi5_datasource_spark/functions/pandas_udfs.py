@@ -17,7 +17,7 @@ import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["vector_norm", "batch_dot_topk_kernel"]
+__all__ = ["vector_norm", "trimmed_mean", "batch_dot_topk_kernel"]
 
 
 @pandas_udf("double")
@@ -28,6 +28,26 @@ def vector_norm(vecs: pd.Series) -> pd.Series:
     if mat.ndim == 1:  # empty batch guard
         return pd.Series(np.zeros(0))
     return pd.Series(np.sqrt((mat * mat).sum(axis=1)))
+
+
+@pandas_udf("double")
+def trimmed_mean(v: pd.Series) -> float:
+    """10%-trimmed mean as a GROUPED_AGG pandas UDF — the group's
+    whole value set arrives as one Arrow series and reduces to one
+    scalar.  This is the aggregation cell of the Python-boundary
+    matrix (scalar pandas_udf, grouped-agg pandas_udf, grouped-map
+    applyInPandas, mapInPandas, applyInPandasWithState, UDTF, Arrow
+    source).  Deterministic: sort, drop floor(n*0.1) from each end,
+    mean — no RNG, no order dependence.
+
+    Scale note: GROUPED_AGG materializes each group in memory (no
+    partial aggregation), so it is for robust statistics over
+    BOUNDED groups; unbounded-group trims belong to the exact
+    two-pass quantile form (events_winsorize)."""
+    a = np.sort(v.to_numpy(dtype=np.float64))
+    k = int(len(a) * 0.1)
+    core = a[k : len(a) - k] if len(a) > 2 * k else a
+    return float(core.mean()) if len(core) else float("nan")
 
 
 def batch_dot_topk_kernel(query_mat: np.ndarray, k: int):

@@ -429,6 +429,48 @@ def scalar_bitwise_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- grouped-agg pandas UDF
+
+
+@_q(
+    "agg_pandas_udf_trimmed",
+    """
+    WITH n AS (
+      SELECT label,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x * x))) AS nrm
+      FROM embeddings
+    ), g AS (
+      SELECT label, list_sort(list(nrm)) AS s, count(*) AS cnt
+      FROM n GROUP BY label
+    )
+    SELECT label,
+      round(CASE WHEN cnt > 2 * CAST(floor(cnt * 0.1) AS BIGINT)
+            THEN list_sum(list_slice(s, CAST(floor(cnt * 0.1) AS BIGINT) + 1,
+                                     cnt - CAST(floor(cnt * 0.1) AS BIGINT)))
+                 / (cnt - 2 * CAST(floor(cnt * 0.1) AS BIGINT))
+            ELSE list_sum(s) / cnt END, 6) AS trimmed_norm
+    FROM g ORDER BY label
+    """,
+)
+def agg_pandas_udf_trimmed(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label 10%-trimmed mean of embedding norms via a
+    GROUPED_AGG pandas UDF — the aggregation cell of the Python-
+    boundary matrix (functions/pandas_udfs.py): the whole group
+    arrives as one Arrow series, reduces to one scalar.  The oracle
+    computes the identical trim with list_sort + list_slice, so the
+    Arrow aggregation path sits under the hash gate."""
+    from ..functions.pandas_udfs import trimmed_mean
+    from ..operators.similarity import with_norm
+
+    emb = with_norm(t(spark, sf, "embeddings"), "embedding")
+    return (
+        emb.groupBy("label")
+        .agg(F.round(trimmed_mean(F.col("norm")), 6).alias("trimmed_norm"))
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------- training shards
 
 
