@@ -843,4 +843,27 @@ def tok_vocab_sketch(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(
         (F.length("tok") > 0) & ~F.col("tok").isin(*STOPWORDS["en"])
     )
-    return top_k_sketch(toks, "tok", k=100)
+
+    # candidate pass reads the raw documents (one Arrow row per DOC,
+    # not per token) and tokenizes at C speed in the worker; the
+    # exact recount still runs on the JVM token stream above
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    stop = frozenset(STOPWORDS["en"])
+    pat = re.compile(r"[a-z]+")
+
+    def tok_counts(pdf: pd.DataFrame) -> pd.Series:
+        c: Counter = Counter()
+        for txt in pdf["text"]:
+            c.update(pat.findall(txt.lower()))
+        for s in stop:
+            c.pop(s, None)
+        return pd.Series(c, dtype="int64")
+
+    return top_k_sketch(
+        toks, "tok", k=100,
+        sketch_input=docs.select("text"), extract_counts=tok_counts,
+    )
