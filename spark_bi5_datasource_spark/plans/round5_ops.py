@@ -568,3 +568,124 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(emb, queries, k=5, shortlist=64, iters=4, sample=512)
+
+
+# ------------------------------------------- multi-source BFS depth
+
+
+@_q(
+    "graph_bfs_depth",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e0 AS (
+      SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
+    ), e AS (
+      SELECT u AS s, v AS d FROM e0
+      UNION ALL
+      SELECT v AS s, u AS d FROM e0
+    ), srcs AS (
+      SELECT s AS node FROM e GROUP BY s ORDER BY s LIMIT 5
+    ), reach(node, depth) AS (
+      SELECT node, 0 FROM srcs
+      UNION
+      SELECT e.d, r.depth + 1 FROM reach r JOIN e ON e.s = r.node
+      WHERE r.depth < 6
+    )
+    SELECT node, CAST(min(depth) AS INT) AS depth
+    FROM reach GROUP BY node
+    """,
+)
+def graph_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS over the part co-purchase graph (same edge
+    set as graph_triangle_count): shortest-hop depth from the 5
+    smallest part nodes, capped at 6 hops.  The Spark plan is
+    synchronous frontier expansion (operators/bfs.py — one
+    expansion join + one anti-join per round, first-reach = min
+    depth); the oracle is the textbook recursive CTE with UNION
+    dedup, so a hash match certifies the frontier machinery against
+    the declarative fixed point."""
+    from ..operators.bfs import bfs_depths
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.toDF("l_orderkey", "b_partkey")
+    pairs = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("b_partkey"))
+        .select(
+            "l_orderkey",
+            F.col("l_partkey").alias("u"),
+            F.col("b_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    e0 = (
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    nodes = e0.select(F.col("u").alias("node")).unionByName(
+        e0.select(F.col("v").alias("node"))
+    )
+    sources = nodes.distinct().orderBy("node").limit(5)
+    return bfs_depths(e0, sources, src="u", dst="v", max_depth=6)
+
+
+# ------------------------------- event-sequence pattern matching (CEP)
+
+
+@_q(
+    "events_pattern_funnel",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS INT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'vcp')) AS INT) AS funnels
+    FROM seqs
+    """,
+)
+def events_pattern_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch MATCH_RECOGNIZE twin: per-user event-type sequences as
+    strings (one char per event — the five fixture types have
+    distinct initials), then regex counting of the contiguous
+    view->click->purchase funnel.  Leftmost non-overlapping match
+    semantics are identical in Spark's regexp_count and DuckDB's
+    regexp_extract_all, and the (ts, event_id) sort key is a total
+    order, so the sequence strings are engine-identical.
+
+    Scale shape: one hash aggregation keyed on user; the collected
+    list is bounded by per-user event count (the CEP state bound any
+    engine needs).  A 100-TB run would pre-partition the event log on
+    user_id (bucketed layout) so the aggregation is exchange-free."""
+    e = t(spark, sf, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda s: s.ch,
+            ),
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("n_events"),
+        F.regexp_count("seq", F.lit("vcp")).cast("int").alias("funnels"),
+    )

@@ -1679,3 +1679,50 @@ class TestCompaction:
         ranges.sort()
         for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
             assert hi1 < lo2
+
+
+class TestBfsDepths:
+    """Frontier-expansion BFS semantics on hand-built graphs."""
+
+    def _run(self, spark, edges, sources, **kw):
+        from spark_bi5_datasource_spark.operators.bfs import bfs_depths
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in sources], "node long")
+        out = bfs_depths(e, s, **kw)
+        return {r.node: r.depth for r in out.collect()}
+
+    def test_chain_depths(self, spark):
+        # 1-2-3-4-5 chain from source 1: depth = position
+        edges = [(i, i + 1) for i in range(1, 5)]
+        got = self._run(spark, edges, [1])
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    def test_disconnected_unreached(self, spark):
+        edges = [(1, 2), (10, 11)]
+        got = self._run(spark, edges, [1])
+        assert got == {1: 0, 2: 1}  # 10,11 unreachable
+
+    def test_multi_source_min_depth(self, spark):
+        # sources at both chain ends: middle node takes the closer one
+        edges = [(i, i + 1) for i in range(1, 5)]
+        got = self._run(spark, edges, [1, 5])
+        assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+    def test_depth_cap(self, spark):
+        edges = [(i, i + 1) for i in range(1, 10)]
+        got = self._run(spark, edges, [1], max_depth=3)
+        assert max(got.values()) == 3 and len(got) == 4
+
+    def test_directed_vs_undirected(self, spark):
+        edges = [(2, 1), (2, 3)]
+        undirected = self._run(spark, edges, [1])
+        assert undirected == {1: 0, 2: 1, 3: 2}
+        directed = self._run(spark, edges, [1], directed=True)
+        assert directed == {1: 0}  # no out-edges from 1
+
+    def test_cycle_terminates_first_reach(self, spark):
+        # diamond with a shortcut: BFS records the SHORTEST hop count
+        edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+        got = self._run(spark, edges, [1])
+        assert got == {1: 0, 2: 1, 4: 1, 3: 2}
