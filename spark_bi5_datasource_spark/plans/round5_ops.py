@@ -689,3 +689,76 @@ def events_pattern_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.length("seq").cast("int").alias("n_events"),
         F.regexp_count("seq", F.lit("vcp")).cast("int").alias("funnels"),
     )
+
+
+# -------------------------------- incremental view maintenance (IVM)
+
+
+@_q(
+    "mv_incremental_orders",
+    # oracle = the DECLARATIVE full recompute over the post-delta
+    # order set (base minus retractions plus late inserts): a hash
+    # match certifies the counting-algorithm maintenance path never
+    # touched the base yet landed on the same view
+    """
+    WITH b AS (
+      SELECT *, CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 AS bucket
+      FROM orders
+    ), post AS (
+      SELECT * FROM b WHERE bucket >= 10
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM post
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def mv_incremental_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance, certified: a count/sum view over
+    the base orders (md5 buckets 0-89) is maintained under one signed
+    delta batch — inserts (buckets 90-99, arriving late) and
+    retractions (bucket 0-9 rows, deleted) — via operators/ivm.py's
+    counting algorithm.  The base table is scanned once to build the
+    view and NEVER again; the oracle recomputes the post-delta state
+    declaratively, so the hash gate certifies the merge arithmetic.
+
+    Money stays exact as bigint cents (the house scaled-integer
+    idiom)."""
+    from ..operators.ivm import delta_agg_apply
+
+    orders = t(spark, sf, "orders").withColumn(
+        "bucket",
+        F.conv(F.md5(F.col("o_orderkey").cast("string")).substr(1, 8), 16, 10)
+        .cast("long")
+        % 100,
+    ).withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    base = orders.filter(F.col("bucket") < 90)
+    mv = base.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum("cents").alias("total_cents"),
+    )
+    inserts = orders.filter(F.col("bucket") >= 90).withColumn(
+        "_sign", F.lit(1)
+    )
+    retracts = orders.filter(F.col("bucket") < 10).withColumn(
+        "_sign", F.lit(-1)
+    )
+    delta = inserts.unionByName(retracts).select(
+        "o_orderstatus", "o_orderpriority", "cents", "_sign"
+    )
+    return delta_agg_apply(
+        mv,
+        delta,
+        keys=["o_orderstatus", "o_orderpriority"],
+        sums={"total_cents": "cents"},
+    ).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+    )

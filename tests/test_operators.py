@@ -1726,3 +1726,43 @@ class TestBfsDepths:
         edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
         got = self._run(spark, edges, [1])
         assert got == {1: 0, 2: 1, 4: 1, 3: 2}
+
+
+class TestDeltaAggApply:
+    """Counting-algorithm IVM semantics on hand-built views."""
+
+    def _apply(self, spark, mv_rows, delta_rows):
+        from spark_bi5_datasource_spark.operators.ivm import delta_agg_apply
+
+        mv = spark.createDataFrame(mv_rows, "k string, cnt long, total long")
+        d = spark.createDataFrame(
+            delta_rows, "k string, v long, _sign int"
+        )
+        out = delta_agg_apply(mv, d, keys=["k"], sums={"total": "v"})
+        return {r.k: (r.cnt, r.total) for r in out.collect()}
+
+    def test_insert_existing_and_new_group(self, spark):
+        got = self._apply(
+            spark,
+            [("a", 2, 10)],
+            [("a", 5, 1), ("b", 7, 1)],
+        )
+        assert got == {"a": (3, 15), "b": (1, 7)}
+
+    def test_retract_to_zero_drops_group(self, spark):
+        got = self._apply(
+            spark,
+            [("a", 1, 10), ("b", 2, 20)],
+            [("a", 10, -1)],
+        )
+        assert got == {"b": (2, 20)}
+
+    def test_untouched_groups_pass_through(self, spark):
+        got = self._apply(spark, [("z", 4, 40)], [("a", 1, 1)])
+        assert got["z"] == (4, 40)
+
+    def test_over_retraction_surfaces_negative(self, spark):
+        # retracting a never-inserted row is a contract violation the
+        # operator surfaces (negative count), never silently clamps
+        got = self._apply(spark, [("a", 1, 10)], [("b", 3, -1)])
+        assert got["b"] == (-1, -3)
