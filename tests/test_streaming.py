@@ -229,6 +229,68 @@ def test_stream_stream_join_drops_late_rows(spark, tmp_path):
     assert third == set(), f"late rows leaked through the watermark: {third}"
 
 
+
+def test_stream_stream_left_outer_null_padding(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched left row must emit
+    null-padded ONLY after the watermark proves no future right row
+    can match it (outer results are withheld until state eviction —
+    the "eventually complete" contract), while matched rows emit
+    immediately and never null-pad."""
+    from spark_bi5_datasource_spark.streaming import stream_stream_join
+
+    schema = "id long, ts timestamp, user_id long, px double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id long, ts_s string, user_id long, px double"
+        ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "px")
+
+    ld, rd = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    ck = str(tmp_path / "ckpt_lo")
+    out = str(tmp_path / "lo_out")
+
+    # trigger 1: (1, u1) matches; (5, u5) stays unmatched; the 20:00
+    # row advances the committed watermark to 18:00 > 12:00, which
+    # makes row 5 provably unmatchable (matches need r.ts <= 12:00)
+    mk([
+        (1, "2024-01-01 10:15:00", 1, 0.0),
+        (5, "2024-01-01 12:00:00", 5, 0.0),
+        (2, "2024-01-01 20:00:00", 2, 0.0),
+    ]).write.parquet(ld)
+    mk([(101, "2024-01-01 10:00:00", 1, 1.0)]).write.parquet(rd)
+
+    def run():
+        ls = spark.readStream.schema(schema).parquet(ld)
+        rs = spark.readStream.schema(schema).parquet(rd)
+        joined = stream_stream_join(
+            ls, rs, key="user_id", horizon="1 hour", how="left"
+        ).select(F.col("l.id").alias("lid"), F.col("r.id").alias("rid"))
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.lid, r.rid) for r in spark.read.parquet(out).collect()}
+
+    first = run()
+    # matched pair emits promptly; the unmatched row is withheld — a
+    # null now would be WRONG (a right row at 11:30 could still arrive)
+    assert (1, 101) in first
+    assert (5, None) not in first
+
+    # trigger 2: fresh on-time data runs state cleanup under the 18:00
+    # watermark -> row 5 emits null-padded; row 2 (20:00) is still
+    # above the new 19:00 watermark and stays withheld
+    mk([(4, "2024-01-01 21:00:00", 4, 0.0)]).write.mode("append").parquet(ld)
+    mk([(104, "2024-01-01 20:30:00", 4, 1.0)]).write.mode("append").parquet(rd)
+    second = run() - first
+    assert second == {(4, 104), (5, None)}
+
+
 class TestBi5Streaming:
     def test_incremental_files(self, spark, tmp_path):
         tree = tmp_path / "ticks" / "EURUSD" / "2020" / "0" / "1"
