@@ -111,3 +111,100 @@ class TestCorrMomentProperties:
         )
         want = np.corrcoef(xs, ys)[0, 1]
         assert got == pytest.approx(want, abs=1e-9)
+
+
+edges_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+class TestBfsProperties:
+    @given(edges_st, st.integers(min_value=0, max_value=12),
+           st.sampled_from([2, 4, 8]))
+    @settings(max_examples=8, deadline=None)
+    def test_matches_reference_bfs(self, spark, edges, source, max_depth):
+        """Frontier-expansion depths == a pure-Python BFS on the same
+        (undirected) graph, including unreachable-node absence and the
+        depth cap."""
+        from collections import deque
+
+        from spark_bi5_datasource_spark.operators.bfs import bfs_depths
+
+        adj: dict[int, set] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        expect = {source: 0}
+        dq = deque([source])
+        while dq:
+            n = dq.popleft()
+            if expect[n] >= max_depth:
+                continue
+            for m in adj.get(n, ()):  # noqa: B909
+                if m not in expect:
+                    expect[m] = expect[n] + 1
+                    dq.append(m)
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(source,)], "node long")
+        got = {
+            r.node: r.depth
+            for r in bfs_depths(e, s, max_depth=max_depth).collect()
+        }
+        assert got == expect
+
+
+mv_st = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c", "d"]),
+              st.integers(min_value=-50, max_value=50)),
+    min_size=0, max_size=30,
+)
+
+
+class TestIvmProperties:
+    @given(mv_st, mv_st, mv_st)
+    @settings(max_examples=8, deadline=None)
+    def test_maintained_equals_recompute(self, spark, base, inserts, retract_idx):
+        """For any base set, insert batch, and retraction subset, the
+        maintained view == the view recomputed from scratch over the
+        post-delta row multiset."""
+        from spark_bi5_datasource_spark.operators.ivm import delta_agg_apply
+        import pyspark.sql.functions as F
+
+        # retractions must be rows that exist: take them from base
+        retracts = base[: len(retract_idx) % (len(base) + 1)]
+        post = [r for r in base] + inserts
+        for r in retracts:
+            post.remove(r)
+
+        def agg(rows):
+            out: dict = {}
+            for k, v in rows:
+                c, t = out.get(k, (0, 0))
+                out[k] = (c + 1, t + v)
+            return {k: v for k, v in out.items() if v[0] != 0}
+
+        if base:
+            mv = spark.createDataFrame(
+                [(k, c, t) for k, (c, t) in agg(base).items()],
+                "k string, cnt long, total long",
+            )
+        else:
+            mv = spark.createDataFrame([], "k string, cnt long, total long")
+        delta_rows = [(k, v, 1) for k, v in inserts] + [
+            (k, v, -1) for k, v in retracts
+        ]
+        if not delta_rows:
+            delta_rows = [("zz", 0, 1)]  # keep schema inference happy
+            post.append(("zz", 0))
+        d = spark.createDataFrame(delta_rows, "k string, v long, _sign int")
+        got = {
+            r.k: (r.cnt, r.total)
+            for r in delta_agg_apply(mv, d, keys=["k"], sums={"total": "v"}).collect()
+        }
+        assert got == agg(post)
