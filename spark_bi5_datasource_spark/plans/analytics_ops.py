@@ -12,7 +12,7 @@ arithmetic shapes on both engines; counts stay exact integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .tables import t
@@ -307,33 +307,58 @@ def events_active_users(spark: SparkSession, sf: str) -> DataFrame:
     d = e.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     ).distinct()
-    days = d.select("day").distinct()
-    # each (day, user) pair explodes to its <=7 grid days tagged with
-    # the origin day; one (grid-day, user) aggregation collapses the
-    # multiplicity AND carries the is-dau flag, so the final per-day
-    # counts are plain sum/count — no count_distinct (whose Expand
-    # doubles the shuffle; measured 7.4 s vs 4.0 s on 10M events) and
-    # none of the first cut's separate dau/wau aggs + join
-    exp = d.select(
-        F.col("day").alias("oday"),
-        F.explode(
-            F.expr("sequence(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)")
-        ).alias("day"),
-        "user_id",
+    dau = d.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+
+    # difference-array sweep (replaces the first cut's 7x grid-day
+    # explode + (grid-day, user) re-aggregation — that shuffled
+    # 7x|pairs| rows; measured 1.34 s vs 0.13 s DuckDB at x10): each
+    # user's sorted active days become coverage deltas for the union
+    # of their [day, day+6] windows — (+1 at the first day, -1 after
+    # each >6-day gap closes, +1 where the next run starts, -1 after
+    # the last).  Overlapping/adjacent windows cancel in the day
+    # aggregation, so coverage is 0/1 per user by construction.
+    # Shuffle: |pairs| into the per-user fold, then only O(#days)
+    # delta rows onward.
+    per_user = d.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("day")).alias("ds")
     )
-    g = (
-        exp.join(days, "day", "semi")
-        .groupBy("day", "user_id")
-        .agg(
-            F.max(
-                F.when(F.col("oday") == F.col("day"), 1).otherwise(0)
-            ).alias("is_dau")
-        )
+    deltas_arr = F.expr(
+        "concat("
+        " array(named_struct('day', element_at(ds, 1), 'delta', 1),"
+        "       named_struct('day', element_at(ds, -1) + INTERVAL 7 DAY,"
+        "                    'delta', -1)),"
+        " flatten(transform("
+        "   CASE WHEN size(ds) >= 2 THEN sequence(1, size(ds) - 1)"
+        "        ELSE CAST(array() AS ARRAY<INT>) END,"
+        "   i -> CASE WHEN element_at(ds, i + 1) >"
+        "                  element_at(ds, i) + INTERVAL 6 DAY"
+        "        THEN array(named_struct('day',"
+        "                     element_at(ds, i) + INTERVAL 7 DAY,"
+        "                     'delta', -1),"
+        "                   named_struct('day', element_at(ds, i + 1),"
+        "                     'delta', 1))"
+        "        ELSE CAST(array() AS"
+        "          ARRAY<STRUCT<day: TIMESTAMP, delta: INT>>) END)))"
     )
-    return g.groupBy("day").agg(
-        F.sum("is_dau").cast("bigint").alias("dau"),
-        F.count("*").cast("bigint").alias("wau"),
-    ).select("day", "dau", "wau")
+    deltas = per_user.select(F.explode(deltas_arr).alias("x")).select(
+        "x.day", "x.delta"
+    )
+    dsum = deltas.groupBy("day").agg(F.sum("delta").alias("dd"))
+    # running coverage over the day grid (observed days ∪ delta
+    # boundaries) — a single-partition window like the histogram-CDF
+    # pattern: the grid is O(#calendar days), never O(|events|)
+    grid = (
+        dau.select("day")
+        .unionByName(dsum.select("day"))
+        .distinct()
+        .join(dsum, "day", "left")
+        .select("day", F.coalesce("dd", F.lit(0)).alias("dd"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wau = grid.select(
+        "day", F.sum("dd").over(w).cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")
 
 
 # ------------------------------------------- linear-interpolated fill
