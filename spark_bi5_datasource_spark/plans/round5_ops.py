@@ -762,3 +762,52 @@ def mv_incremental_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cnt").cast("bigint").alias("cnt"),
         F.col("total_cents").cast("bigint").alias("total_cents"),
     )
+
+
+# ------------------------------ point-in-time SCD2 dimension lookup
+
+
+@_q(
+    "join_scd2_pointintime",
+    """
+    WITH v AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS valid_to
+      FROM orders
+    )
+    SELECT e.event_id, e.user_id, e.ts, v.o_orderkey, v.o_orderstatus
+    FROM events e JOIN v ON v.o_custkey = e.user_id
+      AND e.ts >= v.valid_from
+      AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time ("time travel") dimension lookup: each event is
+    joined to the SCD2 version (operators/scd.py intervals over the
+    order log) valid AT the event's timestamp.  Same-date versions
+    collapse to empty [d, d) intervals, so the non-empty intervals
+    partition time and every event matches at most one version —
+    the half-open containment the oracle states declaratively.
+
+    Scale shape: the join is EQUI on the customer key (hash join;
+    the interval containment is a post-filter), with fan-out bounded
+    by versions-per-customer — no inequality-only join, no window
+    over the event log."""
+    from ..operators.scd import scd2_build
+
+    orders = t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    v = scd2_build(
+        orders, ["o_custkey"], "o_orderdate", tiebreak=["o_orderkey"]
+    )
+    e = t(spark, sf, "events").select("event_id", "user_id", "ts")
+    return e.join(
+        v,
+        (F.col("user_id") == F.col("o_custkey"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderstatus")

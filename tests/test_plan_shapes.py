@@ -382,3 +382,13 @@ def test_round6_plans(spark):
     for name in ("scalar_bitwise_funcs", "scalar_url_funcs"):
         p = plan_of(spark, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_scd2_pointintime_is_equi_join(spark):
+    """The point-in-time lookup must compile to an EQUI join on the
+    customer key (interval containment as a post-filter), never a
+    nested-loop/cartesian inequality join."""
+    p = plan_of(spark, "join_scd2_pointintime")
+    assert "HashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
