@@ -811,3 +811,111 @@ def join_scd2_pointintime(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("ts") >= F.col("valid_from"))
         & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderstatus")
+
+
+# ----------------------------------- table diff / reconciliation
+
+
+@_q(
+    "table_diff_orders",
+    # the oracle CLASSIFIES the planted delta declaratively; the Spark
+    # side must rediscover it through the generic diff operator
+    """
+    WITH k AS (
+      SELECT o_orderkey,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM orders
+    )
+    SELECT o_orderkey, 'removed' AS status FROM k WHERE bucket < 5
+    UNION ALL
+    SELECT o_orderkey, 'changed' FROM k WHERE bucket BETWEEN 5 AND 9
+    UNION ALL
+    SELECT o_orderkey + 1000000000, 'added' FROM k
+    WHERE bucket BETWEEN 10 AND 14
+    """,
+)
+def table_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.py): a second snapshot
+    of orders is derived with a planted delta — md5 buckets 0-4
+    deleted, 5-9 repriced, 10-14 duplicated under shifted keys — and
+    the generic full-outer null-safe diff must classify exactly that
+    delta (unchanged rows never surface).  The oracle states the
+    planted classification declaratively, so the hash gate certifies
+    the diff machinery end to end."""
+    from ..operators.diff import table_diff
+
+    orders = t(spark, sf, "orders").withColumn(
+        "bucket",
+        F.conv(F.md5(F.col("o_orderkey").cast("string")).substr(1, 8), 16, 10)
+        .cast("long")
+        % 100,
+    )
+    changed = orders.filter((F.col("bucket") >= 5) & (F.col("bucket") < 10))
+    added = orders.filter(
+        (F.col("bucket") >= 10) & (F.col("bucket") < 15)
+    ).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000))
+    snapshot_b = (
+        orders.filter(F.col("bucket") >= 5)
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("bucket") < 10, F.lit("X-DIFF")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .unionByName(added)
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    return table_diff(
+        orders.select(*cols),
+        snapshot_b.select(*cols),
+        keys=["o_orderkey"],
+    )
+
+
+# ------------------------------------------ join-skew diagnosis
+
+
+@_q(
+    "profile_join_skew",
+    """
+    WITH e AS (
+      SELECT user_id AS k, count(*) AS n_events
+      FROM events GROUP BY user_id
+    ), o AS (
+      SELECT o_custkey AS k, count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT e.k, CAST(e.n_events AS BIGINT) AS n_events,
+           CAST(o.n_orders AS BIGINT) AS n_orders,
+           CAST(e.n_events * o.n_orders AS BIGINT) AS join_rows
+    FROM e JOIN o USING (k)
+    ORDER BY join_rows DESC, k ASC
+    LIMIT 20
+    """,
+)
+def profile_join_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-skew diagnosis: the 20 keys contributing the most output
+    rows to an events-orders join (per-side key counts multiplied) —
+    the report that decides whether a key needs the salted-join
+    escape hatch.  Two map-side-combined aggregations over key-sized
+    tables; the event log and order log are each scanned once."""
+    e = t(spark, sf, "events").groupBy(
+        F.col("user_id").alias("k")
+    ).agg(F.count("*").alias("n_events"))
+    o = t(spark, sf, "orders").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(F.count("*").alias("n_orders"))
+    return (
+        e.join(o, "k")
+        .select(
+            "k",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            (F.col("n_events") * F.col("n_orders"))
+            .cast("bigint")
+            .alias("join_rows"),
+        )
+        .orderBy(F.col("join_rows").desc(), F.col("k").asc())
+        .limit(20)
+    )

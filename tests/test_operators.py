@@ -1766,3 +1766,45 @@ class TestDeltaAggApply:
         # operator surfaces (negative count), never silently clamps
         got = self._apply(spark, [("a", 1, 10)], [("b", 3, -1)])
         assert got["b"] == (-1, -3)
+
+
+class TestTableDiff:
+    """Null-safe snapshot-diff semantics on hand-built tables."""
+
+    def _diff(self, spark, a_rows, b_rows, compare=None):
+        from spark_bi5_datasource_spark.operators.diff import table_diff
+
+        schema = "k long, v string, w long"
+        a = spark.createDataFrame(a_rows, schema)
+        b = spark.createDataFrame(b_rows, schema)
+        out = table_diff(a, b, keys=["k"], compare=compare)
+        return {(r.k, r.status) for r in out.collect()}
+
+    def test_classifies_added_removed_changed(self, spark):
+        got = self._diff(
+            spark,
+            [(1, "x", 10), (2, "y", 20), (3, "z", 30)],
+            [(2, "y", 20), (3, "z", 99), (4, "n", 40)],
+        )
+        assert got == {(1, "removed"), (3, "changed"), (4, "added")}
+
+    def test_null_to_null_is_unchanged(self, spark):
+        got = self._diff(
+            spark,
+            [(1, None, 10), (2, None, 20)],
+            [(1, None, 10), (2, "v", 20)],
+        )
+        assert got == {(2, "changed")}  # NULL <=> NULL compares equal
+
+    def test_null_to_value_is_changed(self, spark):
+        got = self._diff(spark, [(1, "a", None)], [(1, "a", 5)])
+        assert got == {(1, "changed")}
+
+    def test_compare_subset_ignores_other_columns(self, spark):
+        got = self._diff(
+            spark,
+            [(1, "a", 10)],
+            [(1, "a", 999)],
+            compare=["v"],  # w differs but is not compared
+        )
+        assert got == set()
