@@ -919,3 +919,58 @@ def profile_join_skew(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("join_rows").desc(), F.col("k").asc())
         .limit(20)
     )
+
+
+# --------------------- weighted sampling without replacement (A-ES)
+
+
+@_q(
+    "sample_weighted_wor",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             x -> x <> '')) AS w
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, w,
+             -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 0.5) / 4294967296.0) / w AS k
+      FROM d WHERE w > 0
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS weight
+    FROM keyed
+    ORDER BY k ASC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def sample_weighted_wor(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    exponential keys — the one-pass distributed algorithm): each doc
+    draws key = -ln(u)/w and the k smallest keys are the sample,
+    giving inclusion probability proportional to weight w (token
+    count here).  The uniform u comes from md5(doc_id) instead of an
+    RNG, so the draw is reproducible across runs, engines, and
+    partitionings — the same determinism contract as the other
+    content-keyed samplers — and the whole selection sits under the
+    hash gate.  Selection is a global top-k (TakeOrdered): only k
+    rows per partition survive the shuffle."""
+    docs = t(spark, sf, "documents")
+    w = F.size(
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
+        )
+    )
+    u = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id", w.alias("w"), (-F.log(u) / w).alias("k")
+    ).filter(F.col("w") > 0)
+    return (
+        keyed.orderBy(F.col("k").asc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", F.col("w").cast("bigint").alias("weight"))
+    )
