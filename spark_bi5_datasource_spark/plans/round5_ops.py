@@ -974,3 +974,161 @@ def sample_weighted_wor(spark: SparkSession, sf: str) -> DataFrame:
         .limit(100)
         .select("doc_id", F.col("w").cast("bigint").alias("weight"))
     )
+
+
+# --------------------------- per-group OLS regression aggregates
+
+
+@_q(
+    "agg_regression",
+    """
+    WITH p AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) - epoch(TIMESTAMP '2024-01-01')
+                  AS BIGINT) AS x,  -- floor: Spark's unix_timestamp truncates
+             CAST(round(value * 1000000) AS BIGINT) AS y
+      FROM events
+    ), m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+             sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      FROM p GROUP BY event_type
+    )
+    , a AS (
+      SELECT event_type,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+      FROM m
+    )
+    -- integer-space rounding (house idiom): round(scaled double) to
+    -- an integer, then divide — round(x, 6) on a double at a
+    -- boundary diverges between the engines' shortest-repr vs
+    -- binary rounding
+    SELECT event_type,
+           round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                 * 86400.0) / 1000000.0 AS slope_per_day,
+           round((syd - (nd * sxyd - sxd * syd)
+                        / (nd * sxxd - sxd * sxd) * sxd) / nd)
+             / 1000000.0 AS intercept,
+           round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                 / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+                 * 1000000.0) / 1000000.0 AS r2
+    FROM a ORDER BY event_type
+    """,
+)
+def agg_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS regression (value drift per day per event type)
+    from EXACT integer moments — the regr_slope/intercept/r2 tier.
+    Native regr_* aggregates accumulate doubles whose value depends on
+    partition merge order (hash-gate-fatal, like corr); the catalog
+    form sums five DECIMAL(38,0) moments over (seconds-since-anchor,
+    micro-scaled value) and assembles slope/intercept/r² in one final
+    double step — order-independent, engine-identical, still one
+    map-side-partial hash agg over the scan."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+        ).cast("bigint").alias("x"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    slope = num / den_x
+    # integer-space rounding (the seasonal-profile idiom): round the
+    # 1e6-scaled double to an INTEGER, then divide — identical on
+    # both engines where round(x, 6) diverges at repr boundaries
+    return m.select(
+        "event_type",
+        (F.round(slope * 86_400.0) / 1_000_000.0).alias("slope_per_day"),
+        (F.round((sy - slope * sx) / n) / 1_000_000.0).alias("intercept"),
+        (F.round(num * num / (den_x * den_y) * 1_000_000.0) / 1_000_000.0)
+        .alias("r2"),
+    ).orderBy("event_type")
+
+
+# ----------------------------------- time-weighted average (TWAP)
+
+
+@_q(
+    "events_twap",
+    """
+    WITH o AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(round(value * 10000) AS BIGINT) AS v,
+             epoch_us(lead(ts) OVER (
+               PARTITION BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+               ORDER BY ts, event_id) ) - epoch_us(ts) AS dt
+      FROM events
+    ), m AS (
+      SELECT event_type, day,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             sum(CAST(v * dt AS DECIMAL(38,0))) AS num,
+             sum(CAST(dt AS DECIMAL(38,0))) AS den
+      FROM o WHERE dt IS NOT NULL
+      GROUP BY event_type, day
+    )
+    SELECT event_type, day, n_intervals,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) / 10000
+             AS twap
+    FROM m
+    """,
+)
+def events_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average value per (type, day) — the tick-data
+    complement of VWAP: each observation is weighted by how long it
+    remained the latest value (interval to the next event; the day's
+    last observation carries no interval).  Numerator and denominator
+    are exact integers (1e4-scaled value x microsecond interval,
+    DECIMAL(38,0) sums), divided once and integer-space rounded —
+    order-independent and engine-identical.  One window pass over
+    (type, day) order, one hash aggregation; nothing touches the
+    event log twice."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * 10_000).cast("bigint").alias("v"),
+        "ts",
+        "event_id",
+    ).withColumn(
+        "dt", F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    )
+    d38 = "decimal(38,0)"
+    m = (
+        o.filter(F.col("dt").isNotNull())
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum((F.col("v") * F.col("dt")).cast(d38)).alias("num"),
+            F.sum(F.col("dt").cast(d38)).alias("den"),
+        )
+    )
+    return m.select(
+        "event_type",
+        "day",
+        F.col("n_intervals").cast("bigint").alias("n_intervals"),
+        (
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"))
+            / 10_000
+        ).alias("twap"),
+    )
