@@ -8,6 +8,7 @@ from .events import (
     streaming_ohlc,
     windowed_counts,
 )
+from .bi5_stream import stream_bi5_writer
 from .upsert_sink import latest_per_key, stream_upsert_writer
 
 __all__ = [
@@ -16,6 +17,7 @@ __all__ = [
     "running_stats",
     "session_windows",
     "sliding_value_sums",
+    "stream_bi5_writer",
     "stream_static_enrich",
     "stream_stream_join",
     "stream_upsert_writer",

@@ -41,7 +41,7 @@ from ..sources.bi5_codec import (
     ticks_record_batch,
 )
 
-__all__ = ["Bi5StreamReader"]
+__all__ = ["Bi5StreamReader", "stream_bi5_writer"]
 
 HOUR_US = 3_600_000_000
 
@@ -127,3 +127,26 @@ class Bi5StreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+def stream_bi5_writer(stream_df, path: str, digits: int, january: int = 0):
+    """foreachBatch sink writing each micro-batch into a bi5 tree —
+    the ingestion loop closed: a tick stream lands in the same
+    hour-file layout the batch scanner (and the reference) reads.
+
+    Each batch routes through ``write_bi5_tree`` (one task per
+    (ticker, hour) file).  Delivery is at-least-once per Structured
+    Streaming's foreachBatch contract; the bi5 writer's commit-time
+    collision detection turns a replayed batch that would re-emit an
+    existing hour file into a loud failure instead of silent
+    duplication, so batches aligned to hour boundaries are
+    effectively idempotent.  Returns the DataStreamWriter (caller
+    picks trigger/checkpoint and starts it).
+    """
+    from ..sources.bi5_writer import write_bi5_tree
+
+    def apply(batch_df, _batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            write_bi5_tree(batch_df, path, digits, january)
+
+    return stream_df.writeStream.foreachBatch(apply)

@@ -761,3 +761,38 @@ def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
     assert got2["buy"] == (3, 4.0)
     assert got2["hold"] == (1, 7.0)
     assert "sell" not in got2  # update mode: untouched keys not re-emitted
+
+
+def test_stream_bi5_sink_reproduces_reference_tree(spark, tmp_path):
+    """Streaming ingestion closes the format loop: the reference's
+    EURUSD fixture tree is scanned (batch), replayed as a parquet
+    stream through the foreachBatch bi5 sink, and the resulting tree
+    must read back row-identical through the bi5 scanner."""
+    import os
+
+    from spark_bi5_datasource_spark.streaming import stream_bi5_writer
+
+    ref = "/root/reference/spark-2.4/src/test/resources/EURUSD"
+    if not os.path.isdir(ref):
+        import pytest
+
+        pytest.skip("reference fixtures not present")
+
+    batch = spark.read.format("bi5").option("digits", 5).load(ref)
+    staging = str(tmp_path / "ticks_parquet")
+    batch.write.parquet(staging)
+
+    out_tree = str(tmp_path / "bi5_out")
+    stream = spark.readStream.schema(batch.schema).parquet(staging)
+    q = (
+        stream_bi5_writer(stream, out_tree, digits=5)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bi5sink"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.format("bi5").option("digits", 5).load(out_tree)
+    assert got.count() == batch.count() == 27521
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
