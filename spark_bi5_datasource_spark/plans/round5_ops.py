@@ -1132,3 +1132,61 @@ def events_twap(spark: SparkSession, sf: str) -> DataFrame:
             / 10_000
         ).alias("twap"),
     )
+
+
+# ------------------------------------------------ maximum drawdown
+
+
+@_q(
+    "window_drawdown",
+    """
+    WITH s AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 10000) AS BIGINT) AS v,
+             max(CAST(round(value * 10000) AS BIGINT)) OVER (
+               PARTITION BY event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM events
+    )
+    SELECT event_type,
+           max(peak - v) / 10000.0 AS max_drawdown,
+           min(ts) FILTER (WHERE peak - v = (
+             SELECT max(p2.peak - p2.v) FROM s p2
+             WHERE p2.event_type = s.event_type)) AS trough_ts
+    FROM s GROUP BY event_type
+    """,
+)
+def window_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum drawdown per series (the classic tick/equity risk
+    stat): running peak via an unbounded-preceding max window, then
+    the largest peak-to-value drop and the FIRST timestamp it occurs
+    (min-ts tie-break keeps the answer deterministic).  Values are
+    exact 1e4-scaled integers, so peak - v and the final division are
+    engine-identical.  One window pass + one aggregation; the
+    trough timestamp comes from min_by-style conditional aggregation,
+    not a re-scan."""
+    e = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = e.select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 10_000).cast("bigint").alias("v"),
+        "event_id",
+    ).withColumn("peak", F.max("v").over(w))
+    dd = s.withColumn("dd", F.col("peak") - F.col("v"))
+    mx = dd.groupBy("event_type").agg(F.max("dd").alias("mdd"))
+    return (
+        dd.join(mx, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.max("mdd") / 10_000.0).alias("max_drawdown"),
+            F.min(F.when(F.col("dd") == F.col("mdd"), F.col("ts"))).alias(
+                "trough_ts"
+            ),
+        )
+    )
