@@ -208,3 +208,92 @@ class TestIvmProperties:
             for r in delta_agg_apply(mv, d, keys=["k"], sums={"total": "v"}).collect()
         }
         assert got == agg(post)
+
+
+rows_st = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15),
+              st.sampled_from(["a", "b", None]),
+              st.integers(min_value=0, max_value=3)),
+    min_size=0, max_size=20,
+)
+
+
+class TestTableDiffProperties:
+    @given(rows_st, rows_st)
+    @settings(max_examples=8, deadline=None)
+    def test_matches_set_arithmetic(self, spark, a_rows, b_rows):
+        """Diff classification == plain dict/set arithmetic over the
+        same keyed snapshots (last write wins on duplicate keys in
+        the generator, so dedup first)."""
+        from spark_bi5_datasource_spark.operators.diff import table_diff
+
+        a_map = {k: (v, w) for k, v, w in a_rows}
+        b_map = {k: (v, w) for k, v, w in b_rows}
+        expect = {}
+        for k in a_map.keys() | b_map.keys():
+            if k not in a_map:
+                expect[k] = "added"
+            elif k not in b_map:
+                expect[k] = "removed"
+            elif a_map[k] != b_map[k]:
+                expect[k] = "changed"
+
+        schema = "k long, v string, w long"
+        a = spark.createDataFrame(
+            [(k, v, w) for k, (v, w) in a_map.items()], schema
+        )
+        b = spark.createDataFrame(
+            [(k, v, w) for k, (v, w) in b_map.items()], schema
+        )
+        got = {
+            r.k: r.status for r in table_diff(a, b, keys=["k"]).collect()
+        }
+        assert got == expect
+
+
+class TestPatternFunnelProperties:
+    @given(st.lists(st.sampled_from("vcpse"), min_size=0, max_size=30))
+    @settings(max_examples=8, deadline=None)
+    def test_matches_python_regex(self, spark, chars):
+        """Per-user funnel counting == Python's re on the same
+        total-ordered sequence string."""
+        import re
+
+        import pyspark.sql.functions as F
+
+        types = {"v": "view", "c": "click", "p": "purchase",
+                 "s": "signup", "e": "error"}
+        rows = [
+            (i, f"2024-01-01 00:{i:02d}:00", 1, types[ch])
+            for i, ch in enumerate(chars)
+        ]
+        expect = len(re.findall("vcp", "".join(chars)))
+
+        if not rows:
+            return
+        e = spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, event_type string"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type",
+        )
+        seqs = e.groupBy("user_id").agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id",
+                                F.substring("event_type", 1, 1).alias("ch"),
+                            )
+                        )
+                    ),
+                    lambda s: s.ch,
+                ),
+            ).alias("seq")
+        )
+        got = seqs.select(
+            F.regexp_count("seq", F.lit("vcp")).alias("n")
+        ).collect()[0].n
+        assert got == expect
