@@ -1190,3 +1190,64 @@ def window_drawdown(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- array set operations
+
+
+@_q(
+    "array_setops",
+    # per-order part lists vs the order's supplier-duplicated list:
+    # intersect/union/except with SORTED outputs (both engines leave
+    # set-op element order unspecified) joined to strings for the
+    # cross-engine hash
+    """
+    WITH g AS (
+      SELECT l_orderkey,
+             list_sort(list(DISTINCT l_partkey)) AS parts,
+             coalesce(list_sort(list(DISTINCT l_partkey)
+                       FILTER (WHERE l_linenumber <= 3)),
+                      CAST([] AS BIGINT[])) AS head_parts
+      FROM lineitem GROUP BY l_orderkey
+    )
+    -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+    -- where Spark's array_join is ''
+    SELECT l_orderkey,
+           coalesce(array_to_string(
+             list_sort(list_intersect(parts, head_parts)), ','), '')
+             AS inter,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_concat(parts, head_parts))), ','), '') AS uni,
+           coalesce(array_to_string(list_sort(list_filter(parts,
+             x -> NOT list_contains(head_parts, x))), ','), '') AS diff,
+           CAST(len(parts) AS INT) AS n_parts
+    FROM g
+    """,
+)
+def array_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """Array set-operation tier: array_intersect / array_union /
+    array_except over per-order part lists (full list vs the first
+    three line numbers).  Both engines leave set-op element ORDER
+    unspecified, so results are canonicalized by array_sort and
+    joined to strings before the hash — the same normalization the
+    inverted-index postings use."""
+    li = t(spark, sf, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts"),
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col("l_linenumber") <= 3, F.col("l_partkey"))
+            )
+        ).alias("head_parts"),
+    )
+    def joined(col):
+        return F.array_join(
+            F.transform(F.array_sort(col), lambda x: x.cast("string")), ","
+        )
+    return g.select(
+        "l_orderkey",
+        joined(F.array_intersect("parts", "head_parts")).alias("inter"),
+        joined(F.array_union("parts", "head_parts")).alias("uni"),
+        joined(F.array_except("parts", "head_parts")).alias("diff"),
+        F.size("parts").cast("int").alias("n_parts"),
+    )
