@@ -392,3 +392,19 @@ def test_scd2_pointintime_is_equi_join(spark):
     assert "HashJoin" in p or "SortMergeJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_round4_session_ops_stay_jvm_side(spark):
+    """The session's new Catalyst-composition entries must stay in
+    codegen: no Python boundary, no cartesian/nested-loop join."""
+    for name in [
+        "events_pattern_funnel", "mv_incremental_orders",
+        "table_diff_orders", "profile_join_skew",
+        "sample_weighted_wor", "agg_regression", "events_twap",
+        "window_drawdown", "array_setops",
+    ]:
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "MapInArrow" not in p and "MapInPandas" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
