@@ -1251,3 +1251,60 @@ def array_setops(spark: SparkSession, sf: str) -> DataFrame:
         joined(F.array_except("parts", "head_parts")).alias("diff"),
         F.size("parts").cast("int").alias("n_parts"),
     )
+
+
+# ------------------------------------------------ struct scalar tier
+
+
+@_q(
+    "scalar_struct_funcs",
+    # struct construction, lexicographic struct MAX (field order =
+    # comparison order in both engines), field access, and JSON
+    # serialization (identical compact key:value form).  Timestamps
+    # stay OUT of to_json (engine serialization formats differ) and
+    # are emitted as plain columns instead.
+    """
+    WITH s AS (
+      SELECT event_type,
+             max(struct_pack(v := CAST(round(value * 100) AS BIGINT),
+                             ts := ts, eid := event_id)) AS peak,
+             max(struct_pack(ts := ts, eid := event_id,
+                             v := CAST(round(value * 100) AS BIGINT)))
+               AS latest
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           to_json(struct_pack(v := peak.v, eid := peak.eid)) AS peak_json,
+           peak.ts AS peak_ts,
+           latest.ts AS latest_ts,
+           latest.eid AS latest_eid
+    FROM s
+    """,
+)
+def scalar_struct_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Struct tier, completing the complex-type family (arrays, maps,
+    VARIANT already under the gate): construction, lexicographic
+    struct aggregation (field order IS the comparison order — the
+    argmax-by-tuple idiom OHLC uses), dot field access, and to_json
+    serialization, identical across engines for string/int fields."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.max(F.struct("v", "ts", F.col("event_id").alias("eid"))).alias("peak"),
+        F.max(
+            F.struct("ts", F.col("event_id").alias("eid"), "v")
+        ).alias("latest"),
+    )
+    return s.select(
+        "event_type",
+        F.to_json(
+            F.struct(F.col("peak.v").alias("v"), F.col("peak.eid").alias("eid"))
+        ).alias("peak_json"),
+        F.col("peak.ts").alias("peak_ts"),
+        F.col("latest.ts").alias("latest_ts"),
+        F.col("latest.eid").alias("latest_eid"),
+    )
