@@ -401,7 +401,7 @@ def test_round4_session_ops_stay_jvm_side(spark):
         "events_pattern_funnel", "mv_incremental_orders",
         "table_diff_orders", "profile_join_skew",
         "sample_weighted_wor", "agg_regression", "events_twap",
-        "window_drawdown", "array_setops",
+        "window_drawdown", "array_setops", "scalar_struct_funcs",
     ]:
         p = plan_of(spark, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
