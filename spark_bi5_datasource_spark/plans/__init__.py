@@ -39,29 +39,24 @@ CATALOG: dict[str, tuple] = {
 # The union of driver-green rows across rounds is the coverage
 # record — see COVERAGE.md.
 DRIVER_WINDOW: list[str] = [
-    # round-4b operators — first driver exposure (queued last round)
-    "text_lm_perplexity", "text_bm25_topk", "sql_exists_subquery",
-    "sql_scalar_subquery", "events_seasonal_profile", "text_grep_trigram",
-    # round-5 operators — first driver exposure
-    "sql_tpch_q18", "join_interval_overlap", "graph_triangle_count",
-    # round-3 operators — first driver exposure
-    "sample_stratified", "text_decontaminate", "text_tfidf_topterms",
-    "events_value_histogram", "text_redact_pii", "zorder_values",
-    "merge_upsert_orders", "emb_standardize", "events_cohort_retention",
-    "events_funnel", "scd2_customer_orders", "events_ohlc_rollup",
-    "sample_quality_weighted", "events_decile_stats", "events_gap_report",
-    "window_dist_kinds",
-    # round-4 operators — first driver exposure
-    "join_fuzzy_parts", "sim_knn_graph", "events_gap_fill",
-    "split_hash_docs", "events_anomaly_mad", "tok_vocab_topk",
-    "graph_pagerank_docs", "join_salted_skew", "events_transitions",
-    "events_concurrency", "tok_vocab_sketch", "entity_resolution_parts",
-    "cdc_apply_orders", "sample_k_per_group", "join_bloom_prune",
-    "window_rolling_median", "profile_lineitem",
-    # round-4b operators — first driver exposure
-    "text_repetition_stats", "text_inverted_index", "text_pmi_bigrams",
-    "events_active_users", "events_gap_fill_linear", "sim_quantize_int8",
-    "sim_radius_search", "sql_tpch_q7",
+    # round-6 window: the 50 oracle-backed entries never yet exposed to a
+    # driver CORRECTNESS gate (computed by scripts/window_rotation.py from
+    # CORRECTNESS_r0{1..4}.json ∪ catalog).  After this round the
+    # driver-green union covers every oracle-backed catalog entry.
+    "sim_lsh_exact", "sql_tpch_q13", "sql_tpch_q22", "scalar_variant_funcs",
+    "sql_tpch_q6", "sql_tpch_q10", "sql_tpch_q14", "window_rolling_corr",
+    "window_ewma", "sample_mixture", "text_sentence_stats",
+    "dedup_cluster_sizes", "text_span_dedup", "events_winsorize",
+    "events_cume_users", "sql_tpch_q2", "sql_tpch_q4", "sql_tpch_q8",
+    "sql_tpch_q9", "sql_tpch_q11", "sql_tpch_q12", "sql_tpch_q15",
+    "sql_tpch_q16", "sql_tpch_q17", "sql_tpch_q19", "sql_tpch_q20",
+    "sql_tpch_q21", "agg_mode", "scalar_url_funcs", "events_attribution",
+    "events_ab_lift", "sql_lateral_topk", "join_null_safe", "agg_corr_cov",
+    "scalar_bitwise_funcs", "agg_pandas_udf_trimmed", "split_training_shards",
+    "sim_pq_exact", "graph_bfs_depth", "events_pattern_funnel",
+    "mv_incremental_orders", "join_scd2_pointintime", "table_diff_orders",
+    "profile_join_skew", "sample_weighted_wor", "agg_regression",
+    "events_twap", "window_drawdown", "array_setops", "scalar_struct_funcs",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(
