@@ -157,6 +157,66 @@ def test_arrow_writer_inverts_codec(tmp_path_factory, recs, digits, hour):
     assert got == want
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3_599_999),
+            st.integers(1, 10**7),
+            st.integers(1, 10**7),
+            finite_f32,
+            finite_f32,
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    st.integers(0, 5),
+)
+@settings(max_examples=30, deadline=None)
+def test_writer_bytes_decode_via_independent_reference_port(
+    tmp_path_factory, recs, digits
+):
+    """Pin the WRITE path against the reference's own documented
+    format, not just the repo's codec: decode the written file with a
+    fresh ``lzma.open`` + ``struct.iter_unpack('>3I2f')`` loop — an
+    independent port of the reference's ``scripts/bi5_to_csv.py``
+    chunked-unpack logic — and require the exact (ms-in-hour, raw ask,
+    raw bid, f32 volumes) tuples back.  Nothing from
+    ``sources/bi5_codec.py`` is used on the read side."""
+    import pyarrow as pa
+
+    from spark_bi5_datasource_spark.sources.bi5_writer import Bi5Writer
+
+    out = tmp_path_factory.mktemp("wref")
+    scale = 10 ** digits
+    base_us = int(
+        datetime(2019, 11, 22, 7, tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+    batch = pa.record_batch(
+        {
+            "ticker": ["USDJPY"] * len(recs),
+            "ts": pa.array(
+                [base_us + r[0] * 1000 for r in recs], pa.timestamp("us", tz="UTC")
+            ),
+            "ask": [r[1] / scale for r in recs],
+            "bid": [r[2] / scale for r in recs],
+            "ask_volume": [float(r[3]) for r in recs],
+            "bid_volume": [float(r[4]) for r in recs],
+        }
+    )
+    msg = Bi5Writer({"path": str(out), "digits": str(digits)}).write(iter([batch]))
+    assert msg.files == ("USDJPY/2019/10/22/07h_ticks.bi5",)  # month-0 layout
+    with lzma.open(out / msg.files[0]) as fh:
+        payload = fh.read()
+    assert len(payload) % 20 == 0
+    got = sorted(struct.iter_unpack(">3I2f", payload))
+    want = sorted(
+        (ms, ask, bid, float(np.float32(av)), float(np.float32(bv)))
+        for ms, ask, bid, av, bv in recs
+    )
+    assert got == want
+
+
 # ---------------------------------------------------------------- WAV kernels
 
 
