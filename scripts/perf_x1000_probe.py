@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import CPUS, SF_DIR, build_spark, synth_scaled_dir, timed  # noqa: E402
 
-TABLES = ["lineitem", "orders", "customer", "supplier", "nation", "region", "events"]
+TABLES = [
+    "lineitem", "orders", "customer", "supplier", "nation", "region",
+    "events", "documents",
+]
 QUERIES = [
     "b5_groupby_count",
     "q1_pricing_summary",
@@ -35,10 +38,18 @@ QUERIES = [
     "events_sessionize",
     "q3_top_revenue_orders",
     "q5_region_revenue",
-    # join_asof excluded: DuckDB's ASOF JOIN was already 14 s at x100
-    # (degrading superlinearly); at x1000 it would dominate the probe
-    # wall-clock without adding information — the x100 tier pins it.
+    # LLM-pipeline shapes at their design scale: 5M documents (sf0.1
+    # docs ×1000) — the banded minhash join and the Misra-Gries vocab
+    # sketch are exactly the operators built FOR this tier.
+    "dedup_minhash",
+    "tok_vocab_sketch",
 ]
+# Spark-only shapes: timed and reported without a DuckDB twin.
+# join_asof: DuckDB's ASOF JOIN was already 14 s at x100 and degrades
+# superlinearly — at x1000 it would dominate the probe wall-clock
+# without adding information (the x100 tier pins the ratio), but the
+# Spark-side absolute at 100M events is recorded here.
+SPARK_ONLY = ["join_asof_events_orders"]
 
 
 def main() -> None:
@@ -60,6 +71,10 @@ def main() -> None:
     for q in QUERIES:
         spark_t[q] = timed(qs[q](spark, scaled), runs=2)
         print(f"# spark {q}: {spark_t[q]}", file=sys.stderr)
+    spark_only_t: dict[str, float] = {}
+    for q in SPARK_ONLY:
+        spark_only_t[q] = timed(qs[q](spark, scaled), runs=2)
+        print(f"# spark (no duck twin) {q}: {spark_only_t[q]}", file=sys.stderr)
     spark.stop()
 
     con = duckdb.connect()
@@ -102,6 +117,7 @@ def main() -> None:
     out = {
         "x": 1000,
         "spark": spark_t,
+        "spark_only_no_duckdb_twin": spark_only_t,
         "spark_bucketed_joins": bucketed_t,
         "duckdb": duck_t,
         "per_query_ratio": {

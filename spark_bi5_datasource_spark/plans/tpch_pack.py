@@ -160,6 +160,7 @@ sql_tpch_q8 = _q(
     "sql_tpch_q8",
     _Q8_SQL,
     ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+    bench=True,
 )(
     """TPC-H q8 (national market share): the widest join tree in the
     suite — lineitem against part, supplier, orders, customer, and
@@ -442,6 +443,7 @@ sql_tpch_q21 = _q(
     "sql_tpch_q21",
     _Q21_SQL,
     ("supplier", "lineitem", "orders", "nation", "region"),
+    bench=True,
 )(
     """TPC-H q21 (suppliers who kept orders waiting): the hardest
     correlation shape in the suite — one EXISTS (another supplier
