@@ -40,7 +40,11 @@ def build_spark():
         # naive timestamps; read them as TIMESTAMP (like the nano-
         # precision originals), not TIMESTAMP_NTZ
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        # 16g on the 128 GiB bench box: the x1000 tier's 600M-row SMJ +
+        # a 15M-row broadcast relation GC-thrashes (and intermittently
+        # OOMs) an 8g heap; DuckDB gets the whole machine, so a quarter
+        # of RAM for the JVM is still the conservative side of fair
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

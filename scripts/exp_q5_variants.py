@@ -99,7 +99,11 @@ def main() -> None:
             .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         )
 
-    for name, fn in [("v1", v1), ("v3", v3), ("v0", v0)]:
+    variants = {"v0": v0, "v1": v1, "v3": v3}
+    # one variant per process (env VARIANT): a prior variant's broadcast
+    # relations would otherwise still occupy the heap
+    pick = os.environ.get("VARIANT")
+    for name, fn in variants.items() if pick is None else [(pick, variants[pick])]:
         try:
             df = fn()
             plan = df._jdf.queryExecution().executedPlan().toString()

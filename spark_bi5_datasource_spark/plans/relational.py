@@ -239,30 +239,35 @@ def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     from .tables import is_bucketed
 
     c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    o = t(spark, sf, "orders")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf, "lineitem")
     s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     n = t(spark, sf, "nation")
     r = t(spark, sf, "region")
-    if is_bucketed(spark, sf, "lineitem") and is_bucketed(spark, sf, "orders"):
-        o = o.hint("merge")
-    # Probe-layer discipline (measured at x100, 60M lineitem): every
-    # broadcast probe over the fact stream costs ~0.8 s, and a MULTI-
-    # column hash key falls off the long-key HashedRelation fast path
-    # (generic UnsafeRow probing: +6 s).  So (a) supplier/customer
-    # join on their single long keys only, (b) the cross-dim equality
-    # s_nationkey = c_nationkey is applied as a FILTER written in
-    # arithmetic form — `(a - b) = 0` — which Catalyst does not fold
-    # back into the join as a second hash-key column (identical
-    # null/result semantics: a null operand yields null → dropped,
-    # exactly as the equality would), and (c) the n_name/r_name
+    # Probe-layer discipline (measured at x100, 60M lineitem; re-audited
+    # at x1000, 600M): every broadcast probe costs per ROW PROBED, and a
+    # MULTI-column hash key falls off the long-key HashedRelation fast
+    # path (generic UnsafeRow probing: +6 s).  So (a) customer attaches
+    # to ORDERS before the fact-fact merge join — 150M probes instead of
+    # 600M at x1000 (19.6 s → 15.8 s), and a broadcast join preserves
+    # orders' bucketed partitioning so the SMJ stays exchange-free;
+    # (b) supplier/customer join on their single long keys only; (c) the
+    # cross-dim equality s_nationkey = c_nationkey is applied as a
+    # FILTER written in arithmetic form — `(a - b) = 0` — which Catalyst
+    # does not fold back into a join as a second hash-key column
+    # (identical null/result semantics: a null operand yields null →
+    # dropped, exactly as the equality would); and (d) the n_name/r_name
     # labels join AFTER the aggregate, touching 25 rows instead of
-    # 60 M (valid: nationkey → (n_name, r_name) is functional).
-    # 6.9 s → 2.1 s at x100; plan shape pinned in test_plan_shapes.
+    # 600 M (valid: nationkey → (n_name, r_name) is functional).
+    # Plan shape pinned in test_plan_shapes.
+    o2 = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    if is_bucketed(spark, sf, "lineitem") and is_bucketed(spark, sf, "orders"):
+        o2 = o2.hint("merge")
     agg = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o2, li.l_orderkey == o2.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .filter((F.col("s_nationkey") - F.col("c_nationkey")) == 0)
         .groupBy("s_nationkey")
         .agg(_dsum("l_extendedprice * (1 - l_discount)", 6, "revenue"))

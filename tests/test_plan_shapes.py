@@ -68,7 +68,12 @@ def test_bucketed_layout_colocated_join(spark, tmp_path):
         # scans: the whole point of the layout
         orders_tbl = _bucket_table_name("orders", TESTDATA_SF)
         smj_block = p[p.index("SortMergeJoin") : p.index(orders_tbl)]
-        assert "Exchange" not in smj_block and "+- Sort" not in smj_block
+        # customer rides a BroadcastExchange onto the orders side (that
+        # preserves the bucketed partitioning); what must NOT appear is
+        # a shuffle or a sort between the SMJ and the bucketed scans
+        assert "Exchange hashpartitioning" not in smj_block
+        assert "Exchange SinglePartition" not in smj_block
+        assert "+- Sort" not in smj_block
         assert {tuple(r) for r in df.collect()} == plain
     finally:
         for name in BUCKET_SPECS:
