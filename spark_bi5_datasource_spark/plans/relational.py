@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import asof_join, top_k, top_k_per_group
-from .tables import t
+from .tables import t, table_bytes
 
 # name -> (fn(spark, sf_dir) -> DataFrame, oracle_sql | None, in_bench)
 RELATIONAL: dict[str, tuple] = {}
@@ -245,22 +245,34 @@ def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     n = t(spark, sf, "nation")
     r = t(spark, sf, "region")
     # Probe-layer discipline (measured at x100, 60M lineitem; re-audited
-    # at x1000, 600M): every broadcast probe costs per ROW PROBED, and a
+    # at x1000, 600M): (a) customer attaches to ORDERS before the
+    # fact-fact merge join — 150M probes instead of 600M — and the
+    # attach join preserves/restores orders' o_orderkey distribution so
+    # lineitem is never exchanged; (b) HOW customer attaches is a
+    # size-based choice, the same call a stats-based optimizer makes:
+    # broadcast while customer is dim-sized, but at 15M rows the
+    # BroadcastExchange itself (driver collect + LongHashedRelation
+    # build + ship) measures 9.6 s PER EXECUTION — more than half of
+    # q5 — so a large customer rides a shuffled hash join on the single
+    # long custkey (two narrow exchanges + per-partition 470k-row
+    # builds; x1000 bucketed: 16.1 s → 13.4 s, ratio 1.7 vs DuckDB);
+    # (c) supplier/customer join on their single long keys only — a
     # MULTI-column hash key falls off the long-key HashedRelation fast
-    # path (generic UnsafeRow probing: +6 s).  So (a) customer attaches
-    # to ORDERS before the fact-fact merge join — 150M probes instead of
-    # 600M at x1000 (19.6 s → 15.8 s), and a broadcast join preserves
-    # orders' bucketed partitioning so the SMJ stays exchange-free;
-    # (b) supplier/customer join on their single long keys only; (c) the
-    # cross-dim equality s_nationkey = c_nationkey is applied as a
-    # FILTER written in arithmetic form — `(a - b) = 0` — which Catalyst
-    # does not fold back into a join as a second hash-key column
-    # (identical null/result semantics: a null operand yields null →
-    # dropped, exactly as the equality would); and (d) the n_name/r_name
-    # labels join AFTER the aggregate, touching 25 rows instead of
-    # 600 M (valid: nationkey → (n_name, r_name) is functional).
+    # path (generic UnsafeRow probing: +6 s), so the cross-dim equality
+    # s_nationkey = c_nationkey is applied as a FILTER written in
+    # arithmetic form — `(a - b) = 0` — which Catalyst does not fold
+    # back into a join as a second hash-key column (identical
+    # null/result semantics: a null operand yields null → dropped,
+    # exactly as the equality would); and (d) the n_name/r_name labels
+    # join AFTER the aggregate, touching 25 rows instead of 600 M
+    # (valid: nationkey → (n_name, r_name) is functional).
     # Plan shape pinned in test_plan_shapes.
-    o2 = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    c_attach = (
+        c.hint("shuffle_hash")
+        if table_bytes(sf, "customer") > 64 * 1024 * 1024
+        else F.broadcast(c)
+    )
+    o2 = o.join(c_attach, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "c_nationkey"
     )
     if is_bucketed(spark, sf, "lineitem") and is_bucketed(spark, sf, "orders"):

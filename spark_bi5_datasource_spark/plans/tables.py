@@ -105,6 +105,23 @@ def ensure_bucketed_layout(
     spark.conf.set("spark.bi5.bucketedDir", sf_dir)
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet size of a fixture table — the cheap stand-in for
+    optimizer row-count stats when a plan picks its join strategy by
+    table size (file metadata only; no Spark job)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.  Plain parquet scan → Catalyst gets
     pushdown/pruning for free.
