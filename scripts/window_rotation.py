@@ -46,6 +46,7 @@ def main() -> None:
     from spark_bi5_datasource_spark.plans.relational import RELATIONAL
     from spark_bi5_datasource_spark.plans.round4_ops import ROUND4_OPS
     from spark_bi5_datasource_spark.plans.round5_ops import ROUND5_OPS
+    from spark_bi5_datasource_spark.plans.round6_ops import ROUND6_OPS
     from spark_bi5_datasource_spark.plans.tpch_pack import TPCH_PACK
 
     catalog: dict[str, tuple] = {
@@ -56,6 +57,7 @@ def main() -> None:
         **ROUND4_OPS,
         **TPCH_PACK,
         **ROUND5_OPS,
+        **ROUND6_OPS,
     }
     oracle_backed = [n for n, (_f, sql, _b) in catalog.items() if sql is not None]
     exposed = driver_exposed()

@@ -14,6 +14,7 @@ from .llm_ops import LLM_OPS
 from .relational import RELATIONAL
 from .round4_ops import ROUND4_OPS
 from .round5_ops import ROUND5_OPS
+from .round6_ops import ROUND6_OPS
 from .tpch_pack import TPCH_PACK
 
 # name -> (fn, oracle_sql | None, in_bench)
@@ -25,6 +26,7 @@ CATALOG: dict[str, tuple] = {
     **ROUND4_OPS,
     **TPCH_PACK,
     **ROUND5_OPS,
+    **ROUND6_OPS,
 }
 
 # The driver's correctness gate checks the FIRST 50 entries of

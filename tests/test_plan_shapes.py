@@ -399,6 +399,24 @@ def test_scd2_pointintime_is_equi_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_round6_ops_stay_jvm_side(spark):
+    """Round-6 additions are pure Catalyst compositions.  Two carry
+    the documented broadcast scalar-attach shape (a broadcast
+    nested-loop against a provably tiny side): the hybrid retriever's
+    dense leg (corpus × 5-query broadcast) and RFM's 1-row global-max
+    attach.  The pure-join ops must stay hash/merge; nothing may
+    cross a Python boundary or plan a cartesian product."""
+    for name in [
+        "retrieval_hybrid_rrf", "text_ngram_novelty",
+        "dedup_keep_best_parts", "events_rfm",
+    ]:
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+        if name in ("text_ngram_novelty", "dedup_keep_best_parts"):
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
 def test_round4_session_ops_stay_jvm_side(spark):
     """The session's new Catalyst-composition entries must stay in
     codegen: no Python boundary, no cartesian/nested-loop join."""
