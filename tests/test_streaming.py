@@ -686,14 +686,16 @@ def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
     stream, surviving via the checkpoint between restarts.
 
     The TWS python worker speaks protobuf to the JVM state server;
-    the container ships no google.protobuf, so this is env-gated the
-    same way the multimodal codec kernels are (streaming/tws.py
-    documents the dependency).  The legacy arbitrary-state API
-    (applyInPandasWithState) is fully tested in
-    test_stateful_running_stats_across_batches."""
-    pytest.importorskip(
-        "google.protobuf", reason="transformWithState python worker needs protobuf"
-    )
+    the container ships no google.protobuf package, but
+    tests/_proto_compat.py shims in the image's bundled pure-python
+    runtime (driver sys.path + worker sitecustomize) when one exists —
+    the skip remains only for images with no runtime at all.  The
+    legacy arbitrary-state API (applyInPandasWithState) is fully
+    tested in test_stateful_running_stats_across_batches."""
+    from conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("no google.protobuf runtime available on this image")
 
     from spark_bi5_datasource_spark.streaming.tws import running_totals_tws
 
@@ -716,22 +718,26 @@ def test_transform_with_state_accumulates_across_batches(spark, tmp_path):
     )
 
     def run_trigger(qname):
+        # foreachBatch, not the memory sink: only fault-tolerant sinks
+        # may resume from a checkpoint, and the restart IS the thing
+        # under test (state surviving across separate triggers).
+        rows = []
+
+        def sink(batch_df, _batch_id):
+            rows.extend(batch_df.collect())
+
         out = running_totals_tws(
             spark.readStream.schema(schema).parquet(d)
         )
         q = (
-            out.writeStream.format("memory")
-            .queryName(qname)
+            out.writeStream.foreachBatch(sink)
             .outputMode("update")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(120)
-        return {
-            r.event_type: (r.cnt, r.value_sum)
-            for r in spark.sql(f"SELECT * FROM {qname}").collect()
-        }
+        return {r.event_type: (r.cnt, r.value_sum) for r in rows}
 
     write_batch(
         [(1, "2024-01-01 00:00:00", "buy", 1.5),
