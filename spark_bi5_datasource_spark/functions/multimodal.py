@@ -2,20 +2,22 @@
 columns with typed metadata, processed via Arrow-batched
 ``mapInPandas`` (north-star operator, SURVEY §2 Tier C).
 
-Decode/resize/frame-sample kernels are REAL for headered uncompressed
-formats that need no codec library — images PPM (P6) / PGM (P5) /
-24-bit BMP, audio 8/16-bit PCM WAV, video AVI with uncompressed DIB
-frames — implemented with pure NumPy/struct (header parse, chunk
-walk, nearest-neighbor resampling).  Compressed formats (PNG/JPEG/
-MP3/MJPEG/H.264) raise ``NotImplementedError`` (no imaging/codec
-libraries in this environment); the deterministic fake kernels remain
-available for exercising the Arrow plumbing independent of payload
-format.
+Decode/resize/frame-sample kernels are REAL for formats decodable
+without a codec library — images PPM (P6) / PGM (P5) / 24-bit BMP
+and 8-bit PNG (DEFLATE is stdlib ``zlib``; the five scanline filters
+unfilter in NumPy), audio 8/16-bit PCM WAV, video AVI with
+uncompressed DIB frames — implemented with pure NumPy/struct/zlib
+(header parse, chunk walk, nearest-neighbor resampling).  Formats
+whose bitstreams genuinely need a codec (JPEG/MP3/MJPEG/H.264) raise
+``NotImplementedError`` (no imaging/codec libraries in this
+environment); the deterministic fake kernels remain available for
+exercising the Arrow plumbing independent of payload format.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -119,13 +121,148 @@ def _bmp_header(data: bytes) -> tuple[int, int, int, int, bool]:
     return w, abs(h), offset, stride, h > 0
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit): gray, RGB, palette idx, gray+A, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_CT_FOR_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _png_parse(data: bytes) -> tuple[int, int, int, int, int, bytes, bytes]:
+    """Chunk walk → (w, h, depth, color_type, interlace, plte, idat).
+    Chunk CRCs are not verified (lenient, like the bi5 reader's
+    dirty-input policy); IDAT chunks concatenate per the spec."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(data)
+    w = h = depth = ct = interlace = -1
+    plte = b""
+    idat: list[bytes] = []
+    while pos + 8 <= n:
+        (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            w, h, depth, ct, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + payload + crc
+    if w < 0:
+        raise ValueError("PNG without IHDR")
+    return w, h, depth, ct, interlace, plte, b"".join(idat)
+
+
+def _png_unfilter(raw: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters.  ``raw`` is (h, 1+stride)
+    uint8 (leading filter byte per row).  None/Up/Sub rows stay fully
+    vectorized (Sub is a cumsum over bpp-strided lanes); Average/Paeth
+    carry a data-dependent horizontal recurrence, so those rows fall
+    back to a per-byte loop — O(stride) Python only on rows that used
+    them."""
+    h, stride = raw.shape[0], raw.shape[1] - 1
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int64)
+    out = np.empty((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        r, f = rows[y], int(filters[y])
+        if f == 0:
+            cur = r
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            cur = r.copy()
+            for c in range(bpp):
+                cur[c::bpp] = np.cumsum(cur[c::bpp]) & 0xFF
+        elif f == 2:  # Up
+            cur = (r + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = np.empty(stride, np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (r[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c_ = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c_
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c_)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c_)
+                cur[x] = (r[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def _png_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """8-bit non-interlaced PNG → (H, W, C) uint8.  Palette images
+    resolve through PLTE to RGB (palette alpha/tRNS is dropped — these
+    are feature/resize kernels, not a compositor).  16-bit and Adam7
+    variants raise ``NotImplementedError`` (rare in training corpora;
+    the dirty-input-null policy upstream absorbs them)."""
+    w, h, depth, ct, interlace, plte, idat = _png_parse(data)
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG is not supported")
+    if depth != 8 or ct not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit PNG is supported (depth={depth}, color_type={ct})"
+        )
+    ch = _PNG_CHANNELS[ct]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    px = _png_unfilter(
+        np.frombuffer(raw, np.uint8).reshape(h, stride + 1), ch
+    ).reshape(h, w, ch)
+    if ct == 3:
+        if not plte:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        px = pal[px[:, :, 0]]
+    return px, {"fmt": _PNG_SIG[:2]}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _png_encode(px: np.ndarray) -> bytes:
+    """(H, W, C) uint8 → PNG, filter 0 on every scanline."""
+    h, w, ch = px.shape
+    ct = _PNG_CT_FOR_CHANNELS[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    rows = np.zeros((h, 1 + w * ch), np.uint8)  # leading filter byte 0
+    rows[:, 1:] = px.reshape(h, w * ch)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    Real (pure NumPy/struct, no codec needed) for PPM ``P6``, PGM
-    ``P5``, and BMP; compressed formats raise ``NotImplementedError``
-    (no imaging library in this environment — use ``fake_decode=True``
-    for the deterministic test kernel on arbitrary payloads)."""
+    Real (pure NumPy/struct/zlib, no codec library needed) for PPM
+    ``P6``, PGM ``P5``, BMP, and PNG (dims read straight from IHDR —
+    no inflate); formats that need a real codec (JPEG etc.) raise
+    ``NotImplementedError`` (use ``fake_decode=True`` for the
+    deterministic test kernel on arbitrary payloads)."""
     head = bytes(payload[:2])
     if head in (b"P5", b"P6"):
         _, w, h, _, _ = _ppm_header(bytes(payload))
@@ -133,9 +270,12 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     if head == b"BM":
         w, h, _, _, _ = _bmp_header(bytes(payload))
         return w, h
+    if bytes(payload[:8]) == _PNG_SIG:
+        w, h, _, _, _, _, _ = _png_parse(bytes(payload))
+        return w, h
     raise NotImplementedError(
         f"payload magic {head!r} needs an imaging library (e.g. PIL); "
-        "supported codec-free formats: PPM(P6)/PGM(P5)/BMP; "
+        "supported codec-free formats: PPM(P6)/PGM(P5)/BMP/PNG; "
         "use fake_decode=True for the deterministic test kernel"
     )
 
@@ -167,11 +307,15 @@ def _decode_pixels(data: bytes) -> tuple[np.ndarray, dict]:
         if bottom_up:
             px = px[::-1]
         return px, {"fmt": b"BM"}
+    if data[:8] == _PNG_SIG:
+        return _png_decode(data)
     raise NotImplementedError(f"payload magic {head!r} needs an imaging library")
 
 
 def _encode_pixels(px: np.ndarray, meta: dict) -> bytes:
     h, w, ch = px.shape
+    if meta["fmt"] == _PNG_SIG[:2]:
+        return _png_encode(px)
     if meta["fmt"] in (b"P5", b"P6"):
         header = b"%s\n%d %d\n%d\n" % (meta["fmt"], w, h, meta["maxval"])
         return header + px.tobytes()
@@ -189,8 +333,8 @@ def _encode_pixels(px: np.ndarray, meta: dict) -> bytes:
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resize for the codec-free formats (PPM/PGM/
-    BMP), re-encoded in the source format.  Pure NumPy: two index
-    gathers, no per-pixel Python."""
+    BMP/PNG), re-encoded in the source format (palette PNG re-encodes
+    as RGB).  Pure NumPy: two index gathers, no per-pixel Python."""
     px, meta = _decode_pixels(bytes(payload))
     h, w, _ = px.shape
     out = px[_nn_index(height, h)][:, _nn_index(width, w)]

@@ -606,13 +606,160 @@ class TestMultimodalKernels:
         pgm = b"P5\n4 3\n255\n" + bytes(12)
         assert decode_image(pgm) == (4, 3)
 
-    def test_decode_image_rejects_compressed(self):
+    def test_decode_image_rejects_codec_formats(self):
         import pytest
 
         from spark_bi5_datasource_spark.functions.multimodal import decode_image
 
+        # JPEG needs a real codec; PNG does not (see the PNG tests below)
         with pytest.raises(NotImplementedError, match="imaging library"):
-            decode_image(b"\x89PNG\r\n\x1a\n" + bytes(64))
+            decode_image(b"\xff\xd8\xff\xe0" + bytes(64))
+
+    # ---- PNG: stdlib-zlib + NumPy-unfilter codec ------------------
+
+    @staticmethod
+    def _png_manual(px, filters):
+        """Independent forward PNG filtering (vectorized, per the spec
+        formulas) — the module's sequential unfilter must invert it."""
+        import struct
+        import zlib as _z
+
+        import numpy as np
+
+        h, w, ch = px.shape
+        bpp = ch
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", _z.crc32(ctype + body))
+            )
+
+        raw = bytearray()
+        prev = np.zeros(w * ch, np.int64)
+        for y, f in zip(range(h), filters):
+            cur = px[y].reshape(-1).astype(np.int64)
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - left
+            elif f == 2:
+                filt = cur - prev
+            elif f == 3:
+                filt = cur - (left + prev) // 2
+            else:  # Paeth
+                p = left + prev - ul
+                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+                )
+                filt = cur - pred
+            raw.append(f)
+            raw.extend((filt % 256).astype(np.uint8).tobytes())
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[ch], 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_png_unfilter_inverts_all_five_filters(self):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            _decode_pixels,
+            decode_image,
+        )
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (5, 11, 3), dtype=np.uint8)
+        payload = self._png_manual(px, filters=[0, 1, 2, 3, 4])
+        assert decode_image(payload) == (11, 5)  # dims from IHDR, no inflate
+        got, meta = _decode_pixels(payload)
+        assert meta["fmt"] == b"\x89P"
+        assert (got == px).all()
+
+    def test_png_encode_decode_roundtrip_channel_counts(self):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            _decode_pixels,
+            _png_encode,
+        )
+
+        rng = np.random.default_rng(11)
+        for ch in (1, 2, 3, 4):  # gray / gray+A / RGB / RGBA
+            px = rng.integers(0, 256, (6, 9, ch), dtype=np.uint8)
+            got, _ = _decode_pixels(_png_encode(px))
+            assert got.shape == (6, 9, ch) and (got == px).all()
+
+    def test_png_palette_resolves_to_rgb(self):
+        import struct
+        import zlib as _z
+
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.multimodal import _decode_pixels
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", _z.crc32(ctype + body))
+            )
+
+        pal = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250]], np.uint8)
+        idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        payload = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+        )
+        got, _ = _decode_pixels(payload)
+        assert got.shape == (2, 3, 3) and (got == pal[idx]).all()
+
+    def test_png_resize_keeps_format(self):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            _decode_pixels,
+            _png_encode,
+            decode_image,
+            resize_image,
+        )
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+        out = resize_image(_png_encode(px), 20, 16)
+        assert out[:8] == b"\x89PNG\r\n\x1a\n"
+        assert decode_image(out) == (20, 16)
+        upx, _ = _decode_pixels(out)
+        assert (upx[::2, ::2] == px).all()
+
+    def test_png_unsupported_variants_raise(self):
+        import struct
+        import zlib as _z
+
+        import pytest
+
+        from spark_bi5_datasource_spark.functions.multimodal import _decode_pixels
+
+        def png_with_ihdr(depth, ct, interlace):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, interlace)
+            body = (
+                struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+                + struct.pack(">I", _z.crc32(b"IHDR" + ihdr))
+            )
+            return b"\x89PNG\r\n\x1a\n" + body
+
+        with pytest.raises(NotImplementedError, match="Adam7"):
+            _decode_pixels(png_with_ihdr(8, 2, 1))
+        with pytest.raises(NotImplementedError, match="8-bit"):
+            _decode_pixels(png_with_ihdr(16, 2, 0))
 
     def test_resize_ppm_matches_numpy_nn(self):
         import numpy as np
