@@ -45,6 +45,13 @@ def build_spark():
         # OOMs) an 8g heap; DuckDB gets the whole machine, so a quarter
         # of RAM for the JVM is still the conservative side of fair
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
+        # scan split cap: 512m lands the x1000 tier's ~20 GB fact scans
+        # in one full wave of the 32 cores (measured: b5 3.29->2.35 s,
+        # q1 4.33->3.80 s; 1g under-fills the wave, 256m pays a second
+        # one).  Small tiers are unaffected — split planning's
+        # bytes/minPartitionNum term dominates there, so sf0.1 tables
+        # still fan out across all cores.
+        .config("spark.sql.files.maxPartitionBytes", str(512 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
