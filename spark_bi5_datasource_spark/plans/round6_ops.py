@@ -310,6 +310,57 @@ def dedup_keep_best_parts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------- approximate quantile sketch
+
+
+@_q(
+    "agg_approx_quantiles",
+    """
+    WITH q AS (
+      SELECT event_type,
+        quantile_disc(value, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS qs,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, qs[1] AS q10, qs[2] AS q25, qs[3] AS q50,
+           qs[4] AS q75, qs[5] AS q90, qs[6] AS q99, n
+    FROM q ORDER BY event_type
+    """,
+)
+def agg_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable approximate-quantile sketch (Greenwald-Khanna via
+    ``percentile_approx``), pinned at its provably-exact parameter
+    point — the same oracle pattern as ``sim_ivf_exact``: at
+    accuracy=1e6 the rank error n/(2·accuracy) is < 1 for every
+    fixture tier, the sketch returns the exact discrete quantile
+    element, and both engines pick elements by the same
+    smallest-rank-≥-⌈p·n⌉ convention (verified empirically), so
+    doubles hash-match bit-for-bit with no arithmetic involved.
+
+    Scale shape: this is the 100-TB replacement for exact percentiles
+    — partials are O(accuracy·log n) per group, merge associatively
+    map-side, and nothing sorts; the exact ``percentile`` twin
+    (agg_percentile_collect) buffers each group.  The approximation
+    contract at REAL sketch sizes (accuracy ≪ n) is pinned by
+    tests/test_operators.py::test_approx_quantiles_rank_error."""
+    g = (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], 1_000_000
+            ).alias("qs"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    names = ["q10", "q25", "q50", "q75", "q90", "q99"]
+    return g.select(
+        "event_type",
+        *[F.col("qs")[i].alias(nm) for i, nm in enumerate(names)],
+        "n",
+    ).orderBy("event_type")
+
+
 # ------------------------------------------------------ RFM segmentation
 
 

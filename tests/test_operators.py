@@ -1579,6 +1579,44 @@ class TestTopKSketch:
                 assert out.get(tok) == cnt, tok
 
 
+class TestApproxQuantiles:
+    """The agg_approx_quantiles sketch tier: the catalog entry runs at
+    the provably-exact accuracy point (oracle-checked vs DuckDB
+    quantile_disc); here the REAL sketch regime (accuracy ≪ n) must
+    honor the documented rank-error guarantee ε = 1/accuracy."""
+
+    def test_approx_quantiles_rank_error(self, spark):
+        import bisect
+
+        vals = [((i * 7919) % 10_000) / 10.0 for i in range(5_000)]
+        df = spark.createDataFrame([(v,) for v in vals], "value double")
+        ps = [0.1, 0.5, 0.9]
+        accuracy = 100  # sketch regime: rank error up to n/accuracy = 50
+        got = df.agg(
+            F.percentile_approx("value", ps, accuracy).alias("qs")
+        ).collect()[0].qs
+        s = sorted(vals)
+        n = len(s)
+        for p, q in zip(ps, got):
+            assert q in vals  # discrete: always a data element
+            rank = bisect.bisect_left(s, q)
+            assert abs(rank - p * n) <= n / accuracy + 1, (p, q, rank)
+
+    def test_exact_point_matches_sorted_rank(self, spark):
+        # at accuracy >= n the sketch degenerates to the exact
+        # discrete quantile: smallest element with rank >= ceil(p*n)
+        import math
+
+        vals = [float(x) for x in (5, 1, 4, 2, 8, 7, 3, 9, 6, 10)]
+        df = spark.createDataFrame([(v,) for v in vals], "value double")
+        ps = [0.25, 0.5, 0.75, 0.9]
+        got = df.agg(
+            F.percentile_approx("value", ps, 1_000_000).alias("qs")
+        ).collect()[0].qs
+        s = sorted(vals)
+        assert got == [s[max(0, math.ceil(p * len(s)) - 1)] for p in ps]
+
+
 class TestPCA:
     """pca_fit/pca_project (operators/pca.py): the distributed moment
     pass must reproduce local NumPy PCA exactly (same sign

@@ -408,7 +408,7 @@ def test_round6_ops_stay_jvm_side(spark):
     cross a Python boundary or plan a cartesian product."""
     for name in [
         "retrieval_hybrid_rrf", "text_ngram_novelty",
-        "dedup_keep_best_parts", "events_rfm",
+        "dedup_keep_best_parts", "events_rfm", "agg_approx_quantiles",
     ]:
         p = plan_of(spark, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
