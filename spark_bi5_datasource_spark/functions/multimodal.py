@@ -2,16 +2,16 @@
 columns with typed metadata, processed via Arrow-batched
 ``mapInPandas`` (north-star operator, SURVEY §2 Tier C).
 
-Decode/resize/frame-sample kernels are REAL for formats decodable
-without a codec library — images PPM (P6) / PGM (P5) / 24-bit BMP
-and 8-bit PNG (DEFLATE is stdlib ``zlib``; the five scanline filters
-unfilter in NumPy), audio 8/16-bit PCM WAV, video AVI with
-uncompressed DIB frames — implemented with pure NumPy/struct/zlib
-(header parse, chunk walk, nearest-neighbor resampling).  Formats
-whose bitstreams genuinely need a codec (JPEG/MP3/MJPEG/H.264) raise
-``NotImplementedError`` (no imaging/codec libraries in this
-environment); the deterministic fake kernels remain available for
-exercising the Arrow plumbing independent of payload format.
+Decode/resize/frame-sample kernels are REAL for every format a
+pure-Python stack can honestly implement — images PPM (P6) / PGM
+(P5) / 24-bit BMP, 8-bit PNG (DEFLATE is stdlib ``zlib``; the five
+scanline filters unfilter in NumPy), and baseline JPEG (SOF0 —
+full entropy decode + IDCT in ``jpeg_codec.py``, validated against
+real-world encoder output), audio 8/16-bit PCM WAV, video AVI with
+uncompressed DIB frames.  Formats that remain out of pure-Python
+reach (progressive JPEG, MP3, H.264) raise ``NotImplementedError``;
+the deterministic fake kernels remain available for exercising the
+Arrow plumbing independent of payload format.
 """
 
 from __future__ import annotations
@@ -273,10 +273,15 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     if bytes(payload[:8]) == _PNG_SIG:
         w, h, _, _, _, _, _ = _png_parse(bytes(payload))
         return w, h
+    if bytes(payload[:2]) == b"\xff\xd8":
+        from .jpeg_codec import jpeg_dims
+
+        return jpeg_dims(bytes(payload))
     raise NotImplementedError(
         f"payload magic {head!r} needs an imaging library (e.g. PIL); "
-        "supported codec-free formats: PPM(P6)/PGM(P5)/BMP/PNG; "
-        "use fake_decode=True for the deterministic test kernel"
+        "supported codec-free formats: PPM(P6)/PGM(P5)/BMP/PNG/"
+        "baseline JPEG; use fake_decode=True for the deterministic "
+        "test kernel"
     )
 
 
@@ -309,6 +314,10 @@ def _decode_pixels(data: bytes) -> tuple[np.ndarray, dict]:
         return px, {"fmt": b"BM"}
     if data[:8] == _PNG_SIG:
         return _png_decode(data)
+    if head == b"\xff\xd8":
+        from .jpeg_codec import jpeg_decode
+
+        return jpeg_decode(data), {"fmt": b"\xff\xd8"}
     raise NotImplementedError(f"payload magic {head!r} needs an imaging library")
 
 
@@ -316,6 +325,10 @@ def _encode_pixels(px: np.ndarray, meta: dict) -> bytes:
     h, w, ch = px.shape
     if meta["fmt"] == _PNG_SIG[:2]:
         return _png_encode(px)
+    if meta["fmt"] == b"\xff\xd8":
+        from .jpeg_codec import jpeg_encode
+
+        return jpeg_encode(px)
     if meta["fmt"] in (b"P5", b"P6"):
         header = b"%s\n%d %d\n%d\n" % (meta["fmt"], w, h, meta["maxval"])
         return header + px.tobytes()

@@ -606,14 +606,15 @@ class TestMultimodalKernels:
         pgm = b"P5\n4 3\n255\n" + bytes(12)
         assert decode_image(pgm) == (4, 3)
 
-    def test_decode_image_rejects_codec_formats(self):
+    def test_decode_image_rejects_unsupported_formats(self):
         import pytest
 
         from spark_bi5_datasource_spark.functions.multimodal import decode_image
 
-        # JPEG needs a real codec; PNG does not (see the PNG tests below)
+        # PNG and baseline JPEG decode for real (tests below); formats
+        # still outside the pure-Python codecs reject cleanly
         with pytest.raises(NotImplementedError, match="imaging library"):
-            decode_image(b"\xff\xd8\xff\xe0" + bytes(64))
+            decode_image(b"GIF89a" + bytes(64))
 
     # ---- PNG: stdlib-zlib + NumPy-unfilter codec ------------------
 
@@ -1577,6 +1578,149 @@ class TestTopKSketch:
         for tok, cnt in exact.items():
             if cnt > n / width:
                 assert out.get(tok) == cnt, tok
+
+
+class TestJpegCodec:
+    """Pure-NumPy baseline JPEG (functions/jpeg_codec.py): encoder and
+    decoder are independent implementations of the wire format (the
+    encoder uses fixed-length canonical tables, the decoder handles
+    arbitrary DHT tables), so round-trip agreement within the quant
+    step pins both sides."""
+
+    @staticmethod
+    def _gradient(h=24, w=40):
+        import numpy as np
+
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        return np.stack([
+            xx * 255 / (w - 1), yy * 255 / (h - 1),
+            (xx + yy) * 255 / (w + h - 2),
+        ], axis=-1).astype(np.uint8)
+
+    def test_roundtrip_within_quant_step(self):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.jpeg_codec import (
+            jpeg_decode, jpeg_dims, jpeg_encode,
+        )
+
+        px = self._gradient()
+        enc = jpeg_encode(px, quality=95)
+        assert jpeg_dims(enc) == (40, 24)
+        err = np.abs(jpeg_decode(enc).astype(int) - px.astype(int))
+        assert err.max() <= 2 and err.mean() < 0.5
+
+    def test_constant_and_grayscale_exact(self):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.jpeg_codec import (
+            jpeg_decode, jpeg_encode,
+        )
+
+        c = np.full((16, 16, 3), 77, np.uint8)
+        assert (jpeg_decode(jpeg_encode(c, quality=95)) == c).all()
+        g = self._gradient()[:, :, :1]
+        err = np.abs(jpeg_decode(jpeg_encode(g, quality=95)).astype(int) - g)
+        assert err.max() <= 1
+
+    def test_chroma_subsampling_420(self):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.jpeg_codec import (
+            jpeg_decode, jpeg_encode,
+        )
+
+        px = self._gradient()
+        dec = jpeg_decode(jpeg_encode(px, quality=95, subsample=True))
+        err = np.abs(dec.astype(int) - px.astype(int))
+        assert dec.shape == px.shape and err.max() <= 12 and err.mean() < 4
+
+    def test_restart_markers(self):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.jpeg_codec import (
+            jpeg_decode, jpeg_encode,
+        )
+
+        px = self._gradient()
+        enc = jpeg_encode(px, quality=95, restart_interval=2)
+        assert b"\xff\xdd" in enc and b"\xff\xd0" in enc  # DRI + RST0
+        err = np.abs(jpeg_decode(enc).astype(int) - px.astype(int))
+        assert err.max() <= 2
+
+    def test_multimodal_dispatch_and_resize(self):
+        from spark_bi5_datasource_spark.functions.jpeg_codec import jpeg_encode
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            decode_image, resize_image,
+        )
+
+        enc = jpeg_encode(self._gradient(), quality=95)
+        assert decode_image(enc) == (40, 24)
+        out = resize_image(enc, 20, 12)
+        assert out[:2] == b"\xff\xd8" and decode_image(out) == (20, 12)
+
+    def test_canonical_huffman_matches_spec_assignment(self):
+        # the standard luminance-DC table's well-known code assignment
+        from spark_bi5_datasource_spark.functions.jpeg_codec import _build_huffman
+
+        bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+        t = _build_huffman(bits, list(range(12)))
+        inv = {sym: lc for lc, sym in t.items()}
+        assert inv[0] == (2, 0b00)
+        assert inv[1] == (3, 0b010)
+        assert inv[5] == (3, 0b110)
+        assert inv[6] == (4, 0b1110)
+        assert inv[11] == (9, 0b111111110)
+
+    def test_progressive_rejected(self):
+        import struct
+
+        import pytest
+
+        from spark_bi5_datasource_spark.functions.jpeg_codec import (
+            jpeg_decode, jpeg_dims,
+        )
+
+        sof2 = struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x11, 0])
+        data = (
+            b"\xff\xd8"
+            + struct.pack(">BBH", 0xFF, 0xC2, len(sof2) + 2) + sof2
+            + b"\xff\xd9"
+        )
+        assert jpeg_dims(data) == (4, 4)  # dims work for any SOFn
+        with pytest.raises(NotImplementedError, match="baseline"):
+            jpeg_decode(data)
+
+    def test_foreign_encoder_files(self):
+        """Files produced by real-world encoders (CPython/IPython test
+        data, rust docs — present on this image, skipped elsewhere):
+        a single bit of Huffman desync would cascade, so clean decode
+        to the header dims over thousands of blocks pins the decoder
+        against independent producers."""
+        import os
+
+        import numpy as np
+        import pytest
+
+        candidates = [
+            "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+            "python3.11/test/imghdrdata/python.jpg",
+            "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+            "share/doc/rust/html/embedded-book/assets/verify.jpeg",
+        ]
+        found = [p for p in candidates if os.path.isfile(p)]
+        if not found:
+            pytest.skip("no foreign JPEG fixtures on this image")
+        from spark_bi5_datasource_spark.functions.jpeg_codec import (
+            jpeg_decode, jpeg_dims,
+        )
+
+        for p in found:
+            data = open(p, "rb").read()
+            w, h = jpeg_dims(data)
+            px = jpeg_decode(data)
+            assert px.shape[:2] == (h, w)
+            assert np.ptp(px) > 0  # non-degenerate content
 
 
 class TestApproxQuantiles:
