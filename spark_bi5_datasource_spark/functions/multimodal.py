@@ -462,18 +462,23 @@ def _riff_chunks(data: bytes, start: int, end: int):
         pos = body + size + (size & 1)
 
 
-def _avi_frames(data: bytes) -> tuple[int, int, list[bytes]]:
-    """Parse an AVI (RIFF) container holding UNCOMPRESSED DIB video:
-    returns (width, height, [raw bottom-up BGR frame rasters]).
-    Compressed streams ('..dc' chunks / non-zero biCompression) raise
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def _avi_frames(data: bytes) -> tuple[int, int, list[bytes], str]:
+    """Parse an AVI (RIFF) container: returns (width, height, frames,
+    kind) where kind is ``"dib"`` (raw bottom-up BGR rasters) or
+    ``"mjpg"`` (each frame is a standalone baseline JPEG, decodable by
+    ``jpeg_codec``).  Other compressed streams (H.264 etc.) raise
     ``NotImplementedError`` — those need a real codec."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     dims: tuple[int, int] | None = None
+    kind = "dib"
     frames: list[bytes] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal dims
+        nonlocal dims, kind
         for cid, body, blen in _riff_chunks(data, start, end):
             if cid == b"LIST":
                 walk(body + 4, body + blen)  # skip the subtype fourcc
@@ -481,36 +486,47 @@ def _avi_frames(data: bytes) -> tuple[int, int, list[bytes]]:
                 w, h = struct.unpack_from("<ii", data, body + 4)
                 bpp, = struct.unpack_from("<H", data, body + 14)
                 compression, = struct.unpack_from("<I", data, body + 16)
-                if compression != 0 or bpp != 24:
+                if compression == _MJPG_FOURCC:
+                    kind = "mjpg"
+                elif compression != 0 or bpp != 24:
                     raise NotImplementedError(
-                        f"only uncompressed 24-bit DIB video is supported "
-                        f"without a codec (bpp={bpp}, compression={compression})"
+                        f"only uncompressed 24-bit DIB or MJPG video is "
+                        f"supported without a codec library "
+                        f"(bpp={bpp}, compression={compression})"
                     )
                 dims = (w, abs(h))
             elif cid[2:] == b"dc":
-                raise NotImplementedError(
-                    "compressed video frames need a codec library"
-                )
+                if kind != "mjpg":
+                    raise NotImplementedError(
+                        "compressed video frames need a codec library"
+                    )
+                frames.append(data[body : body + blen])
             elif cid[2:] == b"db":  # uncompressed DIB frame
                 frames.append(data[body : body + blen])
 
     walk(12, len(data))
     if dims is None:
         raise ValueError("AVI payload missing strf header")
-    return dims[0], dims[1], frames
+    return dims[0], dims[1], frames, kind
 
 
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
     """Sample every ``every_n``-th frame from a video payload,
-    returned as standalone BMP images (consumable by ``decode_image``
-    / ``resize_image``).
+    returned as standalone images (consumable by ``decode_image`` /
+    ``resize_image``).
 
-    REAL (codec-free) for AVI containers with uncompressed 24-bit DIB
-    streams — the frame raster IS a BMP body (bottom-up, 4-byte row
-    stride), so each sampled frame just gains a 54-byte BMP header.
-    Compressed formats (MJPEG/H.264/...) raise ``NotImplementedError``."""
+    REAL for AVI containers with uncompressed 24-bit DIB streams (the
+    frame raster IS a BMP body — bottom-up, 4-byte row stride — so
+    each sampled frame just gains a 54-byte BMP header) and for MJPEG
+    streams whose frames carry their own DQT/DHT tables (each frame
+    is a standalone baseline JPEG, decoded by ``jpeg_codec``;
+    table-less MJPEG frames — the implicit-tables convention — fail
+    per-frame into the dirty-input skip).  Other codecs (H.264/...)
+    raise ``NotImplementedError``."""
     data = bytes(payload)
-    w, h, frames = _avi_frames(data)
+    w, h, frames, kind = _avi_frames(data)
+    if kind == "mjpg":
+        return list(frames[:: max(1, every_n)])
     stride = (w * 3 + 3) // 4 * 4
     out = []
     for raw in frames[:: max(1, every_n)]:

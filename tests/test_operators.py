@@ -1241,6 +1241,56 @@ class TestVideoKernels:
         assert [r.frame_no for r in rows] == [0, 1, 2]  # frames 0, 2, 4
         assert all(decode_image(bytes(r.frame)) == (8, 6) for r in rows)
 
+    @staticmethod
+    def _mjpeg_avi(w, h, n_frames):
+        import struct
+
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.jpeg_codec import jpeg_encode
+
+        frames = []
+        for f in range(n_frames):
+            px = np.full((h, w, 3), 40 + 20 * f, np.uint8)
+            frames.append(jpeg_encode(px, quality=95))
+        strf = b"strf" + struct.pack(
+            "<I" + "Iii HHIIiiII".replace(" ", ""),
+            40, 40, w, h, 1, 24,
+            struct.unpack("<I", b"MJPG")[0], 0, 0, 0, 0, 0,
+        )
+        strh = b"strh" + struct.pack("<I", 8) + b"vids" + b"MJPG"
+        strl = (
+            b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf))
+            + b"strl" + strh + strf
+        )
+        hdrl = b"LIST" + struct.pack("<I", 4 + len(strl)) + b"hdrl" + strl
+        movi_body = b"".join(
+            b"00dc" + struct.pack("<I", len(fr)) + fr
+            + (b"\x00" if len(fr) & 1 else b"")
+            for fr in frames
+        )
+        movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body, frames
+
+    def test_mjpeg_frames_sample_and_decode(self):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            _decode_pixels,
+            decode_image,
+            sample_frames,
+        )
+
+        avi, frames = self._mjpeg_avi(16, 8, 5)
+        got = sample_frames(avi, every_n=2)
+        assert len(got) == 3 and [g[:2] for g in got] == [b"\xff\xd8"] * 3
+        assert got[1] == frames[2]  # frames pass through byte-identical
+        for i, g in zip((0, 2, 4), got):
+            assert decode_image(g) == (16, 8)
+            px, _ = _decode_pixels(g)
+            assert abs(int(np.median(px)) - (40 + 20 * i)) <= 1
+
 
 class TestWhitenPerGroup:
     def test_group_covariance_becomes_identity(self, spark):
