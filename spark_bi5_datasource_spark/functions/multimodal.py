@@ -5,11 +5,13 @@ columns with typed metadata, processed via Arrow-batched
 Decode/resize/frame-sample kernels are REAL for every format a
 pure-Python stack can honestly implement — images PPM (P6) / PGM
 (P5) / 24-bit BMP, 8-bit PNG (DEFLATE is stdlib ``zlib``; the five
-scanline filters unfilter in NumPy), and baseline JPEG (SOF0 —
-full entropy decode + IDCT in ``jpeg_codec.py``, validated against
-real-world encoder output), audio 8/16-bit PCM WAV, video AVI with
-uncompressed DIB frames.  Formats that remain out of pure-Python
-reach (progressive JPEG, MP3, H.264) raise ``NotImplementedError``;
+scanline filters unfilter in NumPy), baseline JPEG (SOF0 — full
+entropy decode + IDCT in ``jpeg_codec.py``, validated against
+real-world encoder output), and GIF (pure-Python LZW in
+``gif_codec.py``, likewise pinned by real files), audio 8/16-bit PCM
+WAV, video AVI with uncompressed DIB or MJPEG frames.  Formats that
+remain out of pure-Python reach (progressive JPEG, MP3, H.264) raise
+``NotImplementedError``;
 the deterministic fake kernels remain available for exercising the
 Arrow plumbing independent of payload format.
 """
@@ -277,10 +279,14 @@ def decode_image(payload: bytes) -> tuple[int, int]:
         from .jpeg_codec import jpeg_dims
 
         return jpeg_dims(bytes(payload))
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        from .gif_codec import gif_dims
+
+        return gif_dims(bytes(payload))
     raise NotImplementedError(
         f"payload magic {head!r} needs an imaging library (e.g. PIL); "
         "supported codec-free formats: PPM(P6)/PGM(P5)/BMP/PNG/"
-        "baseline JPEG; use fake_decode=True for the deterministic "
+        "baseline JPEG/GIF; use fake_decode=True for the deterministic "
         "test kernel"
     )
 
@@ -318,6 +324,10 @@ def _decode_pixels(data: bytes) -> tuple[np.ndarray, dict]:
         from .jpeg_codec import jpeg_decode
 
         return jpeg_decode(data), {"fmt": b"\xff\xd8"}
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif_codec import gif_decode
+
+        return gif_decode(data), {"fmt": b"GI"}
     raise NotImplementedError(f"payload magic {head!r} needs an imaging library")
 
 
@@ -329,6 +339,10 @@ def _encode_pixels(px: np.ndarray, meta: dict) -> bytes:
         from .jpeg_codec import jpeg_encode
 
         return jpeg_encode(px)
+    if meta["fmt"] == b"GI":
+        from .gif_codec import gif_encode
+
+        return gif_encode(px)  # NN resize preserves the palette
     if meta["fmt"] in (b"P5", b"P6"):
         header = b"%s\n%d %d\n%d\n" % (meta["fmt"], w, h, meta["maxval"])
         return header + px.tobytes()

@@ -611,10 +611,10 @@ class TestMultimodalKernels:
 
         from spark_bi5_datasource_spark.functions.multimodal import decode_image
 
-        # PNG and baseline JPEG decode for real (tests below); formats
-        # still outside the pure-Python codecs reject cleanly
+        # PNG, baseline JPEG, and GIF decode for real (tests below);
+        # formats still outside the pure-Python codecs reject cleanly
         with pytest.raises(NotImplementedError, match="imaging library"):
-            decode_image(b"GIF89a" + bytes(64))
+            decode_image(b"II*\x00" + bytes(64))  # TIFF
 
     # ---- PNG: stdlib-zlib + NumPy-unfilter codec ------------------
 
@@ -1771,6 +1771,126 @@ class TestJpegCodec:
             px = jpeg_decode(data)
             assert px.shape[:2] == (h, w)
             assert np.ptp(px) > 0  # non-degenerate content
+
+
+class TestGifCodec:
+    """Pure-Python GIF/LZW (functions/gif_codec.py).  The decoder's
+    code-width schedule is pinned by real-world files (every idlelib
+    icon — a single off-by-one in the width bump desyncs the LZW walk
+    immediately); the encoder round-trips bit-exact against it."""
+
+    @staticmethod
+    def _palette_image(n_colors, h, w, seed=1):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        pal = np.unique(
+            rng.integers(0, 256, (n_colors, 3), dtype=np.uint8), axis=0
+        )
+        return pal[rng.integers(0, pal.shape[0], (h, w))]
+
+    def test_roundtrip_exact_through_width_growth(self):
+        from spark_bi5_datasource_spark.functions.gif_codec import (
+            gif_decode, gif_encode,
+        )
+
+        # enough entropy that the LZW dictionary crosses several
+        # code-width boundaries
+        px = self._palette_image(200, 64, 64)
+        assert (gif_decode(gif_encode(px)) == px).all()
+        tiny = self._palette_image(2, 9, 7)
+        assert (gif_decode(gif_encode(tiny)) == tiny).all()
+
+    def test_interlaced_rows_reordered(self):
+        import struct
+
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.gif_codec import (
+            _lzw_encode, gif_decode,
+        )
+
+        pal = np.array([[i, 0, 0] for i in range(16)], np.uint8)
+        h, w = 13, 4
+        idx = np.arange(h * w).reshape(h, w) % 16
+        # rows serialized in Adam-style pass order, interlace flag set
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        serial = idx[order].astype(np.uint8).reshape(-1)
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0)
+        out += pal.tobytes() + bytes(3 * 16 - pal.size)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+        out.append(4)
+        blob = _lzw_encode(serial, 4)
+        for i in range(0, len(blob), 255):
+            chunk = blob[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00\x3b"
+        got = gif_decode(bytes(out))
+        pal_full = np.vstack([pal, np.zeros((240, 3), np.uint8)])
+        assert (got == pal_full[idx]).all()
+
+    def test_real_world_files(self):
+        import glob
+        import os
+
+        import pytest
+
+        from spark_bi5_datasource_spark.functions.gif_codec import (
+            gif_decode, gif_dims,
+        )
+
+        icons = sorted(glob.glob(
+            "/mnt/sandboxing/model_tools_env/v1/python/install/"
+            "lib/python3.11/idlelib/Icons/*.gif"
+        ))
+        if not icons:
+            pytest.skip("no foreign GIF fixtures on this image")
+        for p in icons:
+            data = open(p, "rb").read()
+            w, h = gif_dims(data)
+            assert gif_decode(data).shape == (h, w, 3), os.path.basename(p)
+
+    def test_multimodal_dispatch_and_resize(self):
+        from spark_bi5_datasource_spark.functions.gif_codec import gif_encode
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            _decode_pixels,
+            decode_image,
+            resize_image,
+        )
+
+        px = self._palette_image(7, 10, 20)
+        enc = gif_encode(px)
+        assert decode_image(enc) == (20, 10)
+        out = resize_image(enc, 10, 5)
+        assert out[:6] == b"GIF89a" and decode_image(out) == (10, 5)
+        got, _ = _decode_pixels(out)
+        # pixel-center NN convention: source index (i+0.5)*src/dst
+        assert (got == px[1::2, 1::2]).all()
+
+    def test_unpalettizable_rejected_truncated_tolerated(self):
+        import numpy as np
+        import pytest
+
+        from spark_bi5_datasource_spark.functions.gif_codec import (
+            gif_decode, gif_encode,
+        )
+
+        # 300 guaranteed-distinct 24-bit colors > the 256-entry table
+        c = (np.arange(300, dtype=np.int64) * 65539) % (1 << 24)
+        many = np.stack(
+            [c >> 16, (c >> 8) & 255, c & 255], axis=-1
+        ).astype(np.uint8).reshape(20, 15, 3)
+        with pytest.raises(NotImplementedError, match="palettizable"):
+            gif_encode(many)
+        px = self._palette_image(5, 16, 16)
+        enc = gif_encode(px)
+        got = gif_decode(enc[: len(enc) - 12] + b"\x00\x3b")
+        assert got.shape == px.shape  # truncated LZW pads, never throws
 
 
 class TestApproxQuantiles:
