@@ -368,11 +368,16 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return _encode_pixels(np.ascontiguousarray(out), meta)
 
 
-def _wav_header(data: bytes) -> tuple[int, int, int, int, int]:
+_WAV_TAGS = {1: "pcm", 6: "alaw", 7: "ulaw"}
+
+
+def _wav_header(data: bytes) -> tuple[int, int, int, int, int, str]:
     """Parse a RIFF/WAVE header by walking its chunk list: returns
-    (n_channels, sample_rate, bits_per_sample, data_offset, data_len).
-    Only uncompressed PCM (format tag 1) is supported — the one WAV
-    flavor that needs no codec."""
+    (n_channels, sample_rate, bits_per_sample, data_offset, data_len,
+    codec).  Supported codecs need no library: uncompressed PCM
+    (format tag 1) plus the formula-defined G.711 companders A-law
+    (tag 6) and μ-law (tag 7); anything else (ADPCM, MP3-in-WAV,
+    extensible) raises ``NotImplementedError``."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data_span = 12, None, None
@@ -383,42 +388,68 @@ def _wav_header(data: bytes) -> tuple[int, int, int, int, int]:
         if cid == b"fmt " and size >= 16:
             tag, ch, rate = struct.unpack_from("<HHI", data, body)
             (bits,) = struct.unpack_from("<H", data, body + 14)
-            if tag != 1:
+            if tag not in _WAV_TAGS:
                 raise NotImplementedError(
-                    f"only PCM WAV (format tag 1) is supported without a "
-                    f"codec library (got tag={tag})"
+                    f"only PCM / A-law / μ-law WAV is supported without "
+                    f"a codec library (got format tag={tag})"
                 )
-            fmt = (ch, rate, bits)
+            fmt = (ch, rate, bits, _WAV_TAGS[tag])
         elif cid == b"data":
             data_span = (body, min(size, len(data) - body))
         pos = body + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or data_span is None:
         raise ValueError("WAV payload missing fmt/data chunk")
-    ch, rate, bits = fmt
-    if bits not in (8, 16) or ch < 1:
+    ch, rate, bits, codec = fmt
+    if ch < 1 or (codec == "pcm" and bits not in (8, 16)) or (
+        codec != "pcm" and bits != 8
+    ):
         raise NotImplementedError(
-            f"only 8/16-bit PCM is supported (got bits={bits}, ch={ch})"
+            f"unsupported WAV layout (codec={codec}, bits={bits}, ch={ch})"
         )
-    return ch, rate, bits, data_span[0], data_span[1]
+    return ch, rate, bits, data_span[0], data_span[1], codec
+
+
+def _ulaw_decode(b: np.ndarray) -> np.ndarray:
+    """G.711 μ-law byte → int16-range linear (vectorized formula)."""
+    u = ~b.astype(np.int64) & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0xF
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag)
+
+
+def _alaw_decode(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte → int16-range linear (vectorized formula)."""
+    a = b.astype(np.int64) ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0xF
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(a & 0x80, mag, -mag)
 
 
 def decode_audio(payload: bytes) -> tuple[int, int, int]:
-    """Decode a PCM WAV payload to (n_channels, sample_rate,
-    n_frames).  Real (pure struct, no codec) for 8/16-bit PCM;
-    anything else raises ``NotImplementedError``."""
-    ch, rate, bits, _, dlen = _wav_header(bytes(payload))
+    """Decode a WAV payload to (n_channels, sample_rate, n_frames).
+    Real (pure struct/NumPy, no codec library) for 8/16-bit PCM and
+    G.711 A-law/μ-law; anything else raises ``NotImplementedError``."""
+    ch, rate, bits, _, dlen, _codec = _wav_header(bytes(payload))
     return ch, rate, dlen // (ch * bits // 8)
 
 
 def _audio_samples(data: bytes) -> tuple[np.ndarray, int]:
     """Payload → (frames, channels) float64 in [-1, 1] + sample rate."""
-    ch, rate, bits, off, dlen = _wav_header(data)
+    ch, rate, bits, off, dlen, codec = _wav_header(data)
     step = ch * bits // 8
     n = dlen // step
-    if bits == 16:
+    if codec == "ulaw":
+        raw = np.frombuffer(data, np.uint8, n * ch, off)
+        x = _ulaw_decode(raw).astype(np.float64) / 32768.0
+    elif codec == "alaw":
+        raw = np.frombuffer(data, np.uint8, n * ch, off)
+        x = _alaw_decode(raw).astype(np.float64) / 32768.0
+    elif bits == 16:
         raw = np.frombuffer(data, "<i2", n * ch, off).astype(np.float64)
         x = raw / 32768.0
-    else:  # 8-bit WAV is unsigned, midpoint 128
+    else:  # 8-bit PCM WAV is unsigned, midpoint 128
         raw = np.frombuffer(data, np.uint8, n * ch, off).astype(np.float64)
         x = (raw - 128.0) / 128.0
     return x.reshape(n, ch), rate

@@ -919,6 +919,92 @@ class TestAudioKernels:
         assert rows[2].n_channels is None and rows[2].rms is None
 
 
+class TestG711Companding:
+    """μ-law / A-law WAV (G.711): the decoders are vectorized formula
+    implementations; independent scalar FORWARD companders here pin
+    them as mutual inverses over the entire byte domain."""
+
+    @staticmethod
+    def _ulaw_encode(v: int) -> int:
+        s = 0x80 if v < 0 else 0
+        m = min(abs(v), 32635) + 0x84
+        exp = m.bit_length() - 8
+        mant = (m >> (exp + 3)) & 0xF
+        return (~(s | (exp << 4) | mant)) & 0xFF
+
+    @staticmethod
+    def _alaw_encode(v: int) -> int:
+        s = 0x80 if v >= 0 else 0
+        m = min(abs(v), 32767)
+        if m < 256:
+            exp, mant = 0, m >> 4
+        else:
+            exp = m.bit_length() - 8
+            mant = (m >> (exp + 3)) & 0xF
+        return (s | (exp << 4) | mant) ^ 0x55
+
+    def test_companders_are_mutual_inverses_on_all_bytes(self):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            _alaw_decode, _ulaw_decode,
+        )
+
+        all_bytes = np.arange(256, dtype=np.uint8)
+        u = _ulaw_decode(all_bytes)
+        a = _alaw_decode(all_bytes)
+        assert u.max() == 32124 and u.min() == -32124  # G.711 μ-law range
+        assert a.max() == 32256 and a.min() == -32256  # G.711 A-law range
+        for b in range(256):
+            # μ-law has two zero codewords (0x7F = -0, 0xFF = +0); the
+            # encoder canonicalizes both to +0 — everywhere else the
+            # byte domain round-trips exactly
+            if u[b] == 0 and b == 0x7F:
+                assert self._ulaw_encode(0) == 0xFF
+            else:
+                assert self._ulaw_encode(int(u[b])) == b, ("ulaw", b)
+            assert self._alaw_encode(int(a[b])) == b, ("alaw", b)
+
+    @staticmethod
+    def _companded_wav(codec_tag, payload, ch=1, rate=8000):
+        import struct
+
+        chunks = (
+            b"fmt "
+            + struct.pack("<IHHIIHH", 16, codec_tag, ch, rate, rate * ch, ch, 8)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_wav_surface_decodes_companded_audio(self):
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            audio_features, decode_audio, resample_audio,
+        )
+
+        sig = np.round(np.sin(np.arange(400) * 0.07) * 20000).astype(int)
+        for tag, enc in ((7, self._ulaw_encode), (6, self._alaw_encode)):
+            payload = bytes(enc(int(v)) for v in sig)
+            wav = self._companded_wav(tag, payload)
+            assert decode_audio(wav) == (1, 8000, 400)
+            ch, rate, n, rms, peak = audio_features(wav)
+            assert (ch, rate, n) == (1, 8000, 400)
+            # companding error ≪ signal level: features match PCM truth
+            assert abs(rms - np.sqrt(np.mean((sig / 32768) ** 2))) < 0.01
+            out = resample_audio(wav, 4000)
+            assert decode_audio(out) == (1, 4000, 200)
+
+    def test_adpcm_still_rejects(self):
+        import pytest
+
+        from spark_bi5_datasource_spark.functions.multimodal import decode_audio
+
+        wav = self._companded_wav(0x11, bytes(64))
+        with pytest.raises(NotImplementedError, match="codec library"):
+            decode_audio(wav)
+
+
 class TestMergeUpsert:
     def _target(self, spark):
         return spark.createDataFrame(
