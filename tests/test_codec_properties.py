@@ -286,3 +286,81 @@ def test_zvalue_bijective_and_bounded_property(pairs):
     zs = [z(x, y) for x, y in pairs]
     assert len(set(zs)) == len(pairs)
     assert all(0 <= v < 1 << 32 for v in zs)
+
+
+# ------------------------------------------------- image codec properties
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(h, w, ch, seed):
+    """PNG encode→decode is the identity for every 8-bit raster shape
+    and channel count (gray / gray+A / RGB / RGBA)."""
+    from spark_bi5_datasource_spark.functions.multimodal import (
+        _decode_pixels,
+        _png_encode,
+    )
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+    got, meta = _decode_pixels(_png_encode(px))
+    assert meta["fmt"] == b"\x89P"
+    assert got.shape == px.shape and np.array_equal(got, px)
+
+
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.integers(2, 40),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(h, w, n_colors, seed):
+    """GIF encode→decode is the identity for every palettizable raster
+    — including single-pixel images and 2-color palettes (the LZW
+    minimum-code-size floor)."""
+    from spark_bi5_datasource_spark.functions.gif_codec import (
+        gif_decode,
+        gif_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    pal = np.unique(rng.integers(0, 256, (n_colors, 3), dtype=np.uint8), axis=0)
+    px = pal[rng.integers(0, pal.shape[0], (h, w))]
+    assert np.array_equal(gif_decode(gif_encode(px)), px)
+
+
+@given(
+    st.integers(8, 64),
+    st.integers(8, 64),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([75, 90, 95]),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_smooth_roundtrip_bounded_error_property(h, w, seed, quality):
+    """JPEG is lossy, but for any smooth (low-frequency) input the
+    round-trip error stays within a few quant steps at every size —
+    including dimensions that are not block multiples (edge-padded
+    partial MCUs)."""
+    from spark_bi5_datasource_spark.functions.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    # smooth field: random plane + gentle sinusoid per channel
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    chans = []
+    for _ in range(3):
+        a, b, c = rng.uniform(-1, 1, 3)
+        f = 128 + 60 * (a * xx / w + b * yy / h) + 40 * c * np.sin(xx / 9)
+        chans.append(f)
+    px = np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(px, quality=quality))
+    err = np.abs(dec.astype(int) - px.astype(int))
+    assert dec.shape == px.shape
+    assert err.max() <= (6 if quality >= 90 else 14) and err.mean() < 3
