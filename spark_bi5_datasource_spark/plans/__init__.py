@@ -41,24 +41,27 @@ CATALOG: dict[str, tuple] = {
 # The union of driver-green rows across rounds is the coverage
 # record — see COVERAGE.md.
 DRIVER_WINDOW: list[str] = [
-    # round-6 window: the 50 oracle-backed entries never yet exposed to a
-    # driver CORRECTNESS gate (computed by scripts/window_rotation.py from
-    # CORRECTNESS_r0{1..4}.json ∪ catalog).  After this round the
-    # driver-green union covers every oracle-backed catalog entry.
-    "sim_lsh_exact", "sql_tpch_q13", "sql_tpch_q22", "scalar_variant_funcs",
-    "sql_tpch_q6", "sql_tpch_q10", "sql_tpch_q14", "window_rolling_corr",
-    "window_ewma", "sample_mixture", "text_sentence_stats",
-    "dedup_cluster_sizes", "text_span_dedup", "events_winsorize",
-    "events_cume_users", "sql_tpch_q2", "sql_tpch_q4", "sql_tpch_q8",
-    "sql_tpch_q9", "sql_tpch_q11", "sql_tpch_q12", "sql_tpch_q15",
-    "sql_tpch_q16", "sql_tpch_q17", "sql_tpch_q19", "sql_tpch_q20",
-    "sql_tpch_q21", "agg_mode", "scalar_url_funcs", "events_attribution",
-    "events_ab_lift", "sql_lateral_topk", "join_null_safe", "agg_corr_cov",
-    "scalar_bitwise_funcs", "agg_pandas_udf_trimmed", "split_training_shards",
-    "sim_pq_exact", "graph_bfs_depth", "events_pattern_funnel",
-    "mv_incremental_orders", "join_scd2_pointintime", "table_diff_orders",
-    "profile_join_skew", "sample_weighted_wor", "agg_regression",
-    "events_twap", "window_drawdown", "array_setops", "scalar_struct_funcs",
+    # round-6 window (scripts/window_rotation.py over CORRECTNESS_r0{1..5}):
+    # the 5 entries never yet exposed to a driver gate come first — after
+    # this round the driver-green union covers every oracle-backed catalog
+    # entry ever written — then least-recently-exposed (r01/r02) filler.
+    "retrieval_hybrid_rrf", "text_ngram_novelty", "dedup_keep_best_parts",
+    "agg_approx_quantiles", "events_rfm",
+    "b1_scan_count", "b5_groupby_count", "b6_filter_project",
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
+    "join_broadcast_dims", "join_left_outer", "join_range",
+    "join_asof_events_orders", "window_topk_per_segment",
+    "window_running_total", "agg_rollup", "agg_stats", "scalar_string_funcs",
+    "scalar_date_funcs", "scalar_json_funcs", "scalar_math_case",
+    "events_sessionize", "window_rank_kinds", "array_funcs",
+    "join_full_outer", "scalar_map_funcs", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
+    "b2_sort_topk", "join_semi_anti", "join_right_outer",
+    "window_lag_range_daily", "agg_cube_gsets", "agg_percentile_collect",
+    "setop_suite", "events_daily_ohlc", "reshape_pivot_unpivot",
+    "text_chunk_pack", "sim_cosine_topk", "sim_label_centroids",
+    "text_stats", "text_langid", "text_quality_filter", "text_fingerprint",
+    "text_source_rollup", "multimodal_features",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

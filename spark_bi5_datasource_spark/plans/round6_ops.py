@@ -15,8 +15,8 @@ the LLM-pipeline tier was still missing as first-class queries:
 Oracle policy unchanged (same logical SQL in DuckDB; rank fusion and
 scores ride integer scaling so values are engine- and
 partitioning-independent).  Reference parity note: the reference
-(spark-2.4/src/main/.../DefaultSource.scala) is a read-only scan
-connector — everything here is the beyond-reference query surface the
+(spark-2.4/src/main/scala/be/salvania/BI5DataSource.scala) is a
+read-only scan connector — everything here is the beyond-reference query surface the
 mandate adds on top.
 """
 
@@ -370,7 +370,7 @@ _RFM_SQL = """
         date_diff('day', max(ts),
                   (SELECT max(ts) FROM events)) AS recency_days,
         CAST(count(*) AS BIGINT) AS frequency,
-        CAST(round(sum(value) * 100) AS BIGINT) AS monetary_c
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_c
       FROM events GROUP BY user_id
     ), scored AS (
       SELECT user_id,
@@ -389,16 +389,24 @@ _RFM_SQL = """
 @_q("events_rfm", _RFM_SQL)
 def events_rfm(spark: SparkSession, sf: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quintile segmentation of
-    the user base, reported as segment sizes.  Every ntile rides a
+    the user base, reported as segment sizes.  Every ranking rides a
     TOTAL order (metric + user_id tie-break), so bin assignment is
-    engine-identical; monetary sums are integer cents.
+    engine-identical; monetary sums are PER-ROW integer cents (the
+    associative engine-exact convention shared with events_daily_ohlc
+    — a post-sum round would depend on partial-agg addition order).
 
-    Scale shape: one agg keyed on user_id, then three rankings over
-    the USER table (not the event log).  The global ntile windows are
-    the textbook form at fixture scale; at 100-TB user counts each
-    would become the percentile-cut + range-partition composition
-    already in operators.ranking (same contract, no single-partition
-    window)."""
+    Scale shape: one agg keyed on user_id, then three GLOBAL rankings
+    over the USER table (not the event log).  A literal
+    ``ntile(5) OVER (ORDER BY …)`` — the oracle's form — plans as
+    Exchange SinglePartition, the canonical scale killer at 1B+
+    users; here each ranking is operators.ranking.with_global_rank
+    (range-partition + parallel partition-local windows + bounded
+    per-partition offsets) and ``ntile_expr`` reproduces SQL NTILE's
+    bucket arithmetic from the exact global rank, so the driver hash
+    matches the ntile oracle with no single-partition exchange
+    (pinned by tests/test_plan_shapes.py)."""
+    from ..operators.ranking import ntile_expr, with_global_rank
+
     ev = t(spark, sf, "events")
     max_ts = ev.agg(F.max("ts").alias("gmax"))
     base = (
@@ -406,7 +414,9 @@ def events_rfm(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.max("ts").alias("umax"),
             F.count("*").cast("bigint").alias("frequency"),
-            F.sum("value").alias("mon"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "monetary_c"
+            ),
         )
         .crossJoin(F.broadcast(max_ts))
         .select(
@@ -415,27 +425,25 @@ def events_rfm(spark: SparkSession, sf: str) -> DataFrame:
                 "recency_days"
             ),
             "frequency",
-            F.round(F.col("mon") * 100).cast("bigint").alias("monetary_c"),
+            "monetary_c",
         )
-    )
-    scored = base.select(
-        "user_id",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc()))
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc()))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary_c").desc(), F.col("user_id").asc()))
-        .alias("m"),
+        # with_global_rank orders ascending: negate the two DESC
+        # metrics (bigint negation is exact) so every leg is ASC with
+        # the same user_id tie-break the oracle uses
+        .withColumn("neg_f", -F.col("frequency"))
+        .withColumn("neg_m", -F.col("monetary_c"))
+    ).persist()
+    n = base.count()  # bounded: one long per job, needed by NTILE arithmetic
+    ranked = with_global_rank(base, ["recency_days", "user_id"], "rk_r")
+    ranked = with_global_rank(ranked, ["neg_f", "user_id"], "rk_f")
+    ranked = with_global_rank(ranked, ["neg_m", "user_id"], "rk_m")
+    scored = ranked.select(
+        ntile_expr("rk_r", n, 5).alias("r"),
+        ntile_expr("rk_f", n, 5).alias("f"),
+        ntile_expr("rk_m", n, 5).alias("m"),
     )
     return (
-        scored.groupBy(
-            F.col("r").cast("int").alias("r"),
-            F.col("f").cast("int").alias("f"),
-            F.col("m").cast("int").alias("m"),
-        )
+        scored.groupBy("r", "f", "m")
         .agg(F.count("*").cast("bigint").alias("users"))
         .orderBy("r", "f", "m")
     )

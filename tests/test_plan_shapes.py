@@ -417,6 +417,27 @@ def test_round6_ops_stay_jvm_side(spark):
             assert "BroadcastNestedLoopJoin" not in p, name
 
 
+def test_rfm_no_single_partition_ranking(spark):
+    """events_rfm's three global quintile rankings must run as
+    range-partition + parallel windows (operators.ranking), never as
+    the literal ``ntile OVER (ORDER BY …)`` the oracle uses — that
+    form plans an empty-partitionBy Window over Exchange
+    SinglePartition, the canonical scale killer at 1B+ users.  The
+    only SinglePartition exchanges allowed are the ones inside the
+    1-row global-max scalar aggregate (bounded input: one partial row
+    per partition) feeding its IdentityBroadcastMode broadcast."""
+    p = plan_of(spark, "events_rfm")
+    assert "ntile" not in p
+    # every Window is partitioned by the parallel-rank partition id
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(__pid" in line, line
+    # every SinglePartition exchange is the scalar-agg/broadcast pair
+    assert p.count("Exchange SinglePartition") <= p.count(
+        "BroadcastExchange IdentityBroadcastMode"
+    )
+
+
 def test_round4_session_ops_stay_jvm_side(spark):
     """The session's new Catalyst-composition entries must stay in
     codegen: no Python boundary, no cartesian/nested-loop join."""
