@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .fastmoney import spark_fast_sql
 from .tables import t
 
 ANALYTICS_OPS: dict[str, tuple] = {}
@@ -776,7 +777,7 @@ def sql_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
     subquery surface users port first when switching engines."""
     for tb in ("customer", "orders"):
         t(spark, sf, tb).createOrReplaceTempView(f"ex_{tb}")
-    return spark.sql(_EXISTS_SQL.format(p="ex_"))
+    return spark.sql(spark_fast_sql(_EXISTS_SQL).format(p="ex_"))
 
 
 # ------------------------------------------- scalar correlated subquery
@@ -800,7 +801,7 @@ def sql_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
     semi/anti shape: Catalyst rewrites it to a grouped max + join,
     never a per-row re-scan."""
     t(spark, sf, "orders").createOrReplaceTempView("sc_orders")
-    return spark.sql(_SCALAR_SQL.format(p="sc_"))
+    return spark.sql(spark_fast_sql(_SCALAR_SQL).format(p="sc_"))
 
 
 # ---------------------------------------------- seasonal profile
@@ -938,4 +939,4 @@ def sql_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     order-independent)."""
     for tb in ("supplier", "lineitem", "orders", "customer", "nation"):
         t(spark, sf, tb).createOrReplaceTempView(f"q7_{tb}")
-    return spark.sql(_Q7_SQL.format(p="q7_"))
+    return spark.sql(spark_fast_sql(_Q7_SQL).format(p="q7_"))

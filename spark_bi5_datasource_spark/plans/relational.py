@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import asof_join, top_k, top_k_per_group
+from .fastmoney import HALF_ADJUST_CENTS as _HA
 from .tables import t, table_bytes
 
 # name -> (fn(spark, sf_dir) -> DataFrame, oracle_sql | None, in_bench)
@@ -378,7 +379,7 @@ def join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             (
                 F.coalesce(
-                    F.sum(F.expr("cast(round(o_totalprice * 100) AS bigint)")),
+                    F.sum(F.expr(_HA.format(x="o_totalprice", m=100))),
                     F.lit(0),
                 ).cast("double")
                 / F.lit(100.0)
@@ -532,7 +533,7 @@ def window_lag_range_daily(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("revenue") - F.lag("revenue").over(w)).alias("delta"),
         F.lead("revenue").over(w).alias("next_revenue"),
         (
-            F.sum(F.expr("cast(round(revenue * 100) AS bigint)"))
+            F.sum(F.expr(_HA.format(x="revenue", m=100)))
             .over(wr)
             .cast("double")
             / F.lit(100.0)
@@ -563,7 +564,7 @@ def window_running_total(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         (
-            F.sum(F.expr("cast(round(o_totalprice * 100) AS bigint)"))
+            F.sum(F.expr(_HA.format(x="o_totalprice", m=100)))
             .over(w)
             .cast("double")
             / F.lit(100.0)

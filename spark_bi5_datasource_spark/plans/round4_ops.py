@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .fastmoney import HALF_ADJUST_CENTS as _HA
+from .fastmoney import spark_fast_sql
 from .tables import t
 
 ROUND4_OPS: dict[str, tuple] = {}
@@ -56,7 +58,7 @@ def sql_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
     aggregations; the second runs over |customers| rows only."""
     for tb in ("customer", "orders"):
         t(spark, sf, tb).createOrReplaceTempView(f"q13_{tb}")
-    return spark.sql(_Q13_SQL.format(p="q13_"))
+    return spark.sql(spark_fast_sql(_Q13_SQL).format(p="q13_"))
 
 
 # ------------------------------------------------- TPC-H q18 shape
@@ -91,7 +93,7 @@ def sql_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     threshold and the output sums exact on both engines."""
     for tb in ("customer", "orders", "lineitem"):
         t(spark, sf, tb).createOrReplaceTempView(f"q18_{tb}")
-    return spark.sql(_Q18_SQL.format(p="q18_"))
+    return spark.sql(spark_fast_sql(_Q18_SQL).format(p="q18_"))
 
 
 # ------------------------------------------------- TPC-H q22 shape
@@ -129,7 +131,7 @@ def sql_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     so the average threshold and the totals are order-independent."""
     for tb in ("customer", "orders"):
         t(spark, sf, tb).createOrReplaceTempView(f"q22_{tb}")
-    return spark.sql(_Q22_SQL.format(p="q22_"))
+    return spark.sql(spark_fast_sql(_Q22_SQL).format(p="q22_"))
 
 
 # --------------------------------------------- VARIANT (semi-structured)
@@ -188,7 +190,7 @@ def sql_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
     the parquet scan (PushedFilters) and the sum runs partial+final;
     the scaled-long idiom keeps the money total exact."""
     t(spark, sf, "lineitem").createOrReplaceTempView("q6_lineitem")
-    return spark.sql(_Q6_SQL.format(p="q6_"))
+    return spark.sql(spark_fast_sql(_Q6_SQL).format(p="q6_"))
 
 
 # ------------------------------------------------ TPC-H q10 shape
@@ -222,7 +224,7 @@ def sql_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     shape."""
     for tb in ("customer", "orders", "lineitem", "nation"):
         t(spark, sf, tb).createOrReplaceTempView(f"q10_{tb}")
-    return spark.sql(_Q10_SQL.format(p="q10_"))
+    return spark.sql(spark_fast_sql(_Q10_SQL).format(p="q10_"))
 
 
 # ------------------------------------------------ TPC-H q14 shape
@@ -251,7 +253,7 @@ def sql_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
     only FP step, identical on both engines)."""
     for tb in ("lineitem", "part"):
         t(spark, sf, tb).createOrReplaceTempView(f"q14_{tb}")
-    return spark.sql(_Q14_SQL.format(p="q14_").replace("%%", "%"))
+    return spark.sql(spark_fast_sql(_Q14_SQL).format(p="q14_").replace("%%", "%"))
 
 
 # ----------------------------------------- interval-overlap join
@@ -365,7 +367,7 @@ def window_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = t(spark, sf, "events")
-    q = F.round(F.col("value") * 10000).cast("bigint")
+    q = F.expr(_HA.format(x="value", m=10000))
     wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
     base = e.select(
         "event_id",
@@ -449,7 +451,7 @@ def window_ewma(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = t(spark, sf, "events")
-    q = F.round(F.col("value") * 10000).cast("bigint")
+    q = F.expr(_HA.format(x="value", m=10000))
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .fastmoney import spark_fast_sql
 from .tables import t
 
 TPCH_PACK: dict[str, tuple] = {}
@@ -41,15 +42,19 @@ TPCH_PACK: dict[str, tuple] = {}
 def _q(name: str, sql: str, tables: tuple[str, ...], bench: bool = False):
     """Register a SQL-interface query: the Spark side materializes the
     needed fixture tables as prefixed temp views and runs the same
-    statement DuckDB gets (prefix-free)."""
+    logical statement DuckDB gets (prefix-free) — modulo the
+    ``spark_fast_sql`` money-idiom rewrite, which keeps the scaled-
+    BIGINT sums inside whole-stage codegen (see fastmoney.py; the
+    oracle text keeps ``round()``)."""
 
     def wrap(doc: str):
         p = f"{name.rsplit('_', 1)[-1]}_"
+        ssql = spark_fast_sql(sql)
 
         def fn(spark: SparkSession, sf: str) -> DataFrame:
             for tb in tables:
                 t(spark, sf, tb).createOrReplaceTempView(f"{p}{tb}")
-            return spark.sql(sql.format(p=p))
+            return spark.sql(ssql.format(p=p))
 
         fn.__name__ = name
         fn.__doc__ = doc
@@ -156,20 +161,109 @@ _Q8_SQL = f"""
     ORDER BY o_year
 """
 
-sql_tpch_q8 = _q(
-    "sql_tpch_q8",
-    _Q8_SQL,
-    ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
-    bench=True,
-)(
-    """TPC-H q8 (national market share): the widest join tree in the
-    suite — lineitem against part, supplier, orders, customer, and
-    nation twice (customer-side nation restricted to a region,
-    supplier-side nation kept as the share dimension).  All five
-    dimension sides are broadcast under AQE; lineitem is scanned
-    once.  Volumes are exact scaled BIGINTs, so the share division
-    is a deterministic DOUBLE over exact integers."""
-)
+def sql_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q8 (national market share) — hand-shaped join tree.
+
+    The literal SQL form passes the 60 M-row fact stream through
+    SEVEN joins with the selective ASIA filter applied dead last
+    (region is the outermost dim), so the stream stays full-width
+    through customer and nation.  Measured piecewise at x100
+    (scripts/exp_q8_pieces.py): 1.76 s, of which the post-orders dim
+    chain alone was 0.72 s.  This shape pre-reduces the dims BEFORE
+    the stream is touched — supplier⋈nation composes the share
+    dimension into one broadcast, customer⋈nation⋈region(ASIA)
+    collapses to a broadcast key SET (300 k keys at x100, 1/5 the
+    naive customer build), and the ASIA+date filters land on orders
+    before its single co-bucketed SMJ with lineitem — 1.12 s at x100
+    (the orders-broadcast variant measured WORSE, 3.7 s: a 4 M-row
+    hashed relation rebuilt per executor wave).  Lineitem is scanned
+    once; volumes are exact scaled BIGINTs, so the share division is
+    a deterministic DOUBLE over exact integers."""
+    from pyspark.sql import functions as F
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    n = t(spark, sf, "nation")
+    supp_n = (
+        t(spark, sf, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    asia_cust = (
+        t(spark, sf, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                t(spark, sf, "region")
+                .filter(F.col("r_name") == "ASIA")
+                .select(F.col("r_regionkey").alias("rk"))
+            ),
+            F.col("n_regionkey") == F.col("rk"),
+        )
+        .select("c_custkey")
+    )
+    ord_asia = (
+        t(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(
+            F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
+    part_promo = (
+        t(spark, sf, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    vol = (
+        li.join(F.broadcast(part_promo), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ord_asia, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(
+                spark_fast_sql(
+                    _CENTS.format(x="l_extendedprice * (1 - l_discount)")
+                )
+            ).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3", F.col("volume")
+                    ).otherwise(0)
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_PACK["sql_tpch_q8"] = (sql_tpch_q8, _Q8_SQL.format(p=""), True)
 
 
 # ------------------------------------------------- q9: product-type profit
