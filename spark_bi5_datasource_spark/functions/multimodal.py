@@ -368,16 +368,17 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return _encode_pixels(np.ascontiguousarray(out), meta)
 
 
-_WAV_TAGS = {1: "pcm", 6: "alaw", 7: "ulaw"}
+_WAV_TAGS = {1: "pcm", 6: "alaw", 7: "ulaw", 17: "ima_adpcm"}
 
 
-def _wav_header(data: bytes) -> tuple[int, int, int, int, int, str]:
+def _wav_header(data: bytes) -> tuple[int, int, int, int, int, str, int]:
     """Parse a RIFF/WAVE header by walking its chunk list: returns
     (n_channels, sample_rate, bits_per_sample, data_offset, data_len,
-    codec).  Supported codecs need no library: uncompressed PCM
-    (format tag 1) plus the formula-defined G.711 companders A-law
-    (tag 6) and μ-law (tag 7); anything else (ADPCM, MP3-in-WAV,
-    extensible) raises ``NotImplementedError``."""
+    codec, block_align).  Supported codecs need no library:
+    uncompressed PCM (format tag 1), the formula-defined G.711
+    companders A-law (tag 6) and μ-law (tag 7), and IMA/DVI ADPCM
+    (tag 17 — public step-table spec); anything else (MS-ADPCM,
+    MP3-in-WAV, extensible) raises ``NotImplementedError``."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data_span = 12, None, None
@@ -387,26 +388,29 @@ def _wav_header(data: bytes) -> tuple[int, int, int, int, int, str]:
         body = pos + 8
         if cid == b"fmt " and size >= 16:
             tag, ch, rate = struct.unpack_from("<HHI", data, body)
-            (bits,) = struct.unpack_from("<H", data, body + 14)
+            (balign, bits) = struct.unpack_from("<HH", data, body + 12)
             if tag not in _WAV_TAGS:
                 raise NotImplementedError(
-                    f"only PCM / A-law / μ-law WAV is supported without "
-                    f"a codec library (got format tag={tag})"
+                    f"only PCM / A-law / μ-law / IMA-ADPCM WAV is supported "
+                    f"without a codec library (got format tag={tag})"
                 )
-            fmt = (ch, rate, bits, _WAV_TAGS[tag])
+            fmt = (ch, rate, bits, _WAV_TAGS[tag], balign)
         elif cid == b"data":
             data_span = (body, min(size, len(data) - body))
         pos = body + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or data_span is None:
         raise ValueError("WAV payload missing fmt/data chunk")
-    ch, rate, bits, codec = fmt
-    if ch < 1 or (codec == "pcm" and bits not in (8, 16)) or (
-        codec != "pcm" and bits != 8
+    ch, rate, bits, codec, balign = fmt
+    if (
+        ch < 1
+        or (codec == "pcm" and bits not in (8, 16))
+        or (codec in ("alaw", "ulaw") and bits != 8)
+        or (codec == "ima_adpcm" and bits != 4)
     ):
         raise NotImplementedError(
             f"unsupported WAV layout (codec={codec}, bits={bits}, ch={ch})"
         )
-    return ch, rate, bits, data_span[0], data_span[1], codec
+    return ch, rate, bits, data_span[0], data_span[1], codec, balign
 
 
 def _ulaw_decode(b: np.ndarray) -> np.ndarray:
@@ -427,17 +431,113 @@ def _alaw_decode(b: np.ndarray) -> np.ndarray:
     return np.where(a & 0x80, mag, -mag)
 
 
+# IMA/DVI ADPCM: the 89-entry quantizer step table and the 8-entry
+# index-adjust table from the public IMA spec (the same constants every
+# tag-17 decoder ships; see e.g. the stdlib ``audioop`` module, whose
+# adpcm2lin implements the identical recurrence without WAV framing)
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_block_frames(bsize: int, ch: int) -> int:
+    """Per-channel sample count of one IMA ADPCM block of ``bsize``
+    bytes: the per-channel header predictor is sample 0, then each
+    interleaved 4-byte-per-channel word group carries 8 nibbles per
+    channel."""
+    if bsize < 4 * ch:
+        return 0
+    return 1 + 8 * ((bsize - 4 * ch) // (4 * ch))
+
+
+def _ima_adpcm_decode(
+    data: bytes, off: int, dlen: int, ch: int, balign: int
+) -> np.ndarray:
+    """WAV format-tag-17 IMA ADPCM → int16 (frames, channels).
+
+    Block layout (public spec): per channel a 4-byte header
+    (int16-LE predictor = the block's first output sample, uint8 step
+    index, reserved), then 4-byte words interleaved channel-major,
+    each byte low-nibble-first.  The predictor recurrence is
+    inherently sequential per channel, so the loop runs over the
+    within-block sample position while every step is vectorized
+    across (blocks × channels) — blocks are independent by design
+    (that is what makes the format seekable, and what makes this
+    decode parallel)."""
+    if balign < 8 * ch or (balign - 4 * ch) % (4 * ch):
+        raise ValueError(f"bad IMA ADPCM block align {balign} for ch={ch}")
+    nfull, rem = divmod(dlen, balign)
+    parts = []
+    for nb, bsize in ((nfull, balign), (1 if rem >= 4 * ch else 0, rem)):
+        if nb == 0:
+            continue
+        start = off if bsize == balign else off + nfull * balign
+        usable = 4 * ch + (bsize - 4 * ch) // (4 * ch) * (4 * ch)
+        buf = np.frombuffer(data, np.uint8, nb * bsize, start).reshape(
+            nb, bsize
+        )[:, :usable]
+        heads = buf[:, : 4 * ch].reshape(nb, ch, 4).astype(np.int32)
+        pred = ((heads[:, :, 0] | (heads[:, :, 1] << 8)) ^ 0x8000) - 0x8000
+        idx = np.clip(heads[:, :, 2], 0, 88)
+        stream = (
+            buf[:, 4 * ch :]
+            .reshape(nb, -1, ch, 4)
+            .transpose(0, 2, 1, 3)
+            .reshape(nb, ch, -1)
+            .astype(np.int32)
+        )
+        nib = np.empty((nb, ch, stream.shape[2] * 2), np.int32)
+        nib[:, :, 0::2] = stream & 0xF
+        nib[:, :, 1::2] = stream >> 4
+        out = np.empty((nb, ch, nib.shape[2] + 1), np.int16)
+        out[:, :, 0] = pred
+        for i in range(nib.shape[2]):
+            n = nib[:, :, i]
+            step = _IMA_STEP[idx]
+            diff = (
+                (step >> 3)
+                + np.where(n & 1, step >> 2, 0)
+                + np.where(n & 2, step >> 1, 0)
+                + np.where(n & 4, step, 0)
+            )
+            pred = np.clip(
+                np.where(n & 8, pred - diff, pred + diff), -32768, 32767
+            )
+            idx = np.clip(idx + _IMA_INDEX[n & 7], 0, 88)
+            out[:, :, i + 1] = pred
+        parts.append(out.transpose(0, 2, 1).reshape(-1, ch))
+    if not parts:
+        return np.zeros((0, ch), np.int16)
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 def decode_audio(payload: bytes) -> tuple[int, int, int]:
     """Decode a WAV payload to (n_channels, sample_rate, n_frames).
-    Real (pure struct/NumPy, no codec library) for 8/16-bit PCM and
-    G.711 A-law/μ-law; anything else raises ``NotImplementedError``."""
-    ch, rate, bits, _, dlen, _codec = _wav_header(bytes(payload))
+    Real (pure struct/NumPy, no codec library) for 8/16-bit PCM,
+    G.711 A-law/μ-law, and IMA ADPCM; anything else raises
+    ``NotImplementedError``."""
+    ch, rate, bits, _, dlen, codec, balign = _wav_header(bytes(payload))
+    if codec == "ima_adpcm":
+        nfull, rem = divmod(dlen, balign)
+        return ch, rate, (
+            nfull * _ima_block_frames(balign, ch) + _ima_block_frames(rem, ch)
+        )
     return ch, rate, dlen // (ch * bits // 8)
 
 
 def _audio_samples(data: bytes) -> tuple[np.ndarray, int]:
     """Payload → (frames, channels) float64 in [-1, 1] + sample rate."""
-    ch, rate, bits, off, dlen, codec = _wav_header(data)
+    ch, rate, bits, off, dlen, codec, balign = _wav_header(data)
+    if codec == "ima_adpcm":
+        x = _ima_adpcm_decode(data, off, dlen, ch, balign).astype(np.float64)
+        return x / 32768.0, rate
     step = ch * bits // 8
     n = dlen // step
     if codec == "ulaw":
@@ -605,12 +705,17 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
+        def dims_of(p: bytes) -> tuple[int | None, int | None]:
+            if fake_decode:
+                return _fake_dims(p)
+            try:
+                return decode_image(p)
+            except (ValueError, NotImplementedError):
+                return None, None  # dirty input → null dims, task survives
+
         for pdf in it:
             payloads = pdf["payload"]
-            dims = [
-                _fake_dims(p) if fake_decode else decode_image(p)
-                for p in payloads.fillna(b"")
-            ]
+            dims = [dims_of(p) for p in payloads.fillna(b"")]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -739,8 +844,11 @@ def sample_media_frames(media: DataFrame, every_n: int = 10, fake_decode: bool =
                         for i in range(0, max(len(payload), 1), FRAME)
                     ][::every_n]
                 else:
-                    # the real kernel samples internally
-                    all_frames = sample_frames(payload, every_n)
+                    try:
+                        # the real kernel samples internally
+                        all_frames = sample_frames(payload, every_n)
+                    except (ValueError, NotImplementedError):
+                        all_frames = []  # dirty container: 0 rows, task survives
                 for no, fr in enumerate(all_frames):
                     ids.append(mid)
                     nos.append(no)

@@ -10,6 +10,7 @@ import struct
 from datetime import datetime, timedelta, timezone
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -257,6 +258,75 @@ def test_wav_decode_roundtrip_property(samples, ch, rate):
         # identity resample: sample-and-hold picks every source frame
         # and the matched 1/32768 encode scale makes it bit-lossless
         assert np.array_equal(a, b)
+
+
+@given(
+    st.integers(-32768, 32767),
+    st.integers(0, 88),
+    st.lists(st.integers(0, 255), min_size=4, max_size=64),
+    st.sampled_from([1, 2]),
+)
+@settings(max_examples=60, deadline=None)
+def test_ima_adpcm_matches_audioop_property(pred0, idx0, nibbles, ch):
+    """The IMA ADPCM block decoder reproduces the stdlib ``audioop``
+    DVI/IMA recurrence (an independent C implementation of the same
+    public spec) nibble-for-nibble: sample 0 is the block header's
+    predictor, samples 1.. equal ``adpcm2lin`` seeded with the same
+    (predictor, index) state.  WAV packs low-nibble-first and
+    interleaves 4-byte words channel-major; audioop packs
+    high-nibble-first with no framing — the test re-packs
+    accordingly."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")  # removed in Python 3.13
+    from spark_bi5_datasource_spark.functions.multimodal import (
+        _audio_samples,
+        decode_audio,
+    )
+
+    # pad the per-channel nibble stream to whole 4-byte words
+    nib = nibbles[: len(nibbles) - len(nibbles) % 8] or nibbles + [0] * (
+        8 - len(nibbles)
+    )
+    words = len(nib) // 8  # 8 nibbles = one 4-byte word per channel
+    chan_bytes = bytes(
+        (nib[2 * i] & 0xF) | ((nib[2 * i + 1] & 0xF) << 4)
+        for i in range(len(nib) // 2)
+    )
+    # interleave the SAME per-channel stream word-by-word for each channel
+    body = b"".join(
+        chan_bytes[4 * w : 4 * w + 4] * ch for w in range(words)
+    )
+    header = struct.pack("<hBB", pred0, idx0, 0) * ch
+    balign = len(header) + len(body)
+    wav = (
+        b"RIFF" + struct.pack("<I", 40 + balign) + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHHH", 18, 17, ch, 8000, 0, balign, 4, 0)
+        + b"data" + struct.pack("<I", balign) + header + body
+    )
+    frames = 1 + len(nib)
+    assert decode_audio(wav) == (ch, 8000, frames)
+    got, rate = _audio_samples(wav)
+    assert rate == 8000 and got.shape == (frames, ch)
+    # audioop oracle: high-nibble-first packing of the same nibbles
+    op_bytes = bytes(
+        ((nib[2 * i] & 0xF) << 4) | (nib[2 * i + 1] & 0xF)
+        for i in range(len(nib) // 2)
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref, _ = audioop.adpcm2lin(op_bytes, 2, (pred0, idx0))
+    want = np.concatenate(
+        [[pred0], np.frombuffer(ref, "<i2").astype(np.int64)]
+    )
+    for c in range(ch):
+        assert np.array_equal(
+            np.round(got[:, c] * 32768.0).astype(np.int64), want
+        )
 
 
 @given(

@@ -995,14 +995,32 @@ class TestG711Companding:
             out = resample_audio(wav, 4000)
             assert decode_audio(out) == (1, 4000, 200)
 
-    def test_adpcm_still_rejects(self):
+    def test_ima_adpcm_decodes_msadpcm_still_rejects(self):
+        """IMA ADPCM (tag 17) is now a real decoder (see
+        test_ima_adpcm_matches_audioop_property for the value-level
+        oracle); MS-ADPCM (tag 2) and MP3-in-WAV (tag 85) stay
+        honestly rejected."""
+        import struct
+
         import pytest
 
         from spark_bi5_datasource_spark.functions.multimodal import decode_audio
 
-        wav = self._companded_wav(0x11, bytes(64))
-        with pytest.raises(NotImplementedError, match="codec library"):
-            decode_audio(wav)
+        # tag-17 needs bits=4 + block_align: a 12-byte mono block
+        # (4-byte header + 8 nibble bytes) = 17 samples
+        body = struct.pack("<hBB", 100, 20, 0) + bytes(8)
+        chunks = (
+            b"fmt "
+            + struct.pack("<IHHIIHHH", 18, 17, 1, 8000, 0, len(body), 4, 0)
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        assert decode_audio(wav) == (1, 8000, 17)
+
+        for tag in (2, 85):
+            bad = self._companded_wav(tag, bytes(64))
+            with pytest.raises(NotImplementedError, match="codec library"):
+                decode_audio(bad)
 
 
 class TestMergeUpsert:
@@ -1224,6 +1242,32 @@ class TestOhlcRollup:
             for r in via_hour.collect()
         }
         assert merged == direct and len(direct) >= 2
+
+    def test_null_ts_rows_dropped_on_both_paths(self, spark):
+        """The integer-bucket (batch default) and window() code paths
+        must return the same row set on data with null timestamps:
+        both drop them (window() via TimeWindowing's IsNotNull filter,
+        the integer path via an explicit where)."""
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.functions.ohlc import ohlc_bars
+
+        df = spark.createDataFrame(
+            [("2024-01-01 10:00:01", "T", 1.0, 1.0),
+             (None, "T", 99.0, 9.0),
+             ("2024-01-01 10:00:59", "T", 2.0, 1.0)],
+            "ts_s string, ticker string, bid double, bid_volume double",
+        ).select(
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "ticker", "bid", "bid_volume",
+        )
+        fast = {(r.bar_start, r.ticker): (r.open, r.close, r.n_ticks)
+                for r in ohlc_bars(df, "1 minute").collect()}
+        slow = {(r.bar_start, r.ticker): (r.open, r.close, r.n_ticks)
+                for r in ohlc_bars(df, "1 minute", integer_buckets=False).collect()}
+        assert fast == slow
+        assert all(k[0] is not None for k in fast)
+        assert list(fast.values()) == [(1.0, 2.0, 2)]
 
 
 class TestRound3NullEdges:
