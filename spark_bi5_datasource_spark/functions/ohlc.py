@@ -62,7 +62,13 @@ def ohlc_bars(
         n = _bucket_micros(duration)
         um = F.unix_micros(F.col(ts_col))
         bucket = (um - F.pmod(um, F.lit(n))).alias("_bucket")
-        out = df.groupBy(bucket, *by).agg(*aggs)
+        # row-set parity with the window() path, which silently drops
+        # null-timestamp rows via TimeWindowing's IsNotNull filter —
+        # without this, the two code paths of the same function would
+        # disagree on data with null timestamps
+        out = (
+            df.where(F.col(ts_col).isNotNull()).groupBy(bucket, *by).agg(*aggs)
+        )
         return out.select(
             F.timestamp_micros("_bucket").alias("bar_start"),
             *[c for c in out.columns if c != "_bucket"],
