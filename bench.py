@@ -264,6 +264,23 @@ def run_scaled(spark, x: int = SCALE_X, queries=None, tables=None) -> dict:
         # or page-cache miss shows up as 2-3x noise on a single run
         spark_t[name] = timed(qs[name](spark, scaled_dir), runs=3)
 
+    # join-heavy queries: also time the un-bucketed layout, so every
+    # tier shows what the prescribed warehouse layout buys (the
+    # bucketed numbers above are the contract; the plain twin is the
+    # ad-hoc-landing-zone cost)
+    plain_twin: dict[str, float] = {}
+    if x >= 100:
+        join_heavy = [
+            q for q in (
+                "q3_top_revenue_orders", "q5_region_revenue",
+                "sql_tpch_q8", "sql_tpch_q21",
+            ) if q in queries
+        ]
+        spark.conf.set("spark.bi5.bucketedDir", "")
+        for name in join_heavy:
+            plain_twin[name] = timed(qs[name](spark, scaled_dir), runs=3)
+        spark.conf.set("spark.bi5.bucketedDir", scaled_dir)
+
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={CPUS}")
     for table in _SHIFT_COLS:
@@ -299,6 +316,8 @@ def run_scaled(spark, x: int = SCALE_X, queries=None, tables=None) -> dict:
         "duckdb_total": d_total,
         "ratio": round(s_total / d_total, 2) if d_total else None,
     }
+    if plain_twin:
+        out["spark_plain_layout"] = plain_twin
     # the sweep has grown since round 2 (11 -> 17 queries), so the
     # headline ratio is not comparable across rounds; report the
     # round-2 subset ratio too, clearly labeled, for trend reading

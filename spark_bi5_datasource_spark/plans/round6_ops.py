@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .fastmoney import HALF_ADJUST_CENTS as _HA
 from .tables import t
 
 ROUND6_OPS: dict[str, tuple] = {}
@@ -414,9 +415,7 @@ def events_rfm(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.max("ts").alias("umax"),
             F.count("*").cast("bigint").alias("frequency"),
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
-                "monetary_c"
-            ),
+            F.sum(F.expr(_HA.format(x="value", m=100))).alias("monetary_c"),
         )
         .crossJoin(F.broadcast(max_ts))
         .select(
@@ -446,4 +445,236 @@ def events_rfm(spark: SparkSession, sf: str) -> DataFrame:
         scored.groupBy("r", "f", "m")
         .agg(F.count("*").cast("bigint").alias("users"))
         .orderBy("r", "f", "m")
+    )
+
+
+# ------------------------------------- cross-encoder-style rerank twin
+
+_RR_DEPTH = 20  # first-stage candidate depth
+_RR_TOPK = 5
+
+_RERANK_SQL = f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings
+    ), cand AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
+        CAST(FLOOR({_DOT_D} / (a.nrm * b.nrm) * 1000000000) AS BIGINT) AS cos_b
+      FROM n a, n b
+      WHERE b.vec_id < {_RRF_QUERIES} AND a.vec_id <> b.vec_id
+      QUALIFY row_number() OVER (
+        PARTITION BY b.vec_id ORDER BY cos_b DESC, a.vec_id ASC) <= {_RR_DEPTH}
+    ), toks AS (
+      SELECT doc_id, unnest(list_distinct({_TKS_D})) AS tok FROM documents
+    ), ov AS (
+      SELECT c.query_id, c.doc_id, CAST(count(*) AS BIGINT) AS overlap
+      FROM cand c
+      JOIN toks q ON q.doc_id = c.query_id
+      JOIN toks d ON d.doc_id = c.doc_id AND d.tok = q.tok
+      GROUP BY c.query_id, c.doc_id
+    ), feat AS (
+      SELECT c.query_id, c.doc_id, c.cos_b,
+             coalesce(o.overlap, 0) AS overlap,
+             least(length(d.text), 2000) AS len_c
+      FROM cand c
+      LEFT JOIN ov o ON o.query_id = c.query_id AND o.doc_id = c.doc_id
+      JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT query_id, doc_id,
+      CAST(cos_b * 2 + overlap * 50000000 + len_c * 10000 AS BIGINT) AS score,
+      CAST(row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY cos_b * 2 + overlap * 50000000 + len_c * 10000 DESC,
+                 doc_id ASC) AS INT) AS rank
+    FROM feat QUALIFY rank <= {_RR_TOPK}
+"""
+
+
+@_q("retrieval_rerank_topk", _RERANK_SQL)
+def retrieval_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Second-stage rerank twin: first-stage dense top-20 candidates
+    per query, then a deterministic cross-encoder-style scorer over
+    each (query, candidate) pair — integer-scaled cosine (billionths
+    via FLOOR, exact on IEEE doubles in both engines), lexical-overlap
+    count, and a length prior, combined with fixed integer weights —
+    top-5 per query by the exact integer score.
+
+    This is the serving-stack shape a learned cross-encoder slots
+    into: the candidate generator bounds the pair count (|Q| × depth,
+    never corpus²), features join per-pair from independent legs, and
+    the scorer is a pure projection — swapping in a model score only
+    changes the projection.  Scale: the pair frame is ≤ |Q| · depth
+    rows regardless of corpus size; the overlap leg is the inverted-
+    index join keyed on the QUERY docs' tokens (same bound as
+    retrieval_hybrid_rrf's sparse leg)."""
+    emb = t(spark, sf, "embeddings")
+    nrm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    b = F.broadcast(
+        nrm.filter(F.col("vec_id") < _RRF_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "a.embedding", "qemb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_b").desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        nrm.alias("a")
+        .crossJoin(b)
+        .filter(F.col("a.vec_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("a.vec_id").alias("doc_id"),
+            F.floor(dot / (F.col("a.nrm") * F.col("qnrm")) * 1_000_000_000)
+            .cast("bigint")
+            .alias("cos_b"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _RR_DEPTH)
+        .drop("rn")
+    )
+    toks = t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TKS))).alias("tok")
+    )
+    qtoks = F.broadcast(
+        toks.filter(F.col("doc_id") < _RRF_QUERIES).select(
+            F.col("doc_id").alias("query_id"), "tok"
+        )
+    )
+    ov = (
+        toks.join(qtoks, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("overlap"))
+    )
+    dlen = t(spark, sf, "documents").select(
+        "doc_id", F.least(F.length("text"), F.lit(2000)).alias("len_c")
+    )
+    feat = (
+        cand.join(ov, ["query_id", "doc_id"], "left")
+        .withColumn("overlap", F.coalesce("overlap", F.lit(0).cast("bigint")))
+        .join(dlen, "doc_id")
+    )
+    score = (
+        F.col("cos_b") * 2
+        + F.col("overlap") * 50_000_000
+        + F.col("len_c") * 10_000
+    ).cast("bigint")
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        feat.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= _RR_TOPK)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+# --------------------------------- dedup-aware mixture rebalancing
+
+_MIX_DD_SQL = """
+    WITH cl AS (
+      SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS csz
+      FROM documents GROUP BY 1
+    ), d2 AS (
+      SELECT d.doc_id, d.source, d.text, cl.csz,
+        CAST(1000000 // cl.csz AS BIGINT) AS eff_ppm
+      FROM documents d JOIN cl ON md5(d.text) = cl.h
+    ), m AS (
+      SELECT source,
+        CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+             THEN 2 ELSE 1 END AS wt,
+        CAST(sum(eff_ppm) AS BIGINT) AS eff_mass
+      FROM d2 GROUP BY source
+    ), tot AS (
+      SELECT sum(eff_mass) AS em, sum(wt) AS sw FROM m
+    ), rates AS (
+      SELECT source,
+        least(1000000, (em * wt * 1000000) // (sw * eff_mass)) AS keep_ppm
+      FROM m CROSS JOIN tot
+    )
+    SELECT d2.doc_id, d2.source, d2.csz AS cluster_size
+    FROM d2 JOIN rates r ON d2.source = r.source
+    WHERE CAST(
+        ('0x' || substr(md5(CAST(d2.doc_id AS VARCHAR) || '|' || d2.text),
+                        1, 12)) AS BIGINT) % 1000000 < r.keep_ppm
+"""
+
+
+@_q("sample_mixture_dedup_aware", _MIX_DD_SQL)
+def sample_mixture_dedup_aware(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture rebalancing that refuses to double-count duplicate
+    mass: every document carries effective weight 1/exact-dup-cluster-
+    size (integer ppm), per-source keep rates target the weight
+    profile over EFFECTIVE mass (a 10×-duplicated source no longer
+    looks 10× bigger to the mixer), and acceptance stays the content-
+    keyed md5 threshold — so the sample commutes with dedup and is
+    reproducible under any partitioning.  The composition of
+    dedup_exact's cluster signal with sample_mixture's exact-integer
+    rate arithmetic, as one pipeline stage.
+
+    Scale shape: one hash-keyed agg (the dedup_exact exchange), one
+    equi-join back on the hash, a tiny broadcast rate table — no new
+    shuffle class beyond plain exact dedup."""
+    d = t(spark, sf, "documents")
+    cl = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").cast("bigint").alias("csz")
+    )
+    d2 = d.withColumn("h", F.md5("text")).join(cl, "h").select(
+        "doc_id",
+        "source",
+        "text",
+        "csz",
+        F.expr("CAST(1000000 div csz AS BIGINT)").alias("eff_ppm"),
+    )
+    m = d2.groupBy("source").agg(
+        F.sum("eff_ppm").cast("bigint").alias("eff_mass")
+    ).withColumn(
+        "wt",
+        F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, 2).otherwise(1),
+    )
+    tot = m.agg(F.sum("eff_mass").alias("em"), F.sum("wt").alias("sw"))
+    rates = m.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1_000_000).cast("bigint"),
+            F.expr("(em * wt * 1000000) div (sw * eff_mass)"),
+        ).alias("keep_ppm"),
+    )
+    fp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "text")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return (
+        d2.join(F.broadcast(rates), "source")
+        .filter(fp < F.col("keep_ppm"))
+        .select("doc_id", "source", F.col("csz").alias("cluster_size"))
     )

@@ -409,10 +409,13 @@ def test_round6_ops_stay_jvm_side(spark):
     for name in [
         "retrieval_hybrid_rrf", "text_ngram_novelty",
         "dedup_keep_best_parts", "events_rfm", "agg_approx_quantiles",
+        "retrieval_rerank_topk", "sample_mixture_dedup_aware",
     ]:
         p = plan_of(spark, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
         assert "CartesianProduct" not in p, name
+        # (sample_mixture_dedup_aware carries the documented 1-row
+        # totals crossJoin-broadcast, same as sample_mixture)
         if name in ("text_ngram_novelty", "dedup_keep_best_parts"):
             assert "BroadcastNestedLoopJoin" not in p, name
 
