@@ -26,6 +26,28 @@ import numpy as np
 __all__ = ["gif_decode", "gif_encode", "gif_dims"]
 
 
+
+def _normalize_dirty(fn):
+    """Corrupt-stream escapes (missing-table KeyError, truncated-read
+    IndexError, short struct unpacks) normalize to ValueError so the
+    media kernels' uniform dirty-input policy — catch (ValueError,
+    NotImplementedError), emit null / skip the frame — holds for every
+    decode entry point (the documented contract; previously a corrupt
+    frame could fail a whole task via KeyError)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (KeyError, IndexError, struct.error) as exc:
+            raise ValueError(
+                f"corrupt payload in {fn.__name__}: {exc!r}"
+            ) from exc
+
+    return wrapped
+
+
 def _color_table(data: bytes, pos: int, flags: int) -> tuple[np.ndarray | None, int]:
     if flags & 0x80:
         n = 2 << (flags & 0x07)
@@ -109,6 +131,7 @@ def _lzw_decode(blob: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
 _INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
 
 
+@_normalize_dirty
 def gif_dims(data: bytes) -> tuple[int, int]:
     data = bytes(data)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -117,6 +140,7 @@ def gif_dims(data: bytes) -> tuple[int, int]:
     return w, h
 
 
+@_normalize_dirty
 def gif_decode(data: bytes) -> np.ndarray:
     """First frame → (H, W, 3) RGB uint8 on the logical screen
     (background-filled outside the frame rectangle)."""

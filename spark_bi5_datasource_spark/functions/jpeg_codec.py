@@ -57,6 +57,28 @@ for _u in range(8):
         _T[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
 
 
+
+def _normalize_dirty(fn):
+    """Corrupt-stream escapes (missing-table KeyError, truncated-read
+    IndexError, short struct unpacks) normalize to ValueError so the
+    media kernels' uniform dirty-input policy — catch (ValueError,
+    NotImplementedError), emit null / skip the frame — holds for every
+    decode entry point (the documented contract; previously a corrupt
+    frame could fail a whole task via KeyError)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (KeyError, IndexError, struct.error) as exc:
+            raise ValueError(
+                f"corrupt payload in {fn.__name__}: {exc!r}"
+            ) from exc
+
+    return wrapped
+
+
 def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
     """(n, 8, 8) coefficient blocks → spatial, in one einsum."""
     return np.einsum("ux,nuv,vy->nxy", _T, blocks, _T, optimize=True)
@@ -174,6 +196,7 @@ def _parse_segments(data: bytes):
         pos += 2 + length
 
 
+@_normalize_dirty
 def jpeg_dims(data: bytes) -> tuple[int, int]:
     """(width, height) straight from the frame header — no entropy
     decode.  Any SOFn variant yields dims even when full decode would
@@ -186,6 +209,7 @@ def jpeg_dims(data: bytes) -> tuple[int, int]:
     raise ValueError("JPEG without a frame header")
 
 
+@_normalize_dirty
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline JPEG → (H, W, 3) RGB uint8, or (H, W, 1) grayscale."""
     data = bytes(data)
