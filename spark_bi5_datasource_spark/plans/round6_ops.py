@@ -678,3 +678,134 @@ def sample_mixture_dedup_aware(spark: SparkSession, sf: str) -> DataFrame:
         .filter(fp < F.col("keep_ppm"))
         .select("doc_id", "source", F.col("csz").alias("cluster_size"))
     )
+
+
+# ---------------------------------- deterministic quality-logit filter
+
+_QL_STOPS = "('the','a','of','and','to','in','is','it','for','on')"
+
+_QLOGIT_SQL = f"""
+    WITH f AS (
+      SELECT doc_id, source,
+        len({_TKS_D}) AS nw,
+        len(list_filter({_TKS_D}, x -> x IN {_QL_STOPS})) AS nstop,
+        length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS npunct,
+        length(text) AS nchar
+      FROM documents
+    )
+    SELECT doc_id, source,
+      CAST(2 * (1000000 * nstop // greatest(nw, 1))
+         + (1000000 * least(nw, 400) // 400)
+         - 3 * (1000000 * npunct // greatest(nchar, 1)) AS BIGINT) AS logit,
+      (2 * (1000000 * nstop // greatest(nw, 1))
+         + (1000000 * least(nw, 400) // 400)
+         - 3 * (1000000 * npunct // greatest(nchar, 1))) >= 300000 AS keep
+    FROM f
+"""
+
+
+@_q("text_quality_logit", _QLOGIT_SQL)
+def text_quality_logit(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-scored quality filtering, the deterministic twin of a
+    fasttext-style classifier: a fixed-weight integer logit over
+    per-document features (stopword rate, length prior, punctuation
+    density), thresholded into a keep flag.  Every ratio is scaled to
+    integer ppm with floor DIVISION (exact in both engines) before the
+    weighted sum, so scores — and the keep boundary — are engine- and
+    partitioning-identical.  Swapping in learned weights (or a real
+    model via a pandas UDF) changes only the projection.
+
+    Scale shape: a pure per-row map over one scan — no shuffle at all;
+    the tokenization is the same single-pass split every text op
+    shares."""
+    stops = "('the','a','of','and','to','in','is','it','for','on')"
+    f = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(f"size({_TKS})").alias("nw"),
+        F.expr(
+            f"size(filter({_TKS}, x -> x IN {stops}))"
+        ).alias("nstop"),
+        F.length(F.regexp_replace("text", r"[^.!?,;]", "")).alias("npunct"),
+        F.length("text").alias("nchar"),
+    )
+    logit = (
+        F.lit(2) * F.expr("1000000 * nstop div greatest(nw, 1)")
+        + F.expr("1000000 * least(nw, 400) div 400")
+        - F.lit(3) * F.expr("1000000 * npunct div greatest(nchar, 1)")
+    )
+    return f.select(
+        "doc_id",
+        "source",
+        logit.cast("bigint").alias("logit"),
+        (logit >= 300_000).alias("keep"),
+    )
+
+
+# --------------------------------------- curriculum interleave ordering
+
+_CURR_SQL = f"""
+    WITH f AS (
+      SELECT doc_id, source, len({_TKS_D}) AS nw FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, nw,
+        CAST(row_number() OVER (
+          PARTITION BY source ORDER BY nw DESC, doc_id ASC) AS BIGINT)
+          AS rank_in_source
+      FROM f
+    ), src AS (
+      SELECT source,
+        CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx,
+        CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT)
+          AS n_src
+      FROM (SELECT DISTINCT source FROM documents) s
+    )
+    SELECT r.doc_id, r.source, r.rank_in_source,
+      CAST((r.rank_in_source - 1) * src.n_src + src.src_idx AS BIGINT)
+        AS position
+    FROM ranked r JOIN src ON r.source = src.source
+"""
+
+
+@_q("curriculum_interleave", _CURR_SQL)
+def curriculum_interleave(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic curriculum ordering for a training stream:
+    quality-rank documents WITHIN each source (token count as the
+    stand-in quality metric; any deterministic score slots in), then
+    interleave sources round-robin by computing the global position
+    ARITHMETICALLY — position = (rank-1)·n_sources + source_index —
+    so consecutive training positions rotate through sources without
+    any global ORDER BY.
+
+    Scale shape: the per-source ranking is a keyed window (parallel
+    across sources); the source-index table is a post-distinct frame
+    of ~|sources| rows (the documented provably-small exception for
+    its window) broadcast back; the position needs NO single-partition
+    exchange — the arithmetic replaces the global sort a naive
+    row_number() over the whole corpus would plan."""
+    d = t(spark, sf, "documents")
+    f = d.select("doc_id", "source", F.expr(f"size({_TKS})").alias("nw"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("nw").desc(), F.col("doc_id").asc()
+    )
+    ranked = f.withColumn(
+        "rank_in_source", F.row_number().over(w).cast("bigint")
+    )
+    srcs = d.select("source").distinct()
+    ws = Window.orderBy("source")  # ~|sources| rows post-distinct: tiny
+    src = srcs.select(
+        "source", F.row_number().over(ws).cast("bigint").alias("src_idx")
+    ).crossJoin(
+        F.broadcast(srcs.agg(F.count("*").cast("bigint").alias("n_src")))
+    )
+    return (
+        ranked.join(F.broadcast(src), "source")
+        .select(
+            "doc_id",
+            "source",
+            "rank_in_source",
+            ((F.col("rank_in_source") - 1) * F.col("n_src") + F.col("src_idx"))
+            .cast("bigint")
+            .alias("position"),
+        )
+    )

@@ -410,6 +410,7 @@ def test_round6_ops_stay_jvm_side(spark):
         "retrieval_hybrid_rrf", "text_ngram_novelty",
         "dedup_keep_best_parts", "events_rfm", "agg_approx_quantiles",
         "retrieval_rerank_topk", "sample_mixture_dedup_aware",
+        "text_quality_logit", "curriculum_interleave",
     ]:
         p = plan_of(spark, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
