@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators import asof_join, top_k, top_k_per_group
 from .fastmoney import HALF_ADJUST_CENTS as _HA
+from .fastmoney import spark_fast_sql
 from .tables import t, table_bytes
 
 # name -> (fn(spark, sf_dir) -> DataFrame, oracle_sql | None, in_bench)
@@ -636,13 +637,13 @@ def agg_cube_gsets(spark: SparkSession, sf: str) -> DataFrame:
     )
     t(spark, sf, "orders").createOrReplaceTempView("orders_gs")
     gsets = spark.sql(
-        """
+        spark_fast_sql("""
         SELECT 'gsets' AS op, o_orderstatus, o_orderpriority, count(*) AS n_orders,
           (CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS total,
           CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS grp
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+        """)
     )
     return cube.unionByName(gsets)
 

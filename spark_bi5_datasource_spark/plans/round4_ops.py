@@ -303,7 +303,7 @@ def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         "event_type",
         F.expr("unix_micros(ts)").alias("s"),
-        (F.expr("unix_micros(ts)") + F.expr(_IV_DUR) * 1_000_000).alias("e"),
+        (F.expr("unix_micros(ts)") + F.expr(spark_fast_sql(_IV_DUR)) * 1_000_000).alias("e"),
     )
     pairs = interval_overlap_join(
         iv.filter(F.col("event_id") < 300), iv, on=["event_type"]

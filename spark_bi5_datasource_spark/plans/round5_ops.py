@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .fastmoney import HALF_ADJUST_CENTS as _HA
 from .tables import t
 
 ROUND5_OPS: dict[str, tuple] = {}
@@ -367,7 +368,7 @@ def agg_corr_cov(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem").select(
         "l_returnflag",
         F.col("l_quantity").cast("bigint").alias("x"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        F.expr(_HA.format(x="l_extendedprice", m=100)).alias("y"),
     )
     d38 = "decimal(38,0)"
     m = li.groupBy("l_returnflag").agg(
@@ -735,7 +736,7 @@ def mv_incremental_orders(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         % 100,
     ).withColumn(
-        "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+        "cents", F.expr(_HA.format(x="o_totalprice", m=100))
     )
     base = orders.filter(F.col("bucket") < 90)
     mv = base.groupBy("o_orderstatus", "o_orderpriority").agg(
@@ -1036,7 +1037,7 @@ def agg_regression(spark: SparkSession, sf: str) -> DataFrame:
             F.unix_timestamp("ts")
             - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
         ).cast("bigint").alias("x"),
-        F.round(F.col("value") * 1_000_000).cast("bigint").alias("y"),
+        F.expr(_HA.format(x="value", m=1000000)).alias("y"),
     )
     d38 = "decimal(38,0)"
     m = e.groupBy("event_type").agg(
@@ -1107,7 +1108,7 @@ def events_twap(spark: SparkSession, sf: str) -> DataFrame:
     o = e.select(
         "event_type",
         F.date_trunc("day", "ts").alias("day"),
-        F.round(F.col("value") * 10_000).cast("bigint").alias("v"),
+        F.expr(_HA.format(x="value", m=10000)).alias("v"),
         "ts",
         "event_id",
     ).withColumn(
@@ -1175,7 +1176,7 @@ def window_drawdown(spark: SparkSession, sf: str) -> DataFrame:
     s = e.select(
         "event_type",
         "ts",
-        F.round(F.col("value") * 10_000).cast("bigint").alias("v"),
+        F.expr(_HA.format(x="value", m=10000)).alias("v"),
         "event_id",
     ).withColumn("peak", F.max("v").over(w))
     dd = s.withColumn("dd", F.col("peak") - F.col("v"))
@@ -1291,7 +1292,7 @@ def scalar_struct_funcs(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         "ts",
         "event_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.expr(_HA.format(x="value", m=100)).alias("v"),
     )
     s = e.groupBy("event_type").agg(
         F.max(F.struct("v", "ts", F.col("event_id").alias("eid"))).alias("peak"),
