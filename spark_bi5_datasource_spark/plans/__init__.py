@@ -15,6 +15,7 @@ from .relational import RELATIONAL
 from .round4_ops import ROUND4_OPS
 from .round5_ops import ROUND5_OPS
 from .round6_ops import ROUND6_OPS
+from .round7_ops import ROUND7_OPS
 from .tpch_pack import TPCH_PACK
 
 # name -> (fn, oracle_sql | None, in_bench)
@@ -27,6 +28,7 @@ CATALOG: dict[str, tuple] = {
     **TPCH_PACK,
     **ROUND5_OPS,
     **ROUND6_OPS,
+    **ROUND7_OPS,
 }
 
 # The driver's correctness gate checks the FIRST 50 entries of

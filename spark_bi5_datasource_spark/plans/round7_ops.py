@@ -1,0 +1,397 @@
+"""Round-7 catalog additions — training-pipeline governance and
+sequence-analytics composites still missing as first-class queries:
+
+* leakage-free split — train/val assignment made per DEDUP CLUSTER,
+  not per document, so near-identical texts can never straddle the
+  split boundary (the classic eval-contamination bug);
+* temperature-scaled mixture — the ``p_i ∝ count_i^alpha`` source
+  re-weighting every multi-corpus LLM data recipe uses (alpha = 0.5
+  here), computed in integer ppm so both engines agree bit-exactly;
+* per-document keywords — top-3 distinctive terms per doc ranked by
+  (tf DESC, df ASC): the float-free twin of per-doc TF-IDF keywords;
+* user activity streaks — gaps-and-islands longest-run detection over
+  the event stream (day - row_number() island key);
+* CUSUM change-point scan — cumulative deviation from the series mean
+  in integer cents, the standard drift detector;
+* audience overlap — exact Jaccard between per-event-type user sets
+  (the exact-mode twin of a theta-sketch intersection).
+
+Oracle policy unchanged: the same logical SQL runs in DuckDB; every
+score/ratio rides integer scaling (ppm, cents) or provably-identical
+IEEE primitives (sqrt is correctly rounded in both engines), so
+results are engine- and partitioning-independent.  Reference parity
+note: the reference (spark-2.4/src/main/scala/be/salvania/
+BI5DataSource.scala) is a read-only scan connector — everything here
+is the beyond-reference query surface the mandate adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .fastmoney import HALF_ADJUST_CENTS as _HA
+from .tables import t
+
+ROUND7_OPS: dict[str, tuple] = {}
+
+
+def _q(name: str, sql: str | None, bench: bool = False):
+    def wrap(fn):
+        ROUND7_OPS[name] = (fn, sql, bench)
+        return fn
+
+    return wrap
+
+
+_TKS = "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+_TKS_D = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+
+# ------------------------------------------------- leakage-free split
+
+# LCG step keeps the hash integer-only (exact in both engines); reps
+# are ≤ ~1e7 doc_ids so rep * 1103515245 stays far inside BIGINT.
+_SPLIT_SQL = """
+    WITH cl AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+    ), reps AS (
+      SELECT h, min(doc_id) AS rep FROM cl GROUP BY h
+    )
+    SELECT c.doc_id, c.source, r.rep AS cluster_rep,
+      CASE WHEN (r.rep * 1103515245 + 12345) % 2048 < 1638
+           THEN 'train' ELSE 'val' END AS split
+    FROM cl c JOIN reps r ON c.h = r.h
+"""
+
+
+@_q("split_leakage_free", _SPLIT_SQL)
+def split_leakage_free(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val split that can never leak near-duplicates across the
+    boundary: documents are clustered by exact content key (md5 of
+    text — any dedup clustering slots in), each cluster elects a
+    representative (min doc_id), and the WHOLE cluster inherits the
+    representative's split, decided by a deterministic integer LCG
+    hash (80/20).  Splitting per-document instead is the classic eval
+    contamination bug this op exists to prevent.
+
+    Scale shape: one groupBy on the content key and one join back on
+    the same key — the join reuses the aggregation's hash
+    partitioning, so the plan is a single exchange on ``h`` (same
+    shape as dedup_exact); the split decision is per-row arithmetic,
+    no extra shuffle."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    reps = d.groupBy("h").agg(F.min("doc_id").alias("rep"))
+    return d.join(reps, "h").select(
+        "doc_id",
+        "source",
+        F.col("rep").alias("cluster_rep"),
+        F.when(
+            (F.col("rep") * 1103515245 + 12345) % 2048 < 1638, "train"
+        )
+        .otherwise("val")
+        .alias("split"),
+    )
+
+
+# ------------------------------------- temperature-scaled source mixture
+
+_TEMP_SQL = """
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source
+    ), s AS (
+      SELECT source, cnt,
+        CAST(floor(sqrt(cnt) * 1000000) AS BIGINT) AS sw
+      FROM c
+    ), tot AS (
+      SELECT SUM(sw) AS tsw, SUM(cnt) AS tcnt FROM s
+    )
+    SELECT s.source, s.cnt,
+      CAST(s.sw * 1000000 // tot.tsw AS BIGINT) AS share_ppm,
+      CAST((s.sw * 1000000 // tot.tsw) * tot.tcnt // 1000000 AS BIGINT)
+        AS target_docs
+    FROM s, tot
+"""
+
+
+@_q("sample_temperature_mixture", _TEMP_SQL)
+def sample_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source mixing — ``p_i ∝ count_i^alpha`` with
+    alpha = 0.5, the standard low-resource-upweighting recipe for
+    multi-corpus training mixes.  ``sqrt`` is IEEE-correctly-rounded
+    in both engines, so ``floor(sqrt(cnt)·1e6)`` is a deterministic
+    integer weight; shares and per-source target document counts are
+    then pure integer ppm arithmetic — bit-exact everywhere.
+
+    Scale shape: a map-side-combinable count per source, a ~|sources|
+    row scalar-total broadcast back — no large shuffle, no floats in
+    any comparison."""
+    c = t(spark, sf, "documents").groupBy("source").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    s = c.withColumn(
+        "sw", F.floor(F.sqrt("cnt") * 1_000_000).cast("bigint")
+    )
+    tot = s.agg(
+        F.sum("sw").alias("tsw"), F.sum("cnt").alias("tcnt")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "cnt",
+        F.expr("sw * 1000000 div tsw").cast("bigint").alias("share_ppm"),
+        F.expr("(sw * 1000000 div tsw) * tcnt div 1000000")
+        .cast("bigint")
+        .alias("target_docs"),
+    )
+
+
+# ------------------------------------------- per-document keywords
+
+_KW_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TKS_D}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), sel AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+        CAST(row_number() OVER (
+          PARTITION BY t.doc_id
+          ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS BIGINT) AS rk
+      FROM tf t JOIN df d ON t.term = d.term
+    )
+    SELECT doc_id, term, tf, df, rk FROM sel WHERE rk <= 3
+"""
+
+
+@_q("text_keywords_per_doc", _KW_SQL)
+def text_keywords_per_doc(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 distinctive keywords per document: rank a document's
+    terms by term frequency DESC then corpus document frequency ASC
+    (rare-across-the-corpus breaks tf ties) — the float-free ordering
+    twin of per-doc TF-IDF keyword extraction (tf·idf is monotone in
+    (tf, -df) at fixed tf), so no ln() crosses the engine boundary.
+
+    Scale shape: tokenize once, tf via (doc, term) groupBy, df via a
+    second groupBy OVER THE TF TABLE (already one row per doc-term, so
+    count(*) == count distinct docs — no distinct aggregation); the
+    df join keys on term, co-partitioned with df's own aggregation;
+    the final top-3 is a keyed window per doc_id — parallel across
+    documents."""
+    tok = t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.expr(_TKS)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rk")
+    )
+
+
+# ------------------------------------------- user activity streaks
+
+_STREAK_SQL = """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL
+    ), g AS (
+      SELECT user_id, day,
+        date_diff('day', DATE '2024-01-01', day)
+          - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d
+    ), s AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+      CAST(max(len) AS BIGINT) AS max_streak,
+      CAST(count(*) AS BIGINT) AS n_streaks,
+      CAST(sum(len) AS BIGINT) AS active_days
+    FROM s GROUP BY user_id
+"""
+
+
+@_q("events_user_streaks", _STREAK_SQL)
+def events_user_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern: distinct active days, island key =
+    epoch_day - row_number() (constant within a run of consecutive
+    days), then count per island and max per user.
+
+    Scale shape: the distinct, the window, and both aggregations are
+    all keyed by user_id — one hash partitioning carries the whole
+    plan; no global window, no single-partition exchange."""
+    d = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        (
+            F.datediff("day", F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    return s.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("max_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )
+
+
+# ------------------------------------------- CUSUM change-point scan
+
+_CUSUM_SQL = """
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+        CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL
+    ), m AS (
+      SELECT event_type, SUM(c) // COUNT(*) AS mu
+      FROM v GROUP BY event_type
+    ), cu AS (
+      SELECT v.event_type,
+        SUM(v.c - m.mu) OVER (
+          PARTITION BY v.event_type ORDER BY v.ts, v.event_id
+          ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM v JOIN m ON v.event_type = m.event_type
+    )
+    SELECT event_type,
+      CAST(max(cusum) AS BIGINT) AS max_cusum,
+      CAST(min(cusum) AS BIGINT) AS min_cusum,
+      CAST(count(*) AS BIGINT) AS n
+    FROM cu GROUP BY event_type
+"""
+
+
+@_q("window_cusum_changepoint", _CUSUM_SQL)
+def window_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM drift detector per event-type series: cumulative sum of
+    (value − series mean) in integer cents; the max/min excursion is
+    the change-point statistic.  The mean is an INTEGER (floor of
+    sum/count) so the running sum — and therefore the extrema — are
+    exact in both engines; per-row cents use the half-adjust cast
+    (round() on DOUBLE is a per-row BigDecimal in Spark — see
+    plans/fastmoney.py).
+
+    Scale shape: a time-ordered scan per series is the operator's
+    semantics, so the window is keyed by event_type (the parallel
+    unit, same posture as window_drawdown); the per-type means are a
+    tiny broadcast."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.expr(_HA.format(x="value", m=100)).alias("c"),
+        )
+    )
+    m = v.groupBy("event_type").agg(
+        F.expr("SUM(c) div COUNT(*)").alias("mu")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cu = v.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        F.sum(F.col("c") - F.col("mu")).over(w).alias("cusum"),
+    )
+    return cu.groupBy("event_type").agg(
+        F.max("cusum").cast("bigint").alias("max_cusum"),
+        F.min("cusum").cast("bigint").alias("min_cusum"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+# ------------------------------------------- audience overlap (exact)
+
+_OVL_SQL = """
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM tu GROUP BY event_type
+    ), pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(count(*) AS BIGINT) AS inter_users
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.inter_users,
+      CAST(ca.n + cb.n - p.inter_users AS BIGINT) AS union_users,
+      CAST(p.inter_users * 1000000
+           // (ca.n + cb.n - p.inter_users) AS BIGINT) AS jaccard_ppm
+    FROM pair p
+    JOIN c ca ON ca.event_type = p.type_a
+    JOIN c cb ON cb.event_type = p.type_b
+"""
+
+
+@_q("agg_audience_overlap", _OVL_SQL)
+def agg_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact pairwise audience overlap between event types: |A ∩ B|,
+    |A ∪ B| (by inclusion-exclusion — never materialized), and Jaccard
+    in integer ppm.  This is the provably-exact twin of a theta-sketch
+    set-operation rollup: swap the distinct pair stream for sketch
+    partials and the same plan scales past memory.
+
+    Scale shape: the distinct and the self-join both key on user_id,
+    so one hash partitioning serves both sides; pair counting is a
+    map-side-combinable groupBy over ≤|types|² keys; per-type sizes
+    are a tiny broadcast joined twice."""
+    tu = t(spark, sf, "events").select("event_type", "user_id").distinct()
+    c = tu.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = tu.select(
+        F.col("event_type").alias("type_a"), "user_id"
+    )
+    b = tu.select(
+        F.col("event_type").alias("type_b"), "user_id"
+    )
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("inter_users"))
+    )
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pair.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "inter_users",
+            (F.col("na") + F.col("nb") - F.col("inter_users"))
+            .cast("bigint")
+            .alias("union_users"),
+            F.expr("inter_users * 1000000 div (na + nb - inter_users)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -456,3 +456,30 @@ def test_round4_session_ops_stay_jvm_side(spark):
         assert "MapInArrow" not in p and "MapInPandas" not in p, name
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_round7_ops_stay_jvm_side(spark):
+    """Round-7 additions are pure Catalyst compositions: no Python
+    boundary, no cartesian product.  sample_temperature_mixture
+    carries the documented 1-row scalar-totals crossJoin-broadcast
+    (same shape as sample_mixture); every other entry must also stay
+    free of nested-loop joins."""
+    for name in [
+        "split_leakage_free", "sample_temperature_mixture",
+        "text_keywords_per_doc", "events_user_streaks",
+        "window_cusum_changepoint", "agg_audience_overlap",
+    ]:
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+        if name != "sample_temperature_mixture":
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_leakage_free_split_single_exchange_key(spark):
+    """The cluster join must reuse the aggregation's partitioning on
+    the content key: hash/merge join, never nested-loop, and the
+    split decision adds no extra exchange."""
+    p = plan_of(spark, "split_leakage_free")
+    assert "HashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
