@@ -291,3 +291,118 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(text_col))
         .withColumn("fingerprint", doc_fingerprint(text_col))
     )
+
+
+def repetition_counts_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document gram-repetition counters as an Arrow-vectorized
+    kernel: ``(id, n_tokens, bg_mx, tg_dup)`` where ``bg_mx`` is the
+    occurrence count of the document's most frequent bigram and
+    ``tg_dup`` the number of trigram occurrences belonging to a
+    trigram that appears more than once (Gopher-style repetition
+    signals; the caller divides into fractions).
+
+    Why a Python boundary here, against the package's stay-JVM-side
+    default: the exact JVM formulation needs per-row higher-order
+    folds over SORTED gram arrays, and Catalyst evaluates lambda
+    functions interpreted — measured at x10 (50k docs, 32 cores,
+    scripts/exp_repetition_pieces.py): string-sort folds 4.35 s,
+    struct-sort 4.75 s, comparator-lambda index sort 1.99 s for the
+    bigram piece alone, xxhash64-sorted folds 3.28 s (and those trade
+    away provable exactness).  This kernel — Arrow ``utf8_lower`` +
+    RE2 ``split_pattern_regex`` + ``dictionary_encode``, then one
+    NumPy ``lexsort`` run-length pass per gram size, everything
+    C-vectorized and exact (integer dictionary codes, no hashing) —
+    does the WHOLE table in 1.64 s on ONE thread; under ``mapInArrow``
+    it rides the scan's file-split parallelism with zero shuffle.
+
+    Scale shape: embarrassingly parallel per batch (state is the
+    batch-local dictionary), no exchange, output 4 fixed columns per
+    input row — the same mapInArrow posture as
+    ``operators/quantize.py``.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = df.schema[id_col]
+
+    def _runs(keys: list[np.ndarray]):
+        """Sorted-run decomposition of the tuple stream ``keys``
+        (first key = doc/parent id): (run_parent, run_len)."""
+        m = len(keys[0])
+        if m == 0:
+            z = np.array([], dtype=np.int64)
+            return z, z
+        order = np.lexsort(tuple(reversed(keys)))
+        srt = [k[order] for k in keys]
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = False
+        for k in srt:
+            new[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, m)).astype(np.int64)
+        return srt[0][starts], run_len
+
+    def kernel(batches):
+        for batch in batches:
+            n = batch.num_rows
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(batch.column(text_col)), "[^a-z]+"
+            )
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            parents = parents[keep]
+            codes = pc.dictionary_encode(flat).indices.to_numpy(
+                zero_copy_only=False
+            )[keep]
+
+            n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+
+            # bigrams: adjacent filtered tokens of the same document
+            # (per-doc token spans are contiguous in the flat stream)
+            same = parents[:-1] == parents[1:]
+            rp, rl = _runs(
+                [parents[:-1][same], codes[:-1][same], codes[1:][same]]
+            )
+            bg_mx = np.zeros(n, dtype=np.int64)
+            np.maximum.at(bg_mx, rp, rl)
+
+            same3 = same[:-1] & same[1:]
+            rp, rl = _runs(
+                [
+                    parents[:-2][same3],
+                    codes[:-2][same3],
+                    codes[1:-1][same3],
+                    codes[2:][same3],
+                ]
+            )
+            dup = rl >= 2
+            tg_dup = np.bincount(
+                rp[dup], weights=rl[dup], minlength=n
+            ).astype(np.int64)
+
+            yield pa.record_batch(
+                {
+                    id_col: batch.column(id_col),
+                    "n_tokens": pa.array(n_tokens),
+                    "bg_mx": pa.array(bg_mx),
+                    "tg_dup": pa.array(tg_dup),
+                }
+            )
+
+    out = StructType(
+        [
+            StructField(id_field.name, id_field.dataType, True),
+            StructField("n_tokens", LongType(), True),
+            StructField("bg_mx", LongType(), True),
+            StructField("tg_dup", LongType(), True),
+        ]
+    )
+    return df.select(id_col, text_col).mapInArrow(kernel, out)

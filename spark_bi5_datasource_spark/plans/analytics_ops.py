@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import repetition_counts_arrow
 from .fastmoney import spark_fast_sql
 from .tables import t
 
@@ -77,60 +78,36 @@ def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: the
     share of bigram mass held by the single most frequent bigram
     (boilerplate detector) and the share of trigram occurrences that
-    are repeats (template/spam detector).  One tokenization, ONE
-    explode for both gram sizes (kind-tagged structs), two hash
-    aggregations keyed on doc — shuffle ∝ distinct grams per doc."""
-    # Sorted gram arrays make equal grams adjacent, so per-doc count
-    # statistics reduce to run-length folds over the array — no
-    # explode, no shuffle (the first cut exploded every gram into a
-    # doc-keyed hash agg; measured 24 s vs 3 s DuckDB at x10: the
-    # shuffle was 8x the whole answer).  The lambda binding
-    # (transform over a 1-element array, the house let-binding idiom)
-    # tokenizes each document exactly once; CollapseProject would
-    # otherwise inline one split() per downstream mention.
-    #
-    # bg_mx: max run length == count of the most frequent bigram.
-    # tg_dup: Σ over runs of length L>=2 of L — add 2 when a run
-    # reaches 2, then 1 per further repeat.
-    # sequence(1, 0) DESCENDS in Spark: guard short docs (filtered
-    # from the OUTPUT below, but the expressions still evaluate)
-    bg_arr = (
-        "array_sort(transform("
-        "CASE WHEN size(tks) >= 2 THEN sequence(1, size(tks) - 1) "
-        "ELSE CAST(array() AS ARRAY<INT>) END, i -> "
-        "concat(element_at(tks, i), ' ', element_at(tks, i + 1))))"
-    )
-    tg_arr = (
-        "array_sort(transform("
-        "CASE WHEN size(tks) >= 3 THEN sequence(1, size(tks) - 2) "
-        "ELSE CAST(array() AS ARRAY<INT>) END, i -> "
-        "concat(element_at(tks, i), ' ', element_at(tks, i + 1), "
-        "' ', element_at(tks, i + 2))))"
-    )
-    bg_mx = (
-        f"aggregate({bg_arr}, named_struct('p', '', 'r', 0, 'mx', 0), "
-        "(st, x) -> "
-        "CASE WHEN x = st.p THEN named_struct('p', x, 'r', st.r + 1, "
-        "  'mx', greatest(st.mx, st.r + 1)) "
-        "ELSE named_struct('p', x, 'r', 1, 'mx', greatest(st.mx, 1)) END, "
-        "st -> st.mx)"
-    )
-    tg_dup = (
-        f"aggregate({tg_arr}, named_struct('p', '', 'r', 0, 'dup', 0), "
-        "(st, x) -> "
-        "CASE WHEN x = st.p THEN named_struct('p', x, 'r', st.r + 1, "
-        "  'dup', st.dup + (CASE WHEN st.r = 1 THEN 2 ELSE 1 END)) "
-        "ELSE named_struct('p', x, 'r', 1, 'dup', st.dup) END, "
-        "st -> st.dup)"
-    )
-    stats = t(spark, sf, "documents").select(
-        "doc_id",
-        F.expr(
-            f"inline(transform(array({_TKS}), tks -> named_struct("
-            f"'n_tokens', size(tks), 'bg_mx', {bg_mx}, "
-            f"'tg_dup', {tg_dup})))"
-        ),
-    )
+    are repeats (template/spam detector).
+
+    Three generations of this plan, all measured at x10
+    (scripts/exp_repetition_pieces.py): gram-explode + doc-keyed hash
+    agg (24 s — the shuffle was 8x the answer), per-row sorted-array
+    run-length folds in Catalyst (4.35 s — exact, zero-shuffle, but
+    higher-order lambdas evaluate interpreted, and no JVM variant
+    beat it: struct grams 4.75 s, comparator index-sort worse,
+    xxhash64-sorted 3.28 s at the price of provable exactness), and
+    the shipped Arrow kernel (functions/text.py
+    repetition_counts_arrow: C-vectorized tokenize + dictionary-
+    encode + one lexsort run-length pass per gram size — the whole
+    x10 table in 1.64 s on ONE thread, exact integer counts, zero
+    shuffle, parallel over scan splits).  The fraction division and
+    rounding stay in Spark so the oracle's round() semantics are
+    untouched.
+
+    Parallelism gate: a Python kernel gets exactly the scan's split
+    count, and the bench's 512m split cap leaves a small documents
+    file as ONE split (kernel measured 1.81 s serialized vs 0.52 s
+    after a 32-way round-robin of the ~35 MB of text — the fan-out
+    shuffle costs far less than the serialization it removes).  The
+    repartition fires only when the scan has fewer splits than cores;
+    at 100-TB scale the corpus arrives in thousands of files and the
+    gate is a no-op, so no text is ever shuffled there."""
+    d = t(spark, sf, "documents")
+    cores = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < cores:
+        d = d.repartition(cores)
+    stats = repetition_counts_arrow(d, id_col="doc_id", text_col="text")
     return stats.filter(F.col("n_tokens") >= 3).select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),

@@ -254,7 +254,7 @@ def test_round4b_analytics_plans(spark):
     (int8 quantization), no cartesian products, and the active-users
     rewrite must stay equi-keyed (no nested-loop range join)."""
     for name in [
-        "text_repetition_stats", "text_inverted_index",
+        "text_inverted_index",
         "text_pmi_bigrams", "events_active_users", "sql_tpch_q7",
     ]:
         p = plan_of(spark, name)
@@ -334,10 +334,18 @@ def test_round5_plans(spark):
     p = plan_of(spark, "window_ewma")
     assert "Join" not in p
 
-    # repetition stats: the run-length-fold rewrite is map-side only —
-    # zero exchanges (the old gram-explode plan shuffled 2x every gram)
+    # repetition stats: the Arrow kernel is the second intended Arrow
+    # boundary (after int8 quantize) — measured 8.5x over the exact
+    # JVM fold at x10 (scripts/exp_repetition_pieces.py).  Map-side
+    # only: no gram shuffle, no aggregation exchange; the only
+    # Exchange allowed is the small-scan round-robin fan-out gate
+    # (fires at fixture scale where the whole table is one split).
     p = plan_of(spark, "text_repetition_stats")
-    assert "Exchange" not in p
+    assert "MapInArrow" in p
+    assert "HashAggregate" not in p and "Join" not in p
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "ROUND_ROBIN" in line or "RoundRobin" in line, line
 
     # mixture resampling: the rate table joins broadcast; the corpus
     # is never shuffled
