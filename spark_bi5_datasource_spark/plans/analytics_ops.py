@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import repetition_counts_arrow
 from .fastmoney import spark_fast_sql
-from .tables import t
+from .tables import fanout, t
 
 ANALYTICS_OPS: dict[str, tuple] = {}
 
@@ -103,10 +103,7 @@ def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     repartition fires only when the scan has fewer splits than cores;
     at 100-TB scale the corpus arrives in thousands of files and the
     gate is a no-op, so no text is ever shuffled there."""
-    d = t(spark, sf, "documents")
-    cores = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < cores:
-        d = d.repartition(cores)
+    d = fanout(t(spark, sf, "documents"))
     stats = repetition_counts_arrow(d, id_col="doc_id", text_col="text")
     return stats.filter(F.col("n_tokens") >= 3).select(
         "doc_id",
@@ -429,7 +426,7 @@ def sim_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     end-to-end (offsets, casts, rounding)."""
     from ..operators.quantize import quantize_int8
 
-    emb = t(spark, sf, "embeddings")
+    emb = fanout(t(spark, sf, "embeddings"))
     out = quantize_int8(emb, "vec_id", "embedding")
     return out.select(
         "vec_id",

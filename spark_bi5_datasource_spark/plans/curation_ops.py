@@ -23,7 +23,7 @@ from ..operators.fuzzy_join import edit_distance_join
 from ..operators.knn import knn_graph
 from ..operators.pagerank import pagerank
 from .llm_ops import _DOT_D
-from .tables import t
+from .tables import fanout, t
 
 CURATION_OPS: dict[str, tuple] = {}
 
@@ -794,7 +794,7 @@ def tok_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus vocabulary: top-100 non-stopword tokens by frequency —
     the seed step of tokenizer training.  Map-side partial counts do
     the heavy lifting; only distinct tokens reach the final top-k."""
-    docs = t(spark, sf, "documents")
+    docs = fanout(t(spark, sf, "documents"))
     toks = docs.select(
         F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
     ).filter(
@@ -837,7 +837,7 @@ def tok_vocab_sketch(spark: SparkSession, sf: str) -> DataFrame:
     keys outnumber the answer by orders of magnitude."""
     from ..operators.heavy import top_k_sketch
 
-    docs = t(spark, sf, "documents")
+    docs = fanout(t(spark, sf, "documents"))
     toks = docs.select(
         F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
     ).filter(

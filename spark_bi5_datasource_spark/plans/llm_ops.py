@@ -30,7 +30,7 @@ from ..operators import (
     simhash_pairs,
 )
 from ..operators.dedup import exact_dedup
-from .tables import t
+from .tables import fanout, t
 
 LLM_OPS: dict[str, tuple] = {}
 
@@ -142,6 +142,9 @@ def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dedup: surviving docs (min-id policy).
     Exact-pass equality additionally pinned by planted-dup tests in
     tests/test_operators.py."""
+    # fanout measured HARMFUL here (x10: 2.03 -> 2.39 s): the shingle
+    # explode feeds a groupBy whose exchange already redistributes, so
+    # the extra round-robin shuffle is pure cost
     return minhash_dedup(
         t(spark, sf, "documents"), "doc_id", "text", n=3, num_perm=32, bands=8,
         threshold=0.5,
@@ -290,7 +293,9 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(emb, queries, k=5).withColumn(
+    # corpus side fans out (per-pair dot products are the cost; the
+    # scan arrives as 1-2 row-group-bound splits at fixture scale)
+    return cosine_topk(fanout(emb), queries, k=5).withColumn(
         "rank", F.col("rank").cast("int")
     )
 
@@ -445,7 +450,9 @@ def text_stats(spark: SparkSession, sf: str) -> DataFrame:
     tokenization feeds all four stats via an inline generator."""
     from ..functions.text import text_stats_cols
 
-    return t(spark, sf, "documents").select("doc_id", text_stats_cols("text"))
+    return fanout(t(spark, sf, "documents")).select(
+        "doc_id", text_stats_cols("text")
+    )
 
 
 def _sql_lang_id() -> str:
@@ -670,6 +677,8 @@ def sim_gemm_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    # fanout measured HARMFUL here (x10: 0.29 -> 0.47 s): the GEMM
+    # kernel amortizes whole batches, so fewer/larger shards win
     return ann_topk_gemm(emb, queries, k=5)
 
 

@@ -141,3 +141,28 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def fanout(df: DataFrame) -> DataFrame:
+    """Round-robin fan-out gate for compute-heavy map stages over
+    small scans.
+
+    Parquet tasks can't split a row group, and single-file fixtures
+    (DuckDB COPY writes 122880-row groups) arrive as 1-3 splits — so
+    a per-row-expensive stage (Arrow kernel, per-pair dot products,
+    tokenization) runs on 1-3 of the 32 cores no matter how the scan
+    is configured.  When the input has fewer partitions than cores,
+    shuffle it round-robin once (the inputs this guards are a few MB
+    — the fan-out costs ~0.1 s and buys the other 30 cores); when the
+    data already arrives in many files/row-groups — any real corpus
+    at scale — the gate is a no-op and nothing is ever shuffled.
+
+    Measured (x10, 32 cores): text_repetition_stats 1.81→0.52 s,
+    and the same shape for the cosine/GEMM/vocab/quantize ops
+    (scripts/exp_repetition_pieces.py and BENCH_DETAIL deltas).
+    """
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df

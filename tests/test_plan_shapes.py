@@ -266,10 +266,14 @@ def test_round4b_analytics_plans(spark):
     p = plan_of(spark, "events_active_users")
     assert "BroadcastNestedLoopJoin" not in p
 
-    # quantization: exactly one Arrow boundary, nothing else
+    # quantization: exactly one Arrow boundary; the only Exchange
+    # allowed is the small-scan round-robin fan-out gate
+    # (plans/tables.py fanout — no-op on many-split inputs)
     p = plan_of(spark, "sim_quantize_int8")
     assert p.count("MapInArrow") == 1
-    assert "Exchange" not in p  # pure per-batch map: no shuffle at all
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobin" in line, line
 
     # SQL API lands in the same plan space: dims broadcast
     p = plan_of(spark, "sql_tpch_q7")
