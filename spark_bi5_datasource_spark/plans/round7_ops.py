@@ -14,7 +14,14 @@ sequence-analytics composites still missing as first-class queries:
 * CUSUM change-point scan — cumulative deviation from the series mean
   in integer cents, the standard drift detector;
 * audience overlap — exact Jaccard between per-event-type user sets
-  (the exact-mode twin of a theta-sketch intersection).
+  (the exact-mode twin of a theta-sketch intersection);
+* nearest as-of join — pandas ``merge_asof(direction='nearest')``
+  semantics via two directional as-of passes (plain ASOF JOIN can't
+  express it);
+* cohort lifetime value — cumulative integer-cents revenue per cohort
+  age with floor-division LTV per user;
+* power-user Pareto — revenue share (ppm) of the top 1/10/50 % of
+  users, globally ranked WITHOUT a single-partition exchange.
 
 Oracle policy unchanged: the same logical SQL runs in DuckDB; every
 score/ratio rides integer scaling (ppm, cents) or provably-identical
@@ -30,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import asof_join
 from .fastmoney import HALF_ADJUST_CENTS as _HA
 from .tables import t
 
@@ -393,5 +401,235 @@ def agg_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("inter_users * 1000000 div (na + nb - inter_users)")
             .cast("bigint")
             .alias("jaccard_ppm"),
+        )
+    )
+
+
+# ------------------------------------------- nearest as-of join
+
+_NEAREST_SQL = """
+    WITH p AS (
+      SELECT e.event_id, e.user_id, o.o_orderdate,
+        abs(epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)))
+          AS dist_us,
+        row_number() OVER (PARTITION BY e.event_id
+          ORDER BY abs(epoch_us(e.ts)
+                       - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) ASC,
+                   o.o_orderdate ASC) AS rn
+      FROM events e JOIN orders o ON o.o_custkey = e.user_id
+      WHERE e.ts IS NOT NULL
+    )
+    SELECT event_id, user_id, CAST(o_orderdate AS DATE) AS nearest_order_date,
+      CAST(dist_us AS BIGINT) AS dist_us
+    FROM p WHERE rn = 1
+"""
+
+
+@_q("join_asof_nearest", _NEAREST_SQL)
+def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-neighbor as-of join: each event matches the order (same
+    user) with the smallest |event time − order date|, ties to the
+    EARLIER order — the bidirectional variant of
+    join_asof_events_orders (pandas ``merge_asof(direction='nearest')``
+    semantics, which plain ASOF JOIN cannot express).
+
+    Scale shape: the global minimum distance is provably at one of the
+    two directional as-of matches, so the plan is two keyed
+    sort-merge passes of operators/asof_join (backward then forward —
+    never a per-pair product like the oracle's rank-over-join) and a
+    per-row least().  Distances ride integer microseconds."""
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr("unix_micros(ts)").alias("tsu"),
+        )
+    )
+    od = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("bt"),
+    )
+    b = asof_join(ev, od, on="ts", by="user_id", direction="backward")
+    f = asof_join(
+        b,
+        od.withColumnRenamed("bt", "ft"),
+        on="ts",
+        by="user_id",
+        direction="forward",
+    )
+    db = F.col("tsu") - F.col("bt")
+    df_ = F.col("ft") - F.col("tsu")
+    pick_b = F.col("ft").isNull() | (F.col("bt").isNotNull() & (db <= df_))
+    chosen = F.when(pick_b, F.col("bt")).otherwise(F.col("ft"))
+    return (
+        f.filter(F.col("bt").isNotNull() | F.col("ft").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.to_date(F.timestamp_micros(chosen)).alias(
+                "nearest_order_date"
+            ),
+            F.abs(F.col("tsu") - chosen).cast("bigint").alias("dist_us"),
+        )
+    )
+
+
+# ------------------------------------------- cohort lifetime value
+
+_LTV_SQL = """
+    WITH ue AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS m,
+        CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL
+    ), co AS (
+      SELECT user_id, min(m) AS cohort FROM ue GROUP BY user_id
+    ), sz AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+      FROM co GROUP BY cohort
+    ), rev AS (
+      SELECT co.cohort,
+        date_diff('day', co.cohort, ue.m) // 7 AS age,
+        SUM(ue.c) AS rev_c
+      FROM ue JOIN co USING (user_id) GROUP BY 1, 2
+    )
+    SELECT r.cohort, CAST(r.age AS BIGINT) AS age, sz.n_users,
+      CAST(SUM(r.rev_c) OVER (
+        PARTITION BY r.cohort ORDER BY r.age) AS BIGINT) AS cum_rev_c,
+      CAST(SUM(r.rev_c) OVER (PARTITION BY r.cohort ORDER BY r.age)
+           // sz.n_users AS BIGINT) AS ltv_c_per_user
+    FROM rev r JOIN sz ON r.cohort = sz.cohort
+"""
+
+
+@_q("events_cohort_ltv", _LTV_SQL)
+def events_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime value: users grouped by first-activity month,
+    cumulative revenue per cohort age in integer cents, and LTV per
+    user (floor division — exact in both engines).  The companion of
+    events_cohort_retention with money instead of presence.
+
+    Scale shape: two user-keyed aggregations (first month, monthly
+    revenue) that share one hash partitioning, then a window over the
+    cohort×age frame — post-aggregation, provably ≤ months² rows."""
+    ue = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("week", "ts")).alias("m"),
+            F.expr(_HA.format(x="value", m=100)).alias("c"),
+        )
+    )
+    co = ue.groupBy("user_id").agg(F.min("m").alias("cohort"))
+    sz = co.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    rev = (
+        ue.join(co, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                F.datediff(F.to_date("m"), F.to_date("cohort")) / 7
+            ).cast("int").alias("age"),
+        )
+        .agg(F.sum("c").alias("rev_c"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(sz), "cohort")
+        .withColumn("cum_rev_c", F.sum("rev_c").over(w).cast("bigint"))
+        .select(
+            "cohort",
+            F.col("age").cast("bigint").alias("age"),
+            "n_users",
+            "cum_rev_c",
+            F.expr("cum_rev_c div n_users").cast("bigint").alias(
+                "ltv_c_per_user"
+            ),
+        )
+    )
+
+
+# ------------------------------------------- revenue concentration
+
+_PARETO_SQL = """
+    WITH u AS (
+      SELECT user_id,
+        SUM(CAST(round(value * 100) AS BIGINT)) AS rev_c
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT user_id, rev_c,
+        row_number() OVER (ORDER BY rev_c DESC, user_id ASC) AS rk
+      FROM u
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, SUM(rev_c) AS total FROM u
+    )
+    SELECT b.pct,
+      CAST((tot.n * b.pct + 99) // 100 AS BIGINT) AS k_users,
+      CAST(SUM(CASE WHEN r.rk <= (tot.n * b.pct + 99) // 100
+               THEN r.rev_c ELSE 0 END) * 1000000 // tot.total
+           AS BIGINT) AS share_ppm
+    FROM r, tot, (VALUES (1), (10), (50)) AS b(pct)
+    GROUP BY b.pct, tot.n, tot.total
+"""
+
+
+@_q("events_power_users_pareto", _PARETO_SQL)
+def events_power_users_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue concentration curve: the share of total revenue (ppm)
+    held by the top 1 / 10 / 50 % of users — the whale-detection
+    summary every monetization dashboard opens with.  Per-row integer
+    cents (associative, engine-exact), ceil-divided bucket sizes.
+
+    Scale shape: the user rollup is one keyed aggregation; the global
+    ordering uses operators/ranking.with_global_rank (range partition
+    + parallel windows + driver offsets — NO Exchange SinglePartition,
+    the same machinery events_rfm uses); the scalar totals broadcast;
+    the final frame is 3 rows."""
+    from ..operators.ranking import with_global_rank
+
+    u = t(spark, sf, "events").groupBy("user_id").agg(
+        F.sum(F.expr(_HA.format(x="value", m=100))).alias("rev_c")
+    )
+    ranked = with_global_rank(
+        u.withColumn("nrev", -F.col("rev_c")),
+        ["nrev", "user_id"],
+        rank_col="rk",
+    )
+    tot = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev_c").alias("total"),
+    )
+    pct = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(10), F.lit(50))).alias("pct")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pct))
+        .groupBy("pct", "n", "total")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rk") <= F.expr("(n * pct + 99) div 100"),
+                    F.col("rev_c"),
+                ).otherwise(F.lit(0))
+            ).alias("top_rev")
+        )
+        .select(
+            "pct",
+            F.expr("(n * pct + 99) div 100").cast("bigint").alias(
+                "k_users"
+            ),
+            F.expr("top_rev * 1000000 div total")
+            .cast("bigint")
+            .alias("share_ppm"),
         )
     )

@@ -480,11 +480,16 @@ def test_round7_ops_stay_jvm_side(spark):
         "split_leakage_free", "sample_temperature_mixture",
         "text_keywords_per_doc", "events_user_streaks",
         "window_cusum_changepoint", "agg_audience_overlap",
+        "join_asof_nearest", "events_cohort_ltv",
+        "events_power_users_pareto",
     ]:
         p = plan_of(spark, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
         assert "CartesianProduct" not in p, name
-        if name != "sample_temperature_mixture":
+        # temperature mixture and the Pareto curve carry the documented
+        # tiny-scalar crossJoin-broadcasts (1-row totals / 3-row pcts)
+        if name not in ("sample_temperature_mixture",
+                        "events_power_users_pareto"):
             assert "BroadcastNestedLoopJoin" not in p, name
 
 
