@@ -21,7 +21,12 @@ sequence-analytics composites still missing as first-class queries:
 * cohort lifetime value — cumulative integer-cents revenue per cohort
   age with floor-division LTV per user;
 * power-user Pareto — revenue share (ppm) of the top 1/10/50 % of
-  users, globally ranked WITHOUT a single-partition exchange.
+  users, globally ranked WITHOUT a single-partition exchange;
+* recursive-CTE hierarchy rollup — Spark 4 ``WITH RECURSIVE`` subtree
+  aggregation (size / depth / integer-cents revenue);
+* regex scalar tier — extract / extract_all / match / replace in the
+  dialect-portable pattern subset;
+* dow×hour heatmap — the ≤168-cell temporal density matrix.
 
 Oracle policy unchanged: the same logical SQL runs in DuckDB; every
 score/ratio rides integer scaling (ppm, cents) or provably-identical
@@ -632,4 +637,141 @@ def events_power_users_pareto(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint")
             .alias("share_ppm"),
         )
+    )
+
+
+# ------------------------------------------- recursive CTE rollup
+
+_REC_SQL = """
+    WITH RECURSIVE anc AS (
+      SELECT user_id, user_id AS node, 0 AS steps
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) u
+      UNION ALL
+      SELECT user_id, (node - 1) // 2, steps + 1
+      FROM anc WHERE node > 0
+    ), urev AS (
+      SELECT user_id,
+        SUM(CAST(round(value * 100) AS BIGINT)) AS rev_c
+      FROM events GROUP BY user_id
+    )
+    SELECT anc.node,
+      CAST(count(*) AS BIGINT) AS n_subtree_users,
+      CAST(max(anc.steps) AS BIGINT) AS subtree_depth,
+      CAST(SUM(urev.rev_c) AS BIGINT) AS subtree_rev_c
+    FROM anc JOIN urev ON anc.user_id = urev.user_id
+    GROUP BY anc.node
+"""
+
+
+@_q("sql_recursive_rollup", _REC_SQL)
+def sql_recursive_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical rollup through a RECURSIVE CTE (Spark 4 WITH
+    RECURSIVE): users form an implicit binary management tree
+    (parent(u) = (u-1) div 2); every user's revenue is attributed to
+    each of its ancestors, giving per-node subtree size, depth, and
+    integer-cents subtree revenue — the org-chart/category-tree
+    aggregation pattern relational engines traditionally punt to
+    application code.
+
+    Scale shape: recursion length = tree DEPTH (log n — ~30 iterations
+    at 1B users), and each iteration is a pure per-row projection of
+    the frontier (no join, no shuffle inside the loop); the revenue
+    attach and the node rollup are ordinary keyed hash aggregations.
+    The ancestor frame is n·depth rows — the same blow-up the
+    textbook adjacency-list rollup costs anywhere."""
+    t(spark, sf, "events").createOrReplaceTempView("events_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT user_id, user_id AS node, 0 AS steps
+          FROM (SELECT DISTINCT user_id FROM events_rec
+                WHERE user_id IS NOT NULL) u
+          UNION ALL
+          SELECT user_id, (node - 1) div 2, steps + 1
+          FROM anc WHERE node > 0
+        ), urev AS (
+          SELECT user_id,
+            SUM(CAST((value * 100) + CASE WHEN (value * 100) >= 0
+                THEN 0.5D ELSE -0.5D END AS BIGINT)) AS rev_c
+          FROM events_rec GROUP BY user_id
+        )
+        SELECT anc.node,
+          CAST(count(*) AS BIGINT) AS n_subtree_users,
+          CAST(max(anc.steps) AS BIGINT) AS subtree_depth,
+          CAST(SUM(urev.rev_c) AS BIGINT) AS subtree_rev_c
+        FROM anc JOIN urev ON anc.user_id = urev.user_id
+        GROUP BY anc.node
+        """
+    )
+
+
+# ------------------------------------------- regex scalar tier
+
+@_q(
+    "scalar_regex_funcs",
+    r"""
+    SELECT doc_id,
+      regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+      CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT)
+        AS n_vowel_pairs,
+      CAST(CASE WHEN regexp_matches(text, 'the .* the ')
+           THEN 1 ELSE 0 END AS INT) AS has_the_twice,
+      regexp_replace(text[1:40], '[aeiou]', '_', 'g') AS devoweled_head
+    FROM documents
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex scalar-function tier: first capture-group extraction,
+    match counting via extract_all, boolean match, and global
+    replacement over a bounded prefix.  Patterns stay in the
+    dialect-portable subset (character classes, bounded quantifiers —
+    identical semantics in Java regex and RE2/DuckDB).
+
+    Scale shape: pure per-row projection over one scan — no shuffle;
+    regex evaluation is the per-row cost and lives in the JVM."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]{6,})", 1).alias(
+            "first_long_word"
+        ),
+        F.expr(r"CAST(size(regexp_extract_all(text, '[aeiou]{2}', 0)) AS BIGINT)")
+        .alias("n_vowel_pairs"),
+        F.expr(r"CAST(CASE WHEN text RLIKE 'the .* the ' THEN 1 ELSE 0 END AS INT)")
+        .alias("has_the_twice"),
+        F.regexp_replace(F.substring("text", 1, 40), r"[aeiou]", "_")
+        .alias("devoweled_head"),
+    )
+
+
+# ------------------------------------------- day-of-week heatmap
+
+_HEAT_SQL = """
+    SELECT CAST(isodow(ts) AS INT) AS dow,
+      CAST(hour(ts) AS INT) AS hr,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+@_q("events_dow_hour_heatmap", _HEAT_SQL)
+def events_dow_hour_heatmap(spark: SparkSession, sf: str) -> DataFrame:
+    """Activity heatmap: event count and integer-cents revenue per
+    (ISO day-of-week, hour-of-day) cell — the standard temporal
+    density matrix behind ops dashboards.  ISO numbering via Spark's
+    ``weekday()+1`` (Monday=1) matches DuckDB's ``isodow``.
+
+    Scale shape: one map-side-combinable aggregation into ≤168
+    cells — the partial-aggregate shuffle is bytes, not data."""
+    e = t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    return e.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.expr(_HA.format(x="value", m=100)))
+        .cast("bigint")
+        .alias("rev_c"),
     )

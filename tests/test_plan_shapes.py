@@ -481,7 +481,8 @@ def test_round7_ops_stay_jvm_side(spark):
         "text_keywords_per_doc", "events_user_streaks",
         "window_cusum_changepoint", "agg_audience_overlap",
         "join_asof_nearest", "events_cohort_ltv",
-        "events_power_users_pareto",
+        "events_power_users_pareto", "sql_recursive_rollup",
+        "scalar_regex_funcs", "events_dow_hour_heatmap",
     ]:
         p = plan_of(spark, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
