@@ -51,8 +51,54 @@ def asof_join(
     if isinstance(by, str):
         by = [by]
     by = list(by)
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest'"
+        )
+
+    if direction == "nearest":
+        # pandas merge_asof(direction='nearest') semantics: the global
+        # minimum |left.on - right.on| is provably at one of the two
+        # directional matches, so compose backward + forward passes
+        # and pick per row (ties -> the EARLIER right row, matching
+        # the convention of a (distance ASC, on ASC) rank).  Each pass
+        # carries a duplicate of the right ``on`` value so distances
+        # compare without re-joining; the cast to double is exact for
+        # microsecond timestamps (spacing 2^-22 s << 1e-6 s).
+        value_cols = [c for c in right.columns if c != on and c not in by]
+        rb = right.select(
+            *by,
+            on,
+            *[F.col(c).alias(f"{c}__b") for c in value_cols],
+            F.col(on).alias("__bt"),
+        )
+        rf = right.select(
+            *by,
+            on,
+            *[F.col(c).alias(f"{c}__f") for c in value_cols],
+            F.col(on).alias("__ft"),
+        )
+        b = asof_join(
+            left, rb, on=on, by=by, direction="backward", tolerance=tolerance
+        )
+        bf = asof_join(
+            b, rf, on=on, by=by, direction="forward", tolerance=tolerance
+        )
+        td = F.col(on).cast("double")
+        db = td - F.col("__bt").cast("double")
+        df_ = F.col("__ft").cast("double") - td
+        pick_b = F.col("__ft").isNull() | (
+            F.col("__bt").isNotNull() & (db <= df_)
+        )
+        return bf.select(
+            *left.columns,
+            *[
+                F.when(pick_b, F.col(f"{c}__b"))
+                .otherwise(F.col(f"{c}__f"))
+                .alias(c)
+                for c in value_cols
+            ],
+        )
 
     value_cols = [c for c in right.columns if c != on and c not in by]
     if not value_cols:

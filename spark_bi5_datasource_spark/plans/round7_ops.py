@@ -245,29 +245,12 @@ def events_user_streaks(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: the distinct, the window, and both aggregations are
     all keyed by user_id — one hash partitioning carries the whole
-    plan; no global window, no single-partition exchange."""
-    d = (
-        t(spark, sf, "events")
-        .filter(F.col("ts").isNotNull())
-        .select("user_id", F.col("ts").cast("date").alias("day"))
-        .distinct()
-    )
-    w = Window.partitionBy("user_id").orderBy("day")
-    g = d.select(
-        "user_id",
-        (
-            F.datediff("day", F.lit("2024-01-01").cast("date"))
-            - F.row_number().over(w)
-        ).alias("grp"),
-    )
-    s = g.groupBy("user_id", "grp").agg(
-        F.count("*").cast("bigint").alias("len")
-    )
-    return s.groupBy("user_id").agg(
-        F.max("len").cast("bigint").alias("max_streak"),
-        F.count("*").cast("bigint").alias("n_streaks"),
-        F.sum("len").cast("bigint").alias("active_days"),
-    )
+    plan; no global window, no single-partition exchange
+    (operators/streaks.py, Hypothesis-pinned against a pure-Python
+    reference in tests/test_round7_properties.py)."""
+    from ..operators.streaks import user_streaks
+
+    return user_streaks(t(spark, sf, "events"), "user_id", "ts")
 
 
 # ------------------------------------------- CUSUM change-point scan
@@ -458,28 +441,12 @@ def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderdate").cast("timestamp").alias("ts"),
         F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("bt"),
     )
-    b = asof_join(ev, od, on="ts", by="user_id", direction="backward")
-    f = asof_join(
-        b,
-        od.withColumnRenamed("bt", "ft"),
-        on="ts",
-        by="user_id",
-        direction="forward",
-    )
-    db = F.col("tsu") - F.col("bt")
-    df_ = F.col("ft") - F.col("tsu")
-    pick_b = F.col("ft").isNull() | (F.col("bt").isNotNull() & (db <= df_))
-    chosen = F.when(pick_b, F.col("bt")).otherwise(F.col("ft"))
-    return (
-        f.filter(F.col("bt").isNotNull() | F.col("ft").isNotNull())
-        .select(
-            "event_id",
-            "user_id",
-            F.to_date(F.timestamp_micros(chosen)).alias(
-                "nearest_order_date"
-            ),
-            F.abs(F.col("tsu") - chosen).cast("bigint").alias("dist_us"),
-        )
+    n = asof_join(ev, od, on="ts", by="user_id", direction="nearest")
+    return n.filter(F.col("bt").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.to_date(F.timestamp_micros("bt")).alias("nearest_order_date"),
+        F.abs(F.col("tsu") - F.col("bt")).cast("bigint").alias("dist_us"),
     )
 
 
