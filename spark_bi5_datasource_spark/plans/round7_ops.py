@@ -742,3 +742,94 @@ def events_dow_hour_heatmap(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_c"),
     )
+
+
+# ------------------------------------------- funnel conversion latency
+
+_FLAT_SQL = """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, v.t0, min(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0
+      GROUP BY e.user_id, v.t0
+    ), p AS (
+      SELECT e.user_id, c.t1, min(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY e.user_id, c.t1
+    ), lat AS (
+      SELECT 'view_to_click' AS stage,
+        epoch_us(t1) - epoch_us(t0) AS us FROM c
+      UNION ALL
+      SELECT 'click_to_purchase' AS stage,
+        epoch_us(t2) - epoch_us(t1) AS us FROM p
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+      CAST(min(us) AS BIGINT) AS min_us,
+      round(quantile_cont(us, 0.25), 6) AS p25_us,
+      round(quantile_cont(us, 0.50), 6) AS p50_us,
+      round(quantile_cont(us, 0.75), 6) AS p75_us,
+      CAST(max(us) AS BIGINT) AS max_us,
+      CAST(SUM(us) // count(*) AS BIGINT) AS mean_us_floor
+    FROM lat GROUP BY stage
+"""
+
+
+@_q("events_funnel_latency", _FLAT_SQL)
+def events_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert distribution between funnel stages: for the
+    view→click→purchase funnel of events_funnel, the per-stage latency
+    (first qualifying next-stage event after the previous stage) as
+    exact min/quartiles/max in integer microseconds plus a
+    floor-division mean.  events_funnel reports WHO converts; this is
+    the HOW-FAST companion every growth dashboard pairs with it.
+
+    Scale shape: stage frames are user-keyed min-aggregations chained
+    by equi-joins (one hash partitioning); the quartiles use the exact
+    `percentile` aggregate — per-group buffered, the right call at
+    dashboard row counts; at billions of conversions swap in
+    percentile_approx (the agg_approx_quantiles tier) with the same
+    frame."""
+    e = t(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t1"), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    us = lambda a, b: (F.expr(f"unix_micros({a})") - F.expr(f"unix_micros({b})"))  # noqa: E731
+    lat = c.select(
+        F.lit("view_to_click").alias("stage"), us("t1", "t0").alias("us")
+    ).unionByName(
+        p.select(
+            F.lit("click_to_purchase").alias("stage"),
+            us("t2", "t1").alias("us"),
+        )
+    )
+    return lat.groupBy("stage").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.min("us").cast("bigint").alias("min_us"),
+        F.round(F.expr("percentile(us, 0.25)"), 6).alias("p25_us"),
+        F.round(F.expr("percentile(us, 0.50)"), 6).alias("p50_us"),
+        F.round(F.expr("percentile(us, 0.75)"), 6).alias("p75_us"),
+        F.max("us").cast("bigint").alias("max_us"),
+        F.expr("SUM(us) div count(*)").cast("bigint").alias(
+            "mean_us_floor"
+        ),
+    )

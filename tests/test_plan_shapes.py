@@ -483,6 +483,7 @@ def test_round7_ops_stay_jvm_side(spark):
         "join_asof_nearest", "events_cohort_ltv",
         "events_power_users_pareto", "sql_recursive_rollup",
         "scalar_regex_funcs", "events_dow_hour_heatmap",
+        "events_funnel_latency",
     ]:
         p = plan_of(spark, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
