@@ -77,6 +77,9 @@ SINGLE_PARTITION_OK = {
     "window_lag_range_daily": "lag/range window over the per-day series (<=|days| rows post-agg)",
     "events_active_users": "cumulative window over per-day DAU rows (<=|days|)",
     "events_cume_users": "cumulative window over per-day first-seen counts (<=|days|)",
+    "dq_expectations": "1-row-per-table scalar audit aggs (distinct-count final pass emits one row)",
+    "tok_zipf_profile": "rank/cumsum window over the post-agg vocabulary (<=|distinct terms|)",
+    "window_bollinger_bands": "rolling-moment window over the per-day aggregated series (<=|days|)",
 }
 
 BNLJ_OK = {

@@ -16,6 +16,7 @@ from .round4_ops import ROUND4_OPS
 from .round5_ops import ROUND5_OPS
 from .round6_ops import ROUND6_OPS
 from .round7_ops import ROUND7_OPS
+from .round8_ops import ROUND8_OPS
 from .tpch_pack import TPCH_PACK
 
 # name -> (fn, oracle_sql | None, in_bench)
@@ -29,6 +30,7 @@ CATALOG: dict[str, tuple] = {
     **ROUND5_OPS,
     **ROUND6_OPS,
     **ROUND7_OPS,
+    **ROUND8_OPS,
 }
 
 # The driver's correctness gate checks the FIRST 50 entries of
