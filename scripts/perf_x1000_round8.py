@@ -17,6 +17,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# dq_expectations unions six branches (two 600M/150M-key anti-joins +
+# whole-table distinct aggs) into ONE job, so their shuffle-map stages
+# run concurrently: at 16g the 32 parallel SMJ sorts starve the unified
+# memory pool (UNABLE_TO_ACQUIRE_MEMORY, observed).  The probe gets the
+# q5-rule heap (a quarter of the 128 GiB box was "conservative" for one
+# SMJ; six concurrent stages get half) — a cluster gives each of these
+# stages its own executors, so this is a local-harness artifact, not a
+# plan defect.
+os.environ.setdefault("SPARK_GRAFT_MEM", "32g")
+
 from bench import CPUS, SF_DIR, build_spark, synth_scaled_dir, timed  # noqa: E402
 
 TABLES = [
@@ -47,6 +57,10 @@ def main() -> None:
     spark = build_spark()
     register(spark)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    # finer map-side sorts under concurrent union branches: 128 initial
+    # shuffle partitions keep each SMJ sort ~5M rows so spilling stays
+    # incremental; AQE coalesces the small ones back after the fact
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
     qs = {n: fn for n, (fn, _s, _b) in plans.CATALOG.items()}
     oracles = plans.oracle_sql()
 

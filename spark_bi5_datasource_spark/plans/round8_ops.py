@@ -21,13 +21,17 @@ diagnostics a training-data pipeline runs before every ingest:
   DAU/WAU stickiness ratio in ppm, via the explode-7-offsets
   contribution trick (never a per-day range self-join);
 * Bollinger bands — rolling 7-day mean ± 2σ over the daily revenue
-  series with breach flags, variance from EXACT integer-dollar
-  moment sums inside the window frame (rolling float sums are
-  accumulation-order-dependent across engines; integer moments are
-  not);
+  series with breach flags, variance from EXACT integer moment sums
+  (thousand-dollar units) inside the window frame (rolling float
+  sums are accumulation-order-dependent across engines; integer
+  moments are not);
 * boilerplate span inventory — the top-20 exact 12-token passages
   shared across the most documents (the C4-style boilerplate-removal
-  candidate list; complements text_span_dedup's per-doc fractions).
+  candidate list; complements text_span_dedup's per-doc fractions);
+* tolerance-bounded as-of join — pandas ``merge_asof(tolerance=...)``
+  semantics: the backward match is DISCARDED (nulled, row kept) when
+  it is older than the tolerance window — staleness control for
+  feature lookups.
 
 Oracle policy unchanged: counts and pair sums ride BIGINT; the two
 Simpson ratios divide exact integers as IEEE doubles (conversion and
@@ -44,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import asof_join
 from .fastmoney import HALF_ADJUST_CENTS as _HA
 from .tables import t
 
@@ -601,26 +606,26 @@ _BOLL_SQL = """
     WITH daily AS (
       SELECT o_orderdate AS day,
         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-          // 100 AS rev_d
+          // 100000 AS rev_k
       FROM orders GROUP BY o_orderdate
     ), m AS (
-      SELECT day, rev_d,
+      SELECT day, rev_k,
         CAST(count(*) OVER w AS BIGINT) AS n,
-        CAST(sum(rev_d) OVER w AS BIGINT) AS s1,
-        CAST(sum(rev_d * rev_d) OVER w AS BIGINT) AS s2
+        CAST(sum(rev_k) OVER w AS BIGINT) AS s1,
+        CAST(sum(rev_k * rev_k) OVER w AS BIGINT) AS s2
       FROM daily
       WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
-    SELECT day, rev_d,
+    SELECT day, rev_k,
       CAST(round((CAST(s1 AS DOUBLE) / n) * 1000) AS BIGINT) AS mean_milli,
       CAST(round(sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE)
         * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * n * (n - 1)))
         * 1000) AS BIGINT) AS sd_milli,
-      CAST(rev_d AS DOUBLE) * n > CAST(s1 AS DOUBLE)
+      CAST(rev_k AS DOUBLE) * n > CAST(s1 AS DOUBLE)
         + 2 * n * sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE)
         * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * n * (n - 1)))
         AS breach_hi,
-      CAST(rev_d AS DOUBLE) * n < CAST(s1 AS DOUBLE)
+      CAST(rev_k AS DOUBLE) * n < CAST(s1 AS DOUBLE)
         - 2 * n * sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE)
         * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * n * (n - 1)))
         AS breach_lo
@@ -634,9 +639,10 @@ def window_bollinger_bands(spark: SparkSession, sf: str) -> DataFrame:
     mean ± 2 sample standard deviations with band-breach flags.  A
     rolling stddev over DOUBLEs is accumulation-order-dependent
     (engines slide frames differently), so the window carries EXACT
-    integer moments instead — daily revenue in whole dollars (cents
-    // 100; squares stay under 2⁶³ through x1000: ~(1e9)²·7 ≈
-    7·10¹⁸), with n/Σx/Σx² exact BIGINTs — and every engine derives
+    integer moments instead — daily revenue in thousand-dollar units
+    (cents // 100000: at x1000 a day sums ~10¹⁰ dollars, whose SQUARE
+    overflows 2⁶³ in dollars — caught by the x1000 probe — but is
+    ~10¹⁴·7 in k$²), with n/Σx/Σx² exact BIGINTs — and every engine derives
     mean, σ, and the breach comparisons from those identical
     integers with correctly-rounded double arithmetic.  Breach tests
     are cross-multiplied (rev·n vs s1 ± 2n·σ) so no division feeds a
@@ -653,15 +659,15 @@ def window_bollinger_bands(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint")
             .alias("rev_c")
         )
-        .select("day", F.expr("rev_c div 100").cast("bigint").alias("rev_d"))
+        .select("day", F.expr("rev_c div 100000").cast("bigint").alias("rev_k"))
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
     m = daily.select(
         "day",
-        "rev_d",
+        "rev_k",
         F.count("*").over(w).cast("bigint").alias("n"),
-        F.sum("rev_d").over(w).cast("bigint").alias("s1"),
-        F.sum(F.expr("rev_d * rev_d")).over(w).cast("bigint").alias("s2"),
+        F.sum("rev_k").over(w).cast("bigint").alias("s1"),
+        F.sum(F.expr("rev_k * rev_k")).over(w).cast("bigint").alias("s2"),
     )
     var = (
         "(CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
@@ -673,15 +679,15 @@ def window_bollinger_bands(spark: SparkSession, sf: str) -> DataFrame:
         m.where("n = 7")
         .select(
             "day",
-            "rev_d",
+            "rev_k",
             F.expr(mean_milli).alias("mean_milli"),
             F.expr(sd_milli).alias("sd_milli"),
             F.expr(
-                "CAST(rev_d AS DOUBLE) * n >"
+                "CAST(rev_k AS DOUBLE) * n >"
                 f" CAST(s1 AS DOUBLE) + 2 * n * sqrt({var})"
             ).alias("breach_hi"),
             F.expr(
-                "CAST(rev_d AS DOUBLE) * n <"
+                "CAST(rev_k AS DOUBLE) * n <"
                 f" CAST(s1 AS DOUBLE) - 2 * n * sqrt({var})"
             ).alias("breach_lo"),
         )
@@ -752,4 +758,45 @@ def text_boilerplate_spans(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("ndocs") >= 2)
         .orderBy(F.desc("ndocs"), F.desc("occurrences"), "span")
         .limit(20)
+    )
+
+
+# ------------------------------------------- tolerance-bounded as-of
+
+_ASOF_TOL_SQL = """
+    SELECT e.event_id, e.user_id,
+      CASE WHEN o.o_orderdate >= e.ts - INTERVAL 30 DAY
+           THEN o.o_orderdate END AS recent_order_date
+    FROM events e ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+@_q("join_asof_tolerance", _ASOF_TOL_SQL)
+def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a staleness bound — pandas
+    ``merge_asof(tolerance=Timedelta('30D'))`` semantics: each event
+    takes the latest order at-or-before it, but a match older than 30
+    days is nulled out (the row survives) — the freshness contract a
+    feature-store point-in-time lookup enforces.  The oracle expresses
+    the same thing as an unbounded ASOF LEFT JOIN + CASE; the engine
+    applies the bound inside the operator.  Tie determinism: the only
+    carried value column is the match time itself, so equal-timestamp
+    right rows are indistinguishable and both engines agree.
+
+    Scale shape: identical to join_asof_events_orders — one union +
+    last-value window over a shared (user_id) partitioning (no
+    row-multiplying join, no range self-join); the tolerance adds a
+    per-row comparison, zero extra shuffles."""
+    e = t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderdate",
+    )
+    joined = asof_join(e, o, on="ts", by="user_id", tolerance="30 DAY")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderdate").alias("recent_order_date"),
     )
