@@ -56,6 +56,8 @@ ARROW_KERNELS = {
     "sim_ivf_exact": "IVF training collect + probe kernel",
     "sim_pq_topk": "PQ codebook kernel",
     "sim_pq_exact": "PQ codebook kernel",
+    "tok_zipf_profile": "term-count partial kernel (functions/text.py term_count_partials)",
+    "text_source_diversity": "term-count partial kernel (functions/text.py term_count_partials)",
 }
 
 # queries allowed an Exchange SinglePartition, with the bound

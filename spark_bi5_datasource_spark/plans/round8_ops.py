@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import term_count_partials
 from ..operators import asof_join
 from .fastmoney import HALF_ADJUST_CENTS as _HA
 from .tables import t
@@ -348,15 +349,20 @@ def tok_zipf_profile(spark: SparkSession, sf: str) -> DataFrame:
     pure integer arithmetic (the float-free twin of a log-log
     regression; no ln() crosses the engine boundary).
 
-    Scale shape: tokenize + one map-side-combinable term count; the
-    ranking window runs over the POST-AGGREGATION vocabulary (bounded
-    by |distinct terms|, not corpus size); the doubling lookup is a
-    broadcast self-join of the ≤100 leading ranks; the 1-row total
-    rides an identity broadcast."""
-    tok = t(spark, sf, "documents").select(
-        F.explode(F.expr(_TKS)).alias("term")
+    Scale shape: the Arrow partial-count kernel
+    (functions.text.term_count_partials — measured ~1.8x the fused
+    JVM split+explode at x1000, exp_tokenize_kernel.py) emits ≤|batch
+    vocab| partial rows per batch, reduced by one groupBy-sum to the
+    same exact counts; the ranking window runs over the
+    POST-AGGREGATION vocabulary (bounded by |distinct terms|, not
+    corpus size); the doubling lookup is a broadcast self-join of the
+    ≤100 leading ranks; the 1-row total rides an identity
+    broadcast."""
+    c = (
+        term_count_partials(t(spark, sf, "documents"))
+        .groupBy("term")
+        .agg(F.sum("cnt").cast("bigint").alias("freq"))
     )
-    c = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("freq"))
     wo = Window.orderBy(F.desc("freq"), "term")
     r = c.select(
         "term",
@@ -434,15 +440,18 @@ def text_source_diversity(spark: SparkSession, sf: str) -> DataFrame:
     are all correctly rounded, so both engines compute bit-identical
     doubles before the one half-adjust cast.
 
-    Scale shape: one (source, term) groupBy (map-side combinable),
-    one |sources|-row reduction — Σ cnt·(cnt−1) stays in BIGINT
-    (bounded by n_tokens²/vocab per source: ~4·10¹⁴ at x1000), the
-    n·(n−1) denominator rides a double so it never overflows."""
+    Scale shape: the Arrow partial-count kernel
+    (functions.text.term_count_partials) tokenizes and pre-counts per
+    batch, so the (source, term) shuffle carries ≤|vocab|·|sources|
+    partials instead of ~10⁸ token rows (measured 16.2→9.1 s at
+    x1000, exp_tokenize_kernel.py); then one |sources|-row reduction
+    — Σ cnt·(cnt−1) stays in BIGINT (bounded by n_tokens²/vocab per
+    source: ~4·10¹⁴ at x1000), the n·(n−1) denominator rides a
+    double so it never overflows."""
     c = (
-        t(spark, sf, "documents")
-        .select("source", F.explode(F.expr(_TKS)).alias("term"))
+        term_count_partials(t(spark, sf, "documents"), ("source",))
         .groupBy("source", "term")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     s = c.groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("n_tokens"),
