@@ -167,6 +167,10 @@ _SCALED_QUERIES = [
     "text_repetition_stats",
     "events_active_users",
     "sim_quantize_int8",
+    # round-6 additions: governance + corpus-shape representatives
+    "dq_expectations",
+    "tok_zipf_profile",
+    "events_wau_sliding",
 ]
 
 

@@ -126,7 +126,7 @@ _DQ_SQL = """
 """
 
 
-@_q("dq_expectations", _DQ_SQL)
+@_q("dq_expectations", _DQ_SQL, bench=True)
 def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
     """Deequ-style data-quality audit: primary-key uniqueness,
     referential integrity, range checks, and null checks across four
@@ -339,7 +339,7 @@ _ZIPF_SQL = f"""
 """
 
 
-@_q("tok_zipf_profile", _ZIPF_SQL)
+@_q("tok_zipf_profile", _ZIPF_SQL, bench=True)
 def tok_zipf_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Zipf-law profile of the corpus token distribution: the top-50
     rank/frequency table with integer ppm share, cumulative coverage,
@@ -562,7 +562,7 @@ _WAU_SQL = """
 """
 
 
-@_q("events_wau_sliding", _WAU_SQL)
+@_q("events_wau_sliding", _WAU_SQL, bench=True)
 def events_wau_sliding(spark: SparkSession, sf: str) -> DataFrame:
     """7-day rolling weekly-active-users per calendar day, with the
     DAU/WAU stickiness ratio in integer ppm.  A sliding COUNT
