@@ -82,6 +82,7 @@ SINGLE_PARTITION_OK = {
     "dq_expectations": "1-row-per-table scalar audit aggs (distinct-count final pass emits one row)",
     "tok_zipf_profile": "rank/cumsum window over the post-agg vocabulary (<=|distinct terms|)",
     "window_bollinger_bands": "rolling-moment window over the per-day aggregated series (<=|days|)",
+    "window_rsi_cutler": "lag + rolling-sum windows over the per-day aggregated series (<=|days|)",
 }
 
 BNLJ_OK = {
@@ -106,6 +107,9 @@ BNLJ_OK = {
     "dedup_embedding": "broadcast projection matrix",
     "text_lm_perplexity": "broadcast LM table",
     "zorder_values": "1-row min/max frame broadcast",
+    "dq_distribution_drift": "1-row totals crossJoin broadcast",
+    "events_ab_cuped": "1-row global-moment frame broadcast",
+    "corpus_epoch_plan": "1-row budget-totals crossJoin broadcast",
 }
 
 

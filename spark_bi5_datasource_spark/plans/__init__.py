@@ -17,6 +17,7 @@ from .round5_ops import ROUND5_OPS
 from .round6_ops import ROUND6_OPS
 from .round7_ops import ROUND7_OPS
 from .round8_ops import ROUND8_OPS
+from .round9_ops import ROUND9_OPS
 from .tpch_pack import TPCH_PACK
 
 # name -> (fn, oracle_sql | None, in_bench)
@@ -31,6 +32,7 @@ CATALOG: dict[str, tuple] = {
     **ROUND6_OPS,
     **ROUND7_OPS,
     **ROUND8_OPS,
+    **ROUND9_OPS,
 }
 
 # The driver's correctness gate checks the FIRST 50 entries of
