@@ -83,6 +83,7 @@ SINGLE_PARTITION_OK = {
     "tok_zipf_profile": "rank/cumsum window over the post-agg vocabulary (<=|distinct terms|)",
     "window_bollinger_bands": "rolling-moment window over the per-day aggregated series (<=|days|)",
     "window_rsi_cutler": "lag + rolling-sum windows over the per-day aggregated series (<=|days|)",
+    "events_wau_sliding": "prefix sum over per-day boundary deltas (<=|days|+7 rows post-agg)",
 }
 
 BNLJ_OK = {
@@ -110,6 +111,7 @@ BNLJ_OK = {
     "dq_distribution_drift": "1-row totals crossJoin broadcast",
     "events_ab_cuped": "1-row global-moment frame broadcast",
     "corpus_epoch_plan": "1-row budget-totals crossJoin broadcast",
+    "sim_mrl_prefix_recall": "<=10-query broadcast per cosine_topk leg",
 }
 
 

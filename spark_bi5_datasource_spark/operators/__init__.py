@@ -8,6 +8,7 @@ from .dedup import (
     minhash_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
@@ -55,6 +56,7 @@ __all__ = [
     "minhash_dedup",
     "minhash_lsh_pairs",
     "minhash_signatures",
+    "ngram_containment_pairs",
     "ngram_jaccard_pairs",
     "ntile_expr",
     "pagerank",

@@ -250,6 +250,103 @@ def ngram_jaccard_pairs(
     return cross.unionByName(within)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT join — the asymmetric near-dup
+    measure: cont(A→B) = |A∩B| / |A| detects a document embedded
+    inside a larger one, which Jaccard misses (a quote inside a long
+    page has tiny union but full containment).  Returns
+    (id_a, id_b, cont_ab_ppm, cont_ba_ppm) for id_a < id_b where the
+    LARGER direction clears ``threshold_ppm``; both directions are
+    exact integer ppm (floor), so the values hash stably across
+    engines.
+
+    Same inverted-shingle-index shape and exact-duplicate collapse as
+    ``ngram_jaccard_pairs`` (identical texts have identical shingle
+    sets, so group members inherit the representative pair's
+    containments — but the asymmetric values must FLIP when the
+    least/greatest id normalization swaps which group supplies id_a).
+    """
+    rows = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    reps = rows.groupBy("__t").agg(
+        F.min("id").alias("id"), F.count("*").alias("__gsz")
+    )
+    members = rows.join(reps.select(F.col("id").alias("__rid"), "__t"), "__t")
+    sh = with_shingles(reps, "__t", n).select(
+        F.col("id").alias("doc"), F.explode("shingles").alias("shingle")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .groupBy(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    rep_pairs = (
+        inter.join(
+            sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("inter * 1000000 div sz_a").alias("c_ab"),
+            F.expr("inter * 1000000 div sz_b").alias("c_ba"),
+        )
+        .filter(F.expr(f"greatest(c_ab, c_ba) >= {threshold_ppm}"))
+    )
+    ma = members.select(F.col("__rid").alias("id_a"), F.col("id").alias("__ia"))
+    mb = members.select(F.col("__rid").alias("id_b"), F.col("id").alias("__ib"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__ia", "__ib").alias("out_a"),
+            F.greatest("__ia", "__ib").alias("out_b"),
+            # containment is directional: when the normalization swaps
+            # the sides, the two ppm values swap with them
+            F.when(F.col("__ia") <= F.col("__ib"), F.col("c_ab"))
+            .otherwise(F.col("c_ba"))
+            .alias("cont_ab_ppm"),
+            F.when(F.col("__ia") <= F.col("__ib"), F.col("c_ba"))
+            .otherwise(F.col("c_ab"))
+            .alias("cont_ba_ppm"),
+        )
+        .withColumnsRenamed({"out_a": "id_a", "out_b": "id_b"})
+    )
+    m1 = members.select("__rid", F.col("id").alias("id_a"))
+    m2 = members.select("__rid", F.col("id").alias("id_b"))
+    within = (
+        reps.filter(F.col("__gsz") > 1)
+        .select(F.col("id").alias("__rid"))
+        .join(m1, "__rid")
+        .join(m2, "__rid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.lit(1_000_000).cast("bigint").alias("cont_ab_ppm"),
+            F.lit(1_000_000).cast("bigint").alias("cont_ba_ppm"),
+        )
+    )
+    if threshold_ppm > 1_000_000:
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,

@@ -567,36 +567,64 @@ def events_wau_sliding(spark: SparkSession, sf: str) -> DataFrame:
     """7-day rolling weekly-active-users per calendar day, with the
     DAU/WAU stickiness ratio in integer ppm.  A sliding COUNT
     DISTINCT cannot ride a window frame (distinct is not mergeable
-    across frame slides), so each (user, day) activity contributes
-    itself to the 7 target days it covers — the explode-offsets
-    contribution pattern — and the distinct count runs per target
-    day.
+    across frame slides).  This plan uses the INTERVAL SWEEP: a user
+    counts toward WAU(t) iff t lies in some [day, day+6] coverage
+    interval of their activity days, so per user the activity days
+    merge into maximal coverage intervals (consecutive actives ≤6
+    days apart fuse — one lag + one running-sum window per user, no
+    fan-out), each interval emits +1 at its start and -1 the day
+    after it ends, and WAU(t) is the prefix sum of the per-day delta
+    totals.  Replaces the explode-7-offsets contribution shape
+    (700M rows through a per-day distinct at x1000) with a keyed
+    window over the deduped (user, day) pairs: measured 43.0 s →
+    8.7 s at x1000 (scripts/exp_wau_sweep.py, exact-equality
+    checked).
 
     Scale shape: one distinct over (day, user) (map-side
-    combinable), a 7× explode (bounded fan-out, no self-join), a
-    semi-filter onto observed days via a broadcast of the ≤|days|
-    day list, then one distinct aggregation keyed by day.  Never
-    materializes a per-day user-list range join, which at 100 TB
-    would be |days| × |events| nested-loop."""
+    combinable), one user_id-keyed window pass (the lag and the
+    running interval-group sum share a single sort; the groupBy
+    (user_id, grp) reuses the same hash partitioning — no second
+    shuffle), boundary deltas collapse map-side to ≤|days|+7 rows,
+    and the final prefix sum rides that tiny series (documented
+    SinglePartition bound, same class as events_active_users).
+    Never a per-day range self-join, which at 100 TB would be
+    |days| × |events| nested-loop."""
     du = (
         t(spark, sf, "events")
         .where(F.col("ts").isNotNull())
         .select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
     )
-    days = du.select("day").distinct().withColumnRenamed("day", "t")
-    contrib = du.select(
-        F.explode(F.expr("sequence(0, 6)")).alias("i"), "day", "user_id"
-    ).select(F.expr("date_add(day, i)").alias("t"), "user_id")
-    wau = (
-        contrib.join(F.broadcast(days), "t")
-        .groupBy("t")
-        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    wu = Window.partitionBy("user_id").orderBy("day")
+    iv = (
+        du.withColumn(
+            "new_iv",
+            F.when(F.datediff("day", F.lag("day").over(wu)) > 6, 1).otherwise(0),
+        )
+        .withColumn(
+            "grp",
+            F.sum("new_iv").over(
+                wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "grp")
+        .agg(F.min("day").alias("s"), F.max("day").alias("e"))
     )
+    days = du.select("day").distinct()
+    deltas = (
+        iv.select(F.col("s").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            iv.select(F.date_add("e", 7).alias("day"), F.lit(-1).alias("d"))
+        )
+        .unionAll(days.select("day", F.lit(0).alias("d")))
+        .groupBy("day")
+        .agg(F.sum("d").alias("d"))
+    )
+    ws = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wau = deltas.withColumn("wau", F.sum("d").over(ws).cast("bigint")).drop("d")
     dau = du.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
     return (
-        wau.withColumnRenamed("t", "day")
-        .join(dau, "day")
+        wau.join(dau, "day")  # inner join keeps only observed days
         .select(
             "day",
             "dau",

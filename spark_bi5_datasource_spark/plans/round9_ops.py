@@ -640,3 +640,130 @@ def tok_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------- n-gram containment join
+
+_CONTAIN_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+      FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)
+      WHERE len(tk) >= 3
+      UNION
+      SELECT doc_id, array_to_string(tk, ' ') AS shingle
+      FROM toks WHERE len(tk) < 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ic
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+      CAST(ic * 1000000 // sa.sz AS BIGINT) AS cont_ab_ppm,
+      CAST(ic * 1000000 // sb.sz AS BIGINT) AS cont_ba_ppm
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(ic * 1000000 // sa.sz, ic * 1000000 // sb.sz) >= 500000
+"""
+
+
+@_q("dedup_ngram_containment", _CONTAIN_SQL)
+def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric near-dup detection: n-gram CONTAINMENT
+    cont(A→B) = |A∩B| / |A| — catches a document embedded inside a
+    larger one (full containment, tiny Jaccard), the case symmetric
+    resemblance misses; both directions in exact integer ppm,
+    emitted when the larger direction clears 0.5.
+
+    Scale shape: the operators/dedup.py inverted-shingle-index with
+    exact-duplicate collapse (duplicate texts share shingle sets, so
+    representatives carry the index join and members inherit the
+    ppm pair — with the directional values flipped when the id
+    normalization swaps sides); the oracle is the collapse-free
+    all-pairs twin, equal by that inheritance argument."""
+    from ..operators import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", n=3,
+        threshold_ppm=500_000,
+    )
+
+
+# ------------------------------------------ Matryoshka prefix recall
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+)
+_NRM = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+
+_MRL_SQL = f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        CAST(embedding AS DOUBLE[])[1:16] AS p
+      FROM embeddings
+    ), full_k AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS nbr_id,
+        row_number() OVER (PARTITION BY b.vec_id ORDER BY
+          {_DOT.format(a="a.e", b="b.e")}
+            / ({_NRM.format(v="a.e")} * {_NRM.format(v="b.e")}) DESC,
+          a.vec_id ASC) AS rank
+      FROM n a, n b WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+      QUALIFY rank <= 5
+    ), pre_k AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS nbr_id,
+        row_number() OVER (PARTITION BY b.vec_id ORDER BY
+          {_DOT.format(a="a.p", b="b.p")}
+            / ({_NRM.format(v="a.p")} * {_NRM.format(v="b.p")}) DESC,
+          a.vec_id ASC) AS rank
+      FROM n a, n b WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+      QUALIFY rank <= 5
+    )
+    SELECT f.query_id,
+      CAST(count(p.nbr_id) AS BIGINT) AS n_overlap,
+      CAST(count(p.nbr_id) * 1000000 // 5 AS BIGINT) AS recall_ppm
+    FROM full_k f LEFT JOIN pre_k p
+      ON p.query_id = f.query_id AND p.nbr_id = f.nbr_id
+    GROUP BY f.query_id ORDER BY f.query_id
+"""
+
+
+@_q("sim_mrl_prefix_recall", _MRL_SQL)
+def sim_mrl_prefix_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-representation evaluation: top-5 recall of
+    PREFIX-dimension (first 16 of 64) cosine retrieval against the
+    full-dimension ranking, per query — the standard check before
+    shipping truncated embeddings as the cheap first-stage retriever.
+    Recall is an exact integer ratio in ppm.
+
+    Scale shape: two cosine_topk legs (corpus scanned once per leg,
+    ≤10-query broadcast — the documented BNLJ contract of
+    sim_cosine_topk), then a broadcast-sized overlap join on the two
+    k·|queries|-row top-k frames."""
+    from ..operators.similarity import cosine_topk
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    full_k = cosine_topk(emb, queries, k=5).select("query_id", "nbr_id")
+    pre = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    pre_k = (
+        cosine_topk(pre, pre.filter(F.col("vec_id") < 10), k=5)
+        .select("query_id", "nbr_id", F.lit(1).alias("hit"))
+    )
+    return (
+        full_k.join(pre_k, ["query_id", "nbr_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_overlap"),
+            F.expr("CAST(count(hit) * 1000000 div 5 AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("query_id")
+    )
