@@ -84,6 +84,7 @@ SINGLE_PARTITION_OK = {
     "window_bollinger_bands": "rolling-moment window over the per-day aggregated series (<=|days|)",
     "window_rsi_cutler": "lag + rolling-sum windows over the per-day aggregated series (<=|days|)",
     "events_wau_sliding": "prefix sum over per-day boundary deltas (<=|days|+7 rows post-agg)",
+    "corpus_source_gini": "rank/cumsum window over the per-source aggregate (<=|sources| rows)",
 }
 
 BNLJ_OK = {
@@ -112,6 +113,8 @@ BNLJ_OK = {
     "events_ab_cuped": "1-row global-moment frame broadcast",
     "corpus_epoch_plan": "1-row budget-totals crossJoin broadcast",
     "sim_mrl_prefix_recall": "<=10-query broadcast per cosine_topk leg",
+    "corpus_source_gini": "1-row moment frame crossJoin broadcast",
+    "dq_benford_first_digit": "1-row totals crossJoin broadcast",
 }
 
 

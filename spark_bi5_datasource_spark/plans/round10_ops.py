@@ -1,0 +1,668 @@
+"""Round-10 catalog additions — more financial-indicator windows (the
+reference's home domain is FX tick archives:
+spark-2.4/src/main/scala/be/salvania/BI5DataSource.scala), data-quality
+forensics, corpus-concentration planning, experiment guardrails, and a
+graph-similarity primitive:
+
+* stochastic oscillator — 14-day %K / 3-day %D per event-type price
+  series in exact integer ppm (the raw and smoothed variants are both
+  window sums over the per-day aggregate — no recursion);
+* Donchian channels — 20-day high/low channel per series in exact
+  cents, with breakout flags against the PRIOR day's channel (lag of
+  the full-window extrema — the textbook turtle-trading signal);
+* Benford first-digit audit — first-significant-digit shares of the
+  order totals vs the Benford expectation in ppm, per-digit and total
+  L1 deviation: the fraud/synthetic-data forensics check, float-free
+  (the log10(1+1/d) expectations are pinned integer literals);
+* source-size Gini — Lorenz curve + Gini coefficient of the
+  per-source character mass, the corpus-concentration number a
+  mixture plan starts from; exact integer rank formula
+  (2·Σi·xᵢ − (n+1)·Σx)·10⁶ // (n·Σx) over ascending ranks;
+* A/B sample-ratio-mismatch — per-day χ² SRM guardrail on the
+  id-parity assignment of events_ab_lift (round5_ops.py): with equal
+  expected splits χ² = (nₐ−n_b)²/(nₐ+n_b), kept exact in milli-units
+  and the p<0.05 flag cross-multiplied against 3.841·(nₐ+n_b);
+* neighbor Jaccard — link-prediction similarity |N(u)∩N(v)| /
+  |N(u)∪N(v)| over the part co-purchase graph of graph_triangle_count
+  (round4_ops.py), for connected pairs, in ppm;
+* type-token ratio — per-source lexical diversity (TTR + hapax
+  share) over the corpus tokenization convention of tok_vocab_topk.
+
+Oracle policy: counts/cents ride BIGINT; ratios are integer ppm via
+`div`/`//` (every numerator here is provably non-negative, so Spark's
+truncating div and DuckDB's flooring // agree); flags are
+cross-multiplied integer comparisons.  Everything is beyond-reference
+query surface (the reference is a read-only scan connector)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .fastmoney import HALF_ADJUST_CENTS as _HA
+from .tables import t
+
+ROUND10_OPS: dict[str, tuple] = {}
+
+
+def _q(name: str, sql: str | None, bench: bool = False):
+    def wrap(fn):
+        ROUND10_OPS[name] = (fn, sql, bench)
+        return fn
+
+    return wrap
+
+
+# ------------------------------------------- stochastic oscillator
+
+_STOCH_SQL = """
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), px AS (
+      SELECT event_type, day,
+        CAST(max(cents) AS BIGINT) AS hi, CAST(min(cents) AS BIGINT) AS lo,
+        CAST(arg_max(cents, ts) AS BIGINT) AS cl
+      FROM base GROUP BY event_type, day
+    ), k AS (
+      SELECT event_type, day, cl,
+        CAST(count(*) OVER w AS BIGINT) AS n,
+        CAST(max(hi) OVER w AS BIGINT) AS hh,
+        CAST(min(lo) OVER w AS BIGINT) AS ll
+      FROM px
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), kv AS (
+      SELECT event_type, day, cl, hh, ll,
+        CAST(CASE WHEN hh = ll THEN 500000
+             ELSE (cl - ll) * 1000000 // (hh - ll) END AS BIGINT) AS k_ppm
+      FROM k WHERE n = 14
+    ), d AS (
+      SELECT *, CAST(count(*) OVER w3 AS BIGINT) AS nk,
+        CAST(sum(k_ppm) OVER w3 AS BIGINT) AS sk
+      FROM kv
+      WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, cl AS close_cents, k_ppm,
+      CAST(sk // 3 AS BIGINT) AS d_ppm,
+      k_ppm > 800000 AS overbought, k_ppm < 200000 AS oversold
+    FROM d WHERE nk = 3 ORDER BY event_type, day
+"""
+
+
+@_q("window_stochastic_osc", _STOCH_SQL)
+def window_stochastic_osc(spark: SparkSession, sf: str) -> DataFrame:
+    """Stochastic oscillator per event-type price series: 14-day raw
+    %K = (close − low₁₄) / (high₁₄ − low₁₄) and the 3-day simple-mean
+    %D, both exact integer ppm; 80/20 overbought/oversold flags on
+    %K.  The SMA smoothing (not an EWMA) keeps %D window-expressible;
+    a flat 14-day range pins %K to the 500000 midpoint.
+
+    Scale shape: one map-side-combinable per-(type, day) OHLC groupBy
+    over the events scan; both window passes ride the |types|·|days|
+    aggregate partitioned by event_type — same class as
+    window_atr_bands (round9_ops.py)."""
+    base = (
+        t(spark, sf, "events")
+        .where("ts IS NOT NULL AND value IS NOT NULL")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            F.expr(_HA.format(x="value", m="100")).alias("cents"),
+        )
+    )
+    px = base.groupBy("event_type", "day").agg(
+        F.max("cents").cast("bigint").alias("hi"),
+        F.min("cents").cast("bigint").alias("lo"),
+        F.expr("max_by(cents, ts)").cast("bigint").alias("cl"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    w14 = wt.rowsBetween(-13, 0)
+    kv = (
+        px.select(
+            "event_type",
+            "day",
+            "cl",
+            F.count("*").over(w14).cast("bigint").alias("n"),
+            F.max("hi").over(w14).cast("bigint").alias("hh"),
+            F.min("lo").over(w14).cast("bigint").alias("ll"),
+        )
+        .where("n = 14")
+        .withColumn(
+            "k_ppm",
+            F.expr(
+                "CAST(CASE WHEN hh = ll THEN 500000"
+                " ELSE (cl - ll) * 1000000 div (hh - ll) END AS BIGINT)"
+            ),
+        )
+    )
+    w3 = wt.rowsBetween(-2, 0)
+    return (
+        kv.select(
+            "event_type",
+            "day",
+            F.col("cl").alias("close_cents"),
+            "k_ppm",
+            F.count("*").over(w3).cast("bigint").alias("nk"),
+            F.sum("k_ppm").over(w3).cast("bigint").alias("sk"),
+        )
+        .where("nk = 3")
+        .select(
+            "event_type",
+            "day",
+            "close_cents",
+            "k_ppm",
+            F.expr("sk div 3").cast("bigint").alias("d_ppm"),
+            F.expr("k_ppm > 800000").alias("overbought"),
+            F.expr("k_ppm < 200000").alias("oversold"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------------------- Donchian channels
+
+_DONCHIAN_SQL = """
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), px AS (
+      SELECT event_type, day,
+        CAST(max(cents) AS BIGINT) AS hi, CAST(min(cents) AS BIGINT) AS lo,
+        CAST(arg_max(cents, ts) AS BIGINT) AS cl
+      FROM base GROUP BY event_type, day
+    ), ch AS (
+      SELECT event_type, day, cl,
+        CAST(count(*) OVER w AS BIGINT) AS n,
+        CAST(max(hi) OVER w AS BIGINT) AS upper_cents,
+        CAST(min(lo) OVER w AS BIGINT) AS lower_cents
+      FROM px
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), full_ch AS (
+      SELECT event_type, day, cl, upper_cents, lower_cents,
+        lag(upper_cents) OVER wt AS prev_upper,
+        lag(lower_cents) OVER wt AS prev_lower,
+        lag(n) OVER wt AS prev_n
+      FROM ch WHERE n = 20
+      WINDOW wt AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, cl AS close_cents, upper_cents, lower_cents,
+      CAST((upper_cents + lower_cents) // 2 AS BIGINT) AS mid_cents,
+      cl > prev_upper AS breakout_up, cl < prev_lower AS breakout_down
+    FROM full_ch WHERE prev_n IS NOT NULL
+    ORDER BY event_type, day
+"""
+
+
+@_q("window_donchian_channels", _DONCHIAN_SQL)
+def window_donchian_channels(spark: SparkSession, sf: str) -> DataFrame:
+    """Donchian 20-day channel per event-type price series in exact
+    cents, with turtle-style breakout flags: close above/below the
+    PRIOR day's full-window channel (the lag runs over rows that
+    already have 20 days of history, so a breakout never compares
+    against a partially-filled channel).  Midline is the floor of the
+    channel mean — cents are positive, so truncating and flooring
+    division agree.
+
+    Scale shape: identical to window_stochastic_osc — one heavy
+    per-(type, day) OHLC pass, then event_type-partitioned windows
+    over the tiny aggregate."""
+    base = (
+        t(spark, sf, "events")
+        .where("ts IS NOT NULL AND value IS NOT NULL")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            F.expr(_HA.format(x="value", m="100")).alias("cents"),
+        )
+    )
+    px = base.groupBy("event_type", "day").agg(
+        F.max("cents").cast("bigint").alias("hi"),
+        F.min("cents").cast("bigint").alias("lo"),
+        F.expr("max_by(cents, ts)").cast("bigint").alias("cl"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    w20 = wt.rowsBetween(-19, 0)
+    ch = px.select(
+        "event_type",
+        "day",
+        "cl",
+        F.count("*").over(w20).cast("bigint").alias("n"),
+        F.max("hi").over(w20).cast("bigint").alias("upper_cents"),
+        F.min("lo").over(w20).cast("bigint").alias("lower_cents"),
+    ).where("n = 20")
+    full_ch = ch.select(
+        "event_type",
+        "day",
+        "cl",
+        "upper_cents",
+        "lower_cents",
+        F.lag("upper_cents").over(wt).alias("prev_upper"),
+        F.lag("lower_cents").over(wt).alias("prev_lower"),
+        F.lag("n").over(wt).alias("prev_n"),
+    )
+    return (
+        full_ch.where("prev_n IS NOT NULL")
+        .select(
+            "event_type",
+            "day",
+            F.col("cl").alias("close_cents"),
+            "upper_cents",
+            "lower_cents",
+            F.expr("(upper_cents + lower_cents) div 2")
+            .cast("bigint")
+            .alias("mid_cents"),
+            F.expr("cl > prev_upper").alias("breakout_up"),
+            F.expr("cl < prev_lower").alias("breakout_down"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------- Benford digit audit
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — pinned literals so the
+# expectation never touches engine float logs
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+_BENFORD_SQL = f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), agg AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM agg),
+    rows_d AS (
+      SELECT digit, n,
+        CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+        CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm
+      FROM agg, tot
+    ), dev AS (
+      SELECT digit, n, share_ppm, benford_ppm,
+        CAST(abs(share_ppm - benford_ppm) AS BIGINT) AS dev_ppm
+      FROM rows_d
+    )
+    SELECT * FROM dev
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(sum(n) AS BIGINT),
+      CAST(sum(share_ppm) AS BIGINT), CAST(sum(benford_ppm) AS BIGINT),
+      CAST(sum(dev_ppm) AS BIGINT)
+    FROM dev
+    ORDER BY digit
+"""
+
+
+@_q("dq_benford_first_digit", _BENFORD_SQL)
+def dq_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law forensics on the order totals: first-significant-
+    digit shares in ppm against the pinned floor(log10(1+1/d)·10⁶)
+    expectations, per-digit absolute deviation, and a digit = −1
+    summary row carrying the totals (same summary convention as
+    dq_distribution_drift, round9_ops.py).  Fabricated or synthetic
+    money columns fail this audit first; the expectations are integer
+    literals so no float log crosses the engine boundary.
+
+    Scale shape: first digit via string head of the exact cents (stays
+    in codegen), one map-side-combinable 9-group aggregate, a 1-row
+    totals crossJoin broadcast, and a ≤10-row summary union."""
+    c = (
+        t(spark, sf, "orders")
+        .where("o_totalprice > 0")
+        .select(
+            F.expr(
+                "CAST(substr(CAST("
+                + _HA.format(x="o_totalprice", m="100")
+                + " AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+    )
+    agg = c.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    tot = agg.agg(F.sum("n").cast("bigint").alias("total"))
+    dev = (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST(n * 1000000 div total AS BIGINT)").alias("share_ppm"),
+            F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("benford_ppm"),
+        )
+        .withColumn(
+            "dev_ppm",
+            F.expr("CAST(abs(share_ppm - benford_ppm) AS BIGINT)"),
+        )
+    )
+    summary = dev.agg(
+        F.lit(-1).cast("bigint").alias("digit"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("share_ppm").cast("bigint").alias("share_ppm"),
+        F.sum("benford_ppm").cast("bigint").alias("benford_ppm"),
+        F.sum("dev_ppm").cast("bigint").alias("dev_ppm"),
+    )
+    return dev.unionByName(summary).orderBy("digit")
+
+
+# ------------------------------------------------- source-size Gini
+
+_GINI_SQL = """
+    WITH s AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ), r AS (
+      SELECT source, chars,
+        CAST(row_number() OVER (ORDER BY chars, source) AS BIGINT) AS rank,
+        CAST(sum(chars) OVER (ORDER BY chars, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_chars
+      FROM s
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(chars) AS BIGINT) AS t,
+        CAST(sum(rank * chars) AS BIGINT) AS rx
+      FROM r
+    )
+    SELECT rank, source, chars,
+      CAST(chars * 1000000 // t AS BIGINT) AS share_ppm,
+      CAST(cum_chars * 1000000 // t AS BIGINT) AS cum_share_ppm,
+      CAST((2 * rx - (n + 1) * t) * 1000000 // (n * t) AS BIGINT)
+        AS gini_ppm
+    FROM r, g ORDER BY rank
+"""
+
+
+@_q("corpus_source_gini", _GINI_SQL)
+def corpus_source_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-concentration readout: the Lorenz curve of per-source
+    character mass (ascending rank, share and cumulative share in
+    ppm) plus the Gini coefficient from the exact integer rank
+    formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) — the number that
+    says whether the corpus is a few-megasource monoculture before a
+    mixture plan (corpus_epoch_plan, round9_ops.py) is drawn up.
+    Sorted ascending, the numerator is provably ≥ 0, so floor and
+    truncating division agree; ties rank deterministically by source.
+
+    Scale shape: one map-side-combinable per-source sum over the
+    documents scan; ranking, the cumulative sum, and the 1-row
+    moment frame all ride the ≤|sources| aggregate (documented
+    SinglePartition + BNLJ bounds in scripts/plan_audit.py)."""
+    s = (
+        t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("chars"))
+    )
+    w = Window.orderBy("chars", "source")
+    r = s.select(
+        "source",
+        "chars",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("chars")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_chars"),
+    )
+    g = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("chars").cast("bigint").alias("t"),
+        F.sum(F.expr("rank * chars")).cast("bigint").alias("rx"),
+    )
+    return (
+        r.crossJoin(F.broadcast(g))
+        .select(
+            "rank",
+            "source",
+            "chars",
+            F.expr("CAST(chars * 1000000 div t AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST(cum_chars * 1000000 div t AS BIGINT)").alias(
+                "cum_share_ppm"
+            ),
+            F.expr(
+                "CAST((2 * rx - (n + 1) * t) * 1000000 div (n * t) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ------------------------------------------- A/B sample-ratio check
+
+_SRM_SQL = """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE ts IS NOT NULL
+    ), daily AS (
+      SELECT day,
+        CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+        CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n_b
+      FROM du GROUP BY day
+      UNION ALL
+      SELECT DATE '1900-01-01',
+        CAST(count(DISTINCT user_id) FILTER (user_id % 2 = 0) AS BIGINT),
+        CAST(count(DISTINCT user_id) FILTER (user_id % 2 = 1) AS BIGINT)
+      FROM du
+    )
+    SELECT day, n_a, n_b,
+      CAST((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) AS BIGINT)
+        AS chi2_milli,
+      (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b) AS srm
+    FROM daily WHERE n_a + n_b > 0 ORDER BY day
+"""
+
+
+@_q("events_ab_srm_check", _SRM_SQL)
+def events_ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the id-parity experiment of
+    events_ab_lift (round5_ops.py): per-exposure-day distinct-user
+    counts per variant, the equal-split χ² = (nₐ−n_b)²/(nₐ+n_b) in
+    exact milli-units, and the p<0.05 flag cross-multiplied against
+    the 3.841 critical value — the check every A/B readout must pass
+    before its lift number is believed.  A 1900-01-01 marker row
+    carries the whole-experiment distinct-user SRM (not the sum of
+    dailies — a user active on k days is one exposure, k day-rows).
+
+    Scale shape: one distinct over (day, user) (map-side
+    combinable), a per-day 2-counter rollup, and a whole-table
+    distinct-user rollup union — all integer arithmetic, no float χ²
+    crosses the engine boundary."""
+    du = (
+        t(spark, sf, "events")
+        .where(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    daily = du.groupBy("day").agg(
+        F.count_if(F.expr("user_id % 2 = 0")).cast("bigint").alias("n_a"),
+        F.count_if(F.expr("user_id % 2 = 1")).cast("bigint").alias("n_b"),
+    )
+    overall = du.agg(
+        F.lit("1900-01-01").cast("date").alias("day"),
+        F.count_distinct(F.when(F.expr("user_id % 2 = 0"), F.col("user_id")))
+        .cast("bigint")
+        .alias("n_a"),
+        F.count_distinct(F.when(F.expr("user_id % 2 = 1"), F.col("user_id")))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    return (
+        daily.unionByName(overall)
+        .where("n_a + n_b > 0")
+        .select(
+            "day",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b)"
+                " AS BIGINT)"
+            ).alias("chi2_milli"),
+            F.expr(
+                "(n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)"
+            ).alias("srm"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------- neighbor Jaccard sim
+
+_NBR_JACCARD_SQL = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+      SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
+    ), adj AS (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node
+    ), common AS (
+      SELECT x.node AS u, y.node AS v, CAST(count(*) AS BIGINT) AS com
+      FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+      GROUP BY u, v
+    )
+    SELECT c.u, c.v, c.com AS common_nbrs, da.deg AS deg_u, db.deg AS deg_v,
+      CAST(c.com * 1000000 // (da.deg + db.deg - c.com) AS BIGINT)
+        AS jaccard_ppm
+    FROM common c
+    JOIN e ON e.u = c.u AND e.v = c.v
+    JOIN deg da ON da.node = c.u
+    JOIN deg db ON db.node = c.v
+    ORDER BY jaccard_ppm DESC, c.u, c.v
+    LIMIT 50
+"""
+
+
+@_q("graph_neighbor_jaccard", _NBR_JACCARD_SQL)
+def graph_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-prediction similarity over the part co-purchase graph of
+    graph_triangle_count (round4_ops.py): for each connected pair,
+    |N(u)∩N(v)| / |N(u)∪N(v)| in exact ppm (union by
+    inclusion-exclusion on the degrees), top-50 by similarity — the
+    'substitutable parts' readout.
+
+    Scale shape: the common-neighbor count is the same wedge join as
+    triangle counting (adjacency self-joined on the shared neighbor,
+    grouped by endpoints — every wedge stays keyed on its endpoints
+    through the shuffle); the semi-restriction to actual edges and
+    the two degree joins are |edges|-sized."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.toDF("l_orderkey", "b_partkey")
+    pairs = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("b_partkey"))
+        .select(
+            "l_orderkey",
+            F.col("l_partkey").alias("u"),
+            F.col("b_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    e = (
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
+    x = adj.toDF("u", "nbr")
+    y = adj.toDF("v", "nbr")
+    common = (
+        x.join(y, "nbr")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("com"))
+    )
+    return (
+        common.join(e, ["u", "v"], "semi")
+        .join(deg.toDF("u", "deg_u"), "u")
+        .join(deg.toDF("v", "deg_v"), "v")
+        .select(
+            "u",
+            "v",
+            F.col("com").alias("common_nbrs"),
+            "deg_u",
+            "deg_v",
+            F.expr(
+                "CAST(com * 1000000 div (deg_u + deg_v - com) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("jaccard_ppm").desc(), "u", "v")
+        .limit(50)
+    )
+
+
+# ------------------------------------------------ type-token ratio
+
+_TTR_SQL = """
+    WITH toks AS (
+      SELECT source, unnest(list_filter(
+          string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+      FROM documents
+    ), tc AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+      CAST(sum(c) AS BIGINT) AS total_tokens,
+      CAST(count(*) AS BIGINT) AS distinct_tokens,
+      CAST(count(*) FILTER (c = 1) AS BIGINT) AS hapax_tokens,
+      CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm,
+      CAST(count(*) FILTER (c = 1) * 1000000 // count(*) AS BIGINT)
+        AS hapax_share_ppm
+    FROM tc GROUP BY source ORDER BY source
+"""
+
+
+@_q("tok_ttr_by_source", _TTR_SQL)
+def tok_ttr_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source lexical diversity under the corpus tokenization
+    convention of tok_vocab_topk (curation_ops.py): type-token ratio
+    (distinct / total tokens) and hapax-legomena share (once-seen /
+    distinct) in exact ppm — low TTR or a collapsed hapax share flags
+    boilerplate-heavy or template-generated sources before they feed
+    a mixture.
+
+    Scale shape: the token explosion collapses map-side on
+    (source, tok) — only distinct per-source terms reach the shuffle
+    (same shape as tok_vocab_topk); the second rollup is |sources|
+    groups with all counters as partial aggregates."""
+    toks = t(spark, sf, "documents").select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_tokens"),
+            F.count("*").cast("bigint").alias("distinct_tokens"),
+            F.count_if(F.expr("c = 1")).cast("bigint").alias("hapax_tokens"),
+            F.expr("CAST(count(*) * 1000000 div sum(c) AS BIGINT)").alias(
+                "ttr_ppm"
+            ),
+            F.expr(
+                "CAST(count_if(c = 1) * 1000000 div count(*) AS BIGINT)"
+            ).alias("hapax_share_ppm"),
+        )
+        .orderBy("source")
+    )
