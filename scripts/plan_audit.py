@@ -58,6 +58,8 @@ ARROW_KERNELS = {
     "sim_pq_exact": "PQ codebook kernel",
     "tok_zipf_profile": "term-count partial kernel (functions/text.py term_count_partials)",
     "text_source_diversity": "term-count partial kernel (functions/text.py term_count_partials)",
+    "tok_ttr_by_source": "term-count partial kernel (functions/text.py term_count_partials)",
+    "tok_oov_by_source": "term-count partial kernel (functions/text.py term_count_partials)",
 }
 
 # queries allowed an Exchange SinglePartition, with the bound

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .fastmoney import HALF_ADJUST_CENTS as _HA
+from .round4_ops import _copurchase_pairs
 from .tables import t
 
 ROUND10_OPS: dict[str, tuple] = {}
@@ -92,7 +93,7 @@ _STOCH_SQL = """
 """
 
 
-@_q("window_stochastic_osc", _STOCH_SQL)
+@_q("window_stochastic_osc", _STOCH_SQL, bench=True)
 def window_stochastic_osc(spark: SparkSession, sf: str) -> DataFrame:
     """Stochastic oscillator per event-type price series: 14-day raw
     %K = (close − low₁₄) / (high₁₄ − low₁₄) and the 3-day simple-mean
@@ -307,7 +308,7 @@ _BENFORD_SQL = f"""
 """
 
 
-@_q("dq_benford_first_digit", _BENFORD_SQL)
+@_q("dq_benford_first_digit", _BENFORD_SQL, bench=True)
 def dq_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
     """Benford's-law forensics on the order totals: first-significant-
     digit shares in ppm against the pinned floor(log10(1+1/d)·10⁶)
@@ -517,9 +518,11 @@ def events_ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------- neighbor Jaccard sim
 
 _NBR_JACCARD_SQL = """
-    WITH pairs AS (
-      SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ), e AS (
       SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
@@ -557,19 +560,14 @@ def graph_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     triangle counting (adjacency self-joined on the shared neighbor,
     grouped by endpoints — every wedge stays keyed on its endpoints
     through the shuffle); the semi-restriction to actual edges and
-    the two degree joins are |edges|-sized."""
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.toDF("l_orderkey", "b_partkey")
-    pairs = (
-        li.join(b, "l_orderkey")
-        .filter(F.col("l_partkey") < F.col("b_partkey"))
-        .select(
-            "l_orderkey",
-            F.col("l_partkey").alias("u"),
-            F.col("b_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    the two degree joins are |edges|-sized.  Pair generation is the
+    basket pattern (see graph_triangle_count, round4_ops.py): one
+    collect_set groupBy keys the baskets (dedup for free), pairs
+    unfold JVM-side from the sorted array — no self-join, no
+    post-join distinct; clean x1000 head-to-head (234 s vs 250 s for
+    the self-join + distinct shape) and the DuckDB disk-death story
+    live in SCALE_NOTES.md "graph pair-counting"."""
+    pairs = _copurchase_pairs(t(spark, sf, "lineitem"))
     e = (
         pairs.groupBy("u", "v")
         .agg(F.count("*").alias("c"))
@@ -629,7 +627,7 @@ _TTR_SQL = """
 """
 
 
-@_q("tok_ttr_by_source", _TTR_SQL)
+@_q("tok_ttr_by_source", _TTR_SQL, bench=True)
 def tok_ttr_by_source(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source lexical diversity under the corpus tokenization
     convention of tok_vocab_topk (curation_ops.py): type-token ratio
@@ -638,18 +636,21 @@ def tok_ttr_by_source(spark: SparkSession, sf: str) -> DataFrame:
     boilerplate-heavy or template-generated sources before they feed
     a mixture.
 
-    Scale shape: the token explosion collapses map-side on
-    (source, tok) — only distinct per-source terms reach the shuffle
-    (same shape as tok_vocab_topk); the second rollup is |sources|
-    groups with all counters as partial aggregates."""
-    toks = t(spark, sf, "documents").select(
-        "source",
-        F.explode(
-            F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
-        ).alias("tok"),
-    )
-    tc = toks.groupBy("source", "tok").agg(
-        F.count("*").cast("bigint").alias("c")
+    Scale shape: one Arrow term-count kernel pass (functions/text.py
+    term_count_partials) — per-batch exact (source, term) partials,
+    so the shuffle carries batch-vocab rows, never raw tokens
+    (measured 18.7 s → JVM-explode-free at x1000, same kernel win as
+    tok_zipf_profile); the second rollup is |sources| groups with all
+    counters as partial aggregates."""
+    from ..functions.text import term_count_partials
+
+    tc = (
+        term_count_partials(
+            t(spark, sf, "documents"), ("source",), "text"
+        )
+        .withColumnRenamed("term", "tok")
+        .groupBy("source", "tok")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
     return (
         tc.groupBy("source")
@@ -666,3 +667,317 @@ def tok_ttr_by_source(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------ floor-trader pivots
+
+_PIVOT_SQL = """
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), px AS (
+      SELECT event_type, day,
+        CAST(max(cents) AS BIGINT) AS hi, CAST(min(cents) AS BIGINT) AS lo,
+        CAST(arg_max(cents, ts) AS BIGINT) AS cl
+      FROM base GROUP BY event_type, day
+    ), pv AS (
+      SELECT event_type, day, cl,
+        lag(hi) OVER w AS ph, lag(lo) OVER w AS pl, lag(cl) OVER w AS pc
+      FROM px WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, cl AS close_cents,
+      CAST((ph + pl + pc) // 3 AS BIGINT) AS pivot_cents,
+      CAST(2 * ((ph + pl + pc) // 3) - pl AS BIGINT) AS r1_cents,
+      CAST(2 * ((ph + pl + pc) // 3) - ph AS BIGINT) AS s1_cents,
+      CAST((ph + pl + pc) // 3 + (ph - pl) AS BIGINT) AS r2_cents,
+      CAST((ph + pl + pc) // 3 - (ph - pl) AS BIGINT) AS s2_cents
+    FROM pv WHERE ph IS NOT NULL ORDER BY event_type, day
+"""
+
+
+@_q("window_pivot_points", _PIVOT_SQL)
+def window_pivot_points(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic floor-trader pivot levels per event-type series: pivot
+    = (prevH + prevL + prevC) / 3 from the PRIOR day's bar, with
+    R1/S1 (reflections through the pivot) and R2/S2 (range
+    extensions) — the intraday support/resistance scaffold, all in
+    exact integer cents (prices are positive, so the single floored
+    /3 agrees across engines; every other level is ± arithmetic).
+
+    Scale shape: one map-side-combinable per-(type, day) OHLC pass,
+    then a single lag window over the |types|·|days| aggregate —
+    same class as window_atr_bands (round9_ops.py)."""
+    base = (
+        t(spark, sf, "events")
+        .where("ts IS NOT NULL AND value IS NOT NULL")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            F.expr(_HA.format(x="value", m="100")).alias("cents"),
+        )
+    )
+    px = base.groupBy("event_type", "day").agg(
+        F.max("cents").cast("bigint").alias("hi"),
+        F.min("cents").cast("bigint").alias("lo"),
+        F.expr("max_by(cents, ts)").cast("bigint").alias("cl"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    pv = px.select(
+        "event_type",
+        "day",
+        "cl",
+        F.lag("hi").over(wt).alias("ph"),
+        F.lag("lo").over(wt).alias("pl"),
+        F.lag("cl").over(wt).alias("pc"),
+    )
+    return (
+        pv.where("ph IS NOT NULL")
+        .select(
+            "event_type",
+            "day",
+            F.col("cl").alias("close_cents"),
+            F.expr("CAST((ph + pl + pc) div 3 AS BIGINT)").alias(
+                "pivot_cents"
+            ),
+            F.expr(
+                "CAST(2 * ((ph + pl + pc) div 3) - pl AS BIGINT)"
+            ).alias("r1_cents"),
+            F.expr(
+                "CAST(2 * ((ph + pl + pc) div 3) - ph AS BIGINT)"
+            ).alias("s1_cents"),
+            F.expr(
+                "CAST((ph + pl + pc) div 3 + (ph - pl) AS BIGINT)"
+            ).alias("r2_cents"),
+            F.expr(
+                "CAST((ph + pl + pc) div 3 - (ph - pl) AS BIGINT)"
+            ).alias("s2_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ------------------------------------------------ OOV rate by source
+
+_OOV_SQL = """
+    WITH toks AS (
+      SELECT source, unnest(list_filter(
+          string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+        FROM toks GROUP BY tok
+      ) WHERE rnk <= 20
+    ), sc AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+      CAST(sum(c) AS BIGINT) AS total_tokens,
+      CAST(coalesce(sum(c) FILTER (tok NOT IN (SELECT tok FROM vocab)), 0)
+        AS BIGINT) AS oov_tokens,
+      CAST(coalesce(sum(c) FILTER (tok NOT IN (SELECT tok FROM vocab)), 0)
+        * 1000000 // sum(c) AS BIGINT) AS oov_ppm
+    FROM sc GROUP BY source ORDER BY source
+"""
+
+
+@_q("tok_oov_by_source", _OOV_SQL)
+def tok_oov_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-vocabulary pressure per source: with the corpus top-20
+    tokens as the closed vocabulary (frequency-ranked, ties broken
+    lexically), the share of token OCCURRENCES each source emits
+    outside it, in exact ppm — the per-source view of how badly a
+    fixed tokenizer undercovers a new source before it is mixed in.
+
+    Scale shape: ONE Arrow term-count kernel pass over the documents
+    scan (functions/text.py term_count_partials — per-batch exact
+    (source, term) partials, so the shuffle carries batch-vocab rows,
+    never raw tokens); the per-source usage reduces those partials
+    and the corpus-wide vocabulary is a second tiny rollup OF the
+    per-source counts — the text is tokenized exactly once.  The
+    ≤20-row vocabulary broadcasts into a left join and the final
+    rollup is |sources| groups.  The vocabulary rank rides the
+    distinct-term frame (same documented bound as tok_zipf_profile,
+    scripts/plan_audit.py)."""
+    from ..functions.text import term_count_partials
+
+    sc = (
+        term_count_partials(
+            t(spark, sf, "documents"), ("source",), "text"
+        )
+        .withColumnRenamed("term", "tok")
+        .groupBy("source", "tok")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    vocab = (
+        sc.groupBy("tok")
+        .agg(F.sum("c").alias("cnt"))
+        .select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "tok"))
+            .alias("rnk"),
+        )
+        .where("rnk <= 20")
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        sc.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("in_vocab").isNull(), F.col("c"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("oov_tokens"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN in_vocab IS NULL THEN c END), 0)"
+                " * 1000000 div sum(c) AS BIGINT)"
+            ).alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------------- dedup inflation factor
+
+_INFLATION_SQL = """
+    WITH g AS (
+      SELECT source, text, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, text
+    )
+    SELECT source,
+      CAST(sum(c) AS BIGINT) AS n_docs,
+      CAST(count(*) AS BIGINT) AS distinct_texts,
+      CAST(sum(c) - count(*) AS BIGINT) AS dup_docs,
+      CAST((sum(c) - count(*)) * 1000000 // sum(c) AS BIGINT)
+        AS dup_share_ppm,
+      CAST(sum(c) * 1000 // count(*) AS BIGINT) AS inflation_ppk
+    FROM g GROUP BY source ORDER BY source
+"""
+
+
+@_q("corpus_dedup_inflation", _INFLATION_SQL)
+def corpus_dedup_inflation(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-duplicate inflation per source: document count vs
+    distinct-text count, the duplicated share in ppm, and the
+    inflation factor in ppk (n/distinct ≥ 1000) — the first number a
+    corpus report quotes per source, and the denominator correction
+    every mixture weight needs before repeats are planned
+    (corpus_epoch_plan, round9_ops.py).
+
+    Scale shape: one groupBy on (source, text) — map-side combinable,
+    and the only pass that touches the text bytes — then a
+    |sources|-group rollup of the counts."""
+    g = (
+        t(spark, sf, "documents")
+        .groupBy("source", "text")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("distinct_texts"),
+            F.expr("CAST(sum(c) - count(*) AS BIGINT)").alias("dup_docs"),
+            F.expr(
+                "CAST((sum(c) - count(*)) * 1000000 div sum(c) AS BIGINT)"
+            ).alias("dup_share_ppm"),
+            F.expr("CAST(sum(c) * 1000 div count(*) AS BIGINT)").alias(
+                "inflation_ppk"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------- diff-in-diff
+
+_DID_SQL = """
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+        CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+             THEN 'pre' ELSE 'post' END AS period,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type = 'purchase'
+      GROUP BY variant, period
+    ), m AS (
+      SELECT variant, period, n, cents,
+        CAST(cents * 1000 // n AS BIGINT) AS mean_mc
+      FROM cells
+    )
+    SELECT * FROM m
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), 'did', CAST(sum(n) AS BIGINT),
+      CAST(sum(cents) AS BIGINT),
+      CAST((max(CASE WHEN variant = 1 AND period = 'post' THEN mean_mc END)
+          - max(CASE WHEN variant = 1 AND period = 'pre' THEN mean_mc END))
+         - (max(CASE WHEN variant = 0 AND period = 'post' THEN mean_mc END)
+          - max(CASE WHEN variant = 0 AND period = 'pre' THEN mean_mc END))
+        AS BIGINT)
+    FROM m
+    ORDER BY variant, period
+"""
+
+
+@_q("events_diff_in_diff", _DID_SQL)
+def events_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences readout on the id-parity experiment
+    (events_ab_lift, round5_ops.py): purchase-value means per
+    (variant, period) cell split at 2024-01-16, in floored
+    milli-cents, and a variant = −1 summary row whose mean_mc column
+    carries DiD = (treat_post − treat_pre) − (control_post −
+    control_pre) — the causal-lift estimate when pre-period trends
+    differ.  Each cell mean is floored BEFORE the differencing (both
+    engines do the identical floor, so the hash compare is exact;
+    the ≤4 lost milli-cent fractions are below any decision
+    threshold).
+
+    Scale shape: one map-side-combinable 4-group aggregate over the
+    filtered events scan; the DiD pivot rides the 4-row frame."""
+    cells = (
+        t(spark, sf, "events")
+        .where(
+            "ts IS NOT NULL AND value IS NOT NULL"
+            " AND event_type = 'purchase'"
+        )
+        .groupBy(
+            F.expr("CAST(user_id % 2 AS BIGINT)").alias("variant"),
+            F.expr(
+                "CASE WHEN to_date(ts) < DATE '2024-01-16'"
+                " THEN 'pre' ELSE 'post' END"
+            ).alias("period"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.expr(_HA.format(x="value", m="100")))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .withColumn("mean_mc", F.expr("CAST(cents * 1000 div n AS BIGINT)"))
+    )
+    summary = cells.agg(
+        F.lit(-1).cast("bigint").alias("variant"),
+        F.lit("did").alias("period"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.expr(
+            "CAST((max(CASE WHEN variant = 1 AND period = 'post'"
+            " THEN mean_mc END)"
+            " - max(CASE WHEN variant = 1 AND period = 'pre'"
+            " THEN mean_mc END))"
+            " - (max(CASE WHEN variant = 0 AND period = 'post'"
+            " THEN mean_mc END)"
+            " - max(CASE WHEN variant = 0 AND period = 'pre'"
+            " THEN mean_mc END)) AS BIGINT)"
+        ).alias("mean_mc"),
+    )
+    return cells.unionByName(summary).orderBy("variant", "period")

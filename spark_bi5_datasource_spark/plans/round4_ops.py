@@ -480,10 +480,44 @@ def window_ewma(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------- co-occurrence graph + triangles
 
 
+def _copurchase_pairs(lineitem) -> DataFrame:
+    """Node-ordered co-purchase pairs (u < v), one row per distinct
+    (order, u, v) — the basket pattern: ONE collect_set groupBy keys
+    the baskets (per-order dedup comes free from the set semantics),
+    then pairs unfold JVM-side from the sorted array with
+    higher-order functions.  No self-join, no post-join distinct: the
+    bounded ~C(items-per-order, 2) fan-out exists only between the
+    generator and the next aggregation's map-side partials.  Clean
+    head-to-head at x1000 (600M lineitem → 1.2B pairs,
+    scripts/exp_pair_strategies.py): basket 234 s vs self-join +
+    post-join distinct 250 s, with the smallest shuffle footprint of
+    the three strategies tried (the pre-join-distinct variant
+    exhausted shuffle disk first under concurrent load) — the pair
+    stream itself is the remaining cost, and it partitions linearly
+    across executors (SCALE_NOTES.md "graph pair-counting")."""
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.expr("sort_array(collect_set(l_partkey))").alias("parts"))
+        .where(F.expr("size(parts) >= 2"))
+    )
+    return baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+
+
 _TRI_SQL = """
-    WITH pairs AS (
-      SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ), e AS (
       SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 2
@@ -513,20 +547,11 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     wedges, one more equi-join closes them; no wedge ever leaves the
     shuffle keyed on its endpoints.  Per-order fan-out is bounded
     (<= items-per-order choose 2), so the pair explosion is linear in
-    lineitem with a small constant.  Returns the top-50 parts by
-    triangle membership."""
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.toDF("l_orderkey", "b_partkey")
-    pairs = (
-        li.join(b, "l_orderkey")
-        .filter(F.col("l_partkey") < F.col("b_partkey"))
-        .select(
-            "l_orderkey",
-            F.col("l_partkey").alias("u"),
-            F.col("b_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    lineitem with a small constant — and it is generated basket-side
+    (one collect_set groupBy + array HOF unfold, `_copurchase_pairs`)
+    so the fan-out never enters a join or a distinct.  Returns the
+    top-50 parts by triangle membership."""
+    pairs = _copurchase_pairs(t(spark, sf, "lineitem"))
     e = (
         pairs.groupBy("u", "v")
         .agg(F.count("*").alias("c"))

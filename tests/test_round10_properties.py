@@ -149,3 +149,72 @@ class TestTtr:
                 r["hapax_share_ppm"]
                 == r["hapax_tokens"] * 1_000_000 // r["distinct_tokens"]
             )
+
+
+class TestPivotPoints:
+    def test_level_ordering_and_reflection(self, spark):
+        rows = _rows(spark, "window_pivot_points")
+        assert rows
+        for r in rows:
+            p, r1, s1 = r["pivot_cents"], r["r1_cents"], r["s1_cents"]
+            r2, s2 = r["r2_cents"], r["s2_cents"]
+            # S2 <= S1 <= P <= R1 <= R2 (range and reflections nest);
+            # the range extensions are symmetric about the pivot and
+            # twice the reflection spread (R1-S1 = prevH-prevL)
+            assert s2 <= s1 <= p <= r1 <= r2
+            assert r2 + s2 == 2 * p
+            assert r2 - s2 == 2 * (r1 - s1)
+
+
+class TestOov:
+    def test_share_identity_and_vocab_coverage(self, spark):
+        rows = _rows(spark, "tok_oov_by_source")
+        assert rows
+        for r in rows:
+            assert 0 <= r["oov_tokens"] <= r["total_tokens"]
+            assert (
+                r["oov_ppm"]
+                == r["oov_tokens"] * 1_000_000 // r["total_tokens"]
+            )
+        # a 20-term closed vocabulary over a >20-term corpus must
+        # leave some OOV mass somewhere
+        assert any(r["oov_tokens"] > 0 for r in rows)
+
+
+class TestDedupInflation:
+    def test_accounting(self, spark):
+        rows = _rows(spark, "corpus_dedup_inflation")
+        assert rows
+        for r in rows:
+            assert r["distinct_texts"] >= 1
+            assert r["n_docs"] >= r["distinct_texts"]
+            assert r["dup_docs"] == r["n_docs"] - r["distinct_texts"]
+            assert (
+                r["dup_share_ppm"]
+                == r["dup_docs"] * 1_000_000 // r["n_docs"]
+            )
+            assert (
+                r["inflation_ppk"]
+                == r["n_docs"] * 1000 // r["distinct_texts"]
+            )
+            assert r["inflation_ppk"] >= 1000
+
+
+class TestDiffInDiff:
+    def test_cells_and_did_identity(self, spark):
+        rows = _rows(spark, "events_diff_in_diff")
+        cells = {
+            (r["variant"], r["period"]): r for r in rows if r["variant"] >= 0
+        }
+        summary = [r for r in rows if r["variant"] == -1]
+        assert len(summary) == 1 and len(cells) == 4
+        s = summary[0]
+        assert s["period"] == "did"
+        assert s["n"] == sum(c["n"] for c in cells.values())
+        assert s["cents"] == sum(c["cents"] for c in cells.values())
+        for c in cells.values():
+            assert c["mean_mc"] == c["cents"] * 1000 // c["n"]
+        want = (
+            cells[(1, "post")]["mean_mc"] - cells[(1, "pre")]["mean_mc"]
+        ) - (cells[(0, "post")]["mean_mc"] - cells[(0, "pre")]["mean_mc"])
+        assert s["mean_mc"] == want
