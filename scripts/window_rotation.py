@@ -47,6 +47,10 @@ def main() -> None:
     from spark_bi5_datasource_spark.plans.round4_ops import ROUND4_OPS
     from spark_bi5_datasource_spark.plans.round5_ops import ROUND5_OPS
     from spark_bi5_datasource_spark.plans.round6_ops import ROUND6_OPS
+    from spark_bi5_datasource_spark.plans.round7_ops import ROUND7_OPS
+    from spark_bi5_datasource_spark.plans.round8_ops import ROUND8_OPS
+    from spark_bi5_datasource_spark.plans.round9_ops import ROUND9_OPS
+    from spark_bi5_datasource_spark.plans.round10_ops import ROUND10_OPS
     from spark_bi5_datasource_spark.plans.tpch_pack import TPCH_PACK
 
     catalog: dict[str, tuple] = {
@@ -58,6 +62,10 @@ def main() -> None:
         **TPCH_PACK,
         **ROUND5_OPS,
         **ROUND6_OPS,
+        **ROUND7_OPS,
+        **ROUND8_OPS,
+        **ROUND9_OPS,
+        **ROUND10_OPS,
     }
     oracle_backed = [n for n, (_f, sql, _b) in catalog.items() if sql is not None]
     exposed = driver_exposed()

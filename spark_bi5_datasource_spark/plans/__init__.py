@@ -49,27 +49,31 @@ CATALOG: dict[str, tuple] = {
 # The union of driver-green rows across rounds is the coverage
 # record — see COVERAGE.md.
 DRIVER_WINDOW: list[str] = [
-    # round-6 window (scripts/window_rotation.py over CORRECTNESS_r0{1..5}):
-    # the 5 entries never yet exposed to a driver gate come first — after
-    # this round the driver-green union covers every oracle-backed catalog
-    # entry ever written — then least-recently-exposed (r01/r02) filler.
-    "retrieval_hybrid_rrf", "text_ngram_novelty", "dedup_keep_best_parts",
-    "agg_approx_quantiles", "events_rfm",
+    # round-7 window (scripts/window_rotation.py over CORRECTNESS_r0{1..6}):
+    # the 46 entries added in builder rounds 6-10 after the r06 freeze,
+    # never yet exposed to a driver gate, come first — after this round
+    # the driver-green union covers ALL 201 oracle-backed catalog entries
+    # ever written — then 4 least-recently-exposed (r01) filler.
+    "retrieval_rerank_topk", "sample_mixture_dedup_aware",
+    "text_quality_logit", "curriculum_interleave", "split_leakage_free",
+    "sample_temperature_mixture", "text_keywords_per_doc",
+    "events_user_streaks", "window_cusum_changepoint",
+    "agg_audience_overlap", "join_asof_nearest", "events_cohort_ltv",
+    "events_power_users_pareto", "sql_recursive_rollup",
+    "scalar_regex_funcs", "events_dow_hour_heatmap", "events_funnel_latency",
+    "dq_expectations", "dq_k_anonymity", "tok_zipf_profile",
+    "text_source_diversity", "events_top_paths", "events_wau_sliding",
+    "window_bollinger_bands", "text_boilerplate_spans", "join_asof_tolerance",
+    "window_rsi_cutler", "window_atr_bands", "dq_distribution_drift",
+    "events_ab_cuped", "events_forecast_snaive", "corpus_epoch_plan",
+    "tok_fertility_by_lang", "dedup_ngram_containment",
+    "sim_mrl_prefix_recall", "window_stochastic_osc",
+    "window_donchian_channels", "dq_benford_first_digit",
+    "corpus_source_gini", "events_ab_srm_check", "graph_neighbor_jaccard",
+    "tok_ttr_by_source", "window_pivot_points", "tok_oov_by_source",
+    "corpus_dedup_inflation", "events_diff_in_diff",
     "b1_scan_count", "b5_groupby_count", "b6_filter_project",
-    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
-    "join_broadcast_dims", "join_left_outer", "join_range",
-    "join_asof_events_orders", "window_topk_per_segment",
-    "window_running_total", "agg_rollup", "agg_stats", "scalar_string_funcs",
-    "scalar_date_funcs", "scalar_json_funcs", "scalar_math_case",
-    "events_sessionize", "window_rank_kinds", "array_funcs",
-    "join_full_outer", "scalar_map_funcs", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
-    "b2_sort_topk", "join_semi_anti", "join_right_outer",
-    "window_lag_range_daily", "agg_cube_gsets", "agg_percentile_collect",
-    "setop_suite", "events_daily_ohlc", "reshape_pivot_unpivot",
-    "text_chunk_pack", "sim_cosine_topk", "sim_label_centroids",
-    "text_stats", "text_langid", "text_quality_filter", "text_fingerprint",
-    "text_source_rollup", "multimodal_features",
+    "q1_pricing_summary",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(
