@@ -60,6 +60,7 @@ ARROW_KERNELS = {
     "text_source_diversity": "term-count partial kernel (functions/text.py term_count_partials)",
     "tok_ttr_by_source": "term-count partial kernel (functions/text.py term_count_partials)",
     "tok_oov_by_source": "term-count partial kernel (functions/text.py term_count_partials)",
+    "tok_fertility_by_lang": "term-count partial kernel (functions/text.py term_count_partials)",
 }
 
 # queries allowed an Exchange SinglePartition, with the bound

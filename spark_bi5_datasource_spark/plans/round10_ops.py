@@ -105,21 +105,9 @@ def window_stochastic_osc(spark: SparkSession, sf: str) -> DataFrame:
     over the events scan; both window passes ride the |types|·|days|
     aggregate partitioned by event_type — same class as
     window_atr_bands (round9_ops.py)."""
-    base = (
-        t(spark, sf, "events")
-        .where("ts IS NOT NULL AND value IS NOT NULL")
-        .select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            "ts",
-            F.expr(_HA.format(x="value", m="100")).alias("cents"),
-        )
-    )
-    px = base.groupBy("event_type", "day").agg(
-        F.max("cents").cast("bigint").alias("hi"),
-        F.min("cents").cast("bigint").alias("lo"),
-        F.expr("max_by(cents, ts)").cast("bigint").alias("cl"),
-    )
+    from .daily_bars import daily_ohlc_bars
+
+    px = daily_ohlc_bars(spark, sf)
     wt = Window.partitionBy("event_type").orderBy("day")
     w14 = wt.rowsBetween(-13, 0)
     kv = (
@@ -213,21 +201,9 @@ def window_donchian_channels(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: identical to window_stochastic_osc — one heavy
     per-(type, day) OHLC pass, then event_type-partitioned windows
     over the tiny aggregate."""
-    base = (
-        t(spark, sf, "events")
-        .where("ts IS NOT NULL AND value IS NOT NULL")
-        .select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            "ts",
-            F.expr(_HA.format(x="value", m="100")).alias("cents"),
-        )
-    )
-    px = base.groupBy("event_type", "day").agg(
-        F.max("cents").cast("bigint").alias("hi"),
-        F.min("cents").cast("bigint").alias("lo"),
-        F.expr("max_by(cents, ts)").cast("bigint").alias("cl"),
-    )
+    from .daily_bars import daily_ohlc_bars
+
+    px = daily_ohlc_bars(spark, sf)
     wt = Window.partitionBy("event_type").orderBy("day")
     w20 = wt.rowsBetween(-19, 0)
     ch = px.select(
@@ -708,21 +684,9 @@ def window_pivot_points(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: one map-side-combinable per-(type, day) OHLC pass,
     then a single lag window over the |types|·|days| aggregate —
     same class as window_atr_bands (round9_ops.py)."""
-    base = (
-        t(spark, sf, "events")
-        .where("ts IS NOT NULL AND value IS NOT NULL")
-        .select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            "ts",
-            F.expr(_HA.format(x="value", m="100")).alias("cents"),
-        )
-    )
-    px = base.groupBy("event_type", "day").agg(
-        F.max("cents").cast("bigint").alias("hi"),
-        F.min("cents").cast("bigint").alias("lo"),
-        F.expr("max_by(cents, ts)").cast("bigint").alias("cl"),
-    )
+    from .daily_bars import daily_ohlc_bars
+
+    px = daily_ohlc_bars(spark, sf)
     wt = Window.partitionBy("event_type").orderBy("day")
     pv = px.select(
         "event_type",

@@ -688,16 +688,9 @@ def window_bollinger_bands(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: one map-side-combinable groupBy to the per-day
     series, then a single window over the ~|days| aggregated rows —
     the only unbounded-input work is the first aggregation."""
-    daily = (
-        t(spark, sf, "orders")
-        .groupBy(F.col("o_orderdate").alias("day"))
-        .agg(
-            F.sum(F.expr(_HA.format(x="o_totalprice", m="100")))
-            .cast("bigint")
-            .alias("rev_c")
-        )
-        .select("day", F.expr("rev_c div 100000").cast("bigint").alias("rev_k"))
-    )
+    from .daily_bars import daily_revenue_kusd
+
+    daily = daily_revenue_kusd(spark, sf)
     w = Window.orderBy("day").rowsBetween(-6, 0)
     m = daily.select(
         "day",
