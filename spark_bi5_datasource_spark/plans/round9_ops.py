@@ -603,31 +603,29 @@ def tok_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     tok_oov_by_source), so the numbers compose with the rest of the
     token-planning ops.
 
-    Scale shape: one Arrow term-count kernel pass (functions/text.py
-    term_count_partials) — per-batch exact (lang, term) partials, so
-    the shuffle carries batch-vocab rows, never raw tokens (the JVM
-    size(split()) formulation measured ~10x vs DuckDB at x1000:
-    2.46 s vs 0.25 s); n_docs/sum_chars come from a second,
-    column-pruned scan that never reads the text column, then a
-    |langs|-row broadcast join stitches the two."""
-    from ..functions.text import term_count_partials
+    Scale shape: ONE Arrow token-count kernel pass (functions/text.py
+    token_count_partials) — a single RE2 match-count scan that never
+    materializes tokens, folding n_chars into the same pass, so the
+    shuffle carries one |langs|-row partial per batch.  Measured at
+    x1000 (5M docs): JVM size(split()) 2.46 s, term-partials kernel
+    8.2 s (wasted per-term hash-grouping), this count kernel is the
+    minimal-work formulation."""
+    from ..functions.text import token_count_partials
 
-    docs = t(spark, sf, "documents")
-    toks = (
-        term_count_partials(docs, ("lang",), "text")
-        .groupBy("lang")
-        .agg(F.sum("cnt").cast("bigint").alias("n_tokens"))
-    )
-    base = docs.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    parts = token_count_partials(
+        t(spark, sf, "documents"), ("lang",), "text", ("n_chars",)
     )
     return (
-        base.join(F.broadcast(toks), "lang", "left")
+        parts.groupBy("lang")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
         .select(
             "lang",
             "n_docs",
-            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            "n_tokens",
             "sum_chars",
             F.expr("CAST(sum_chars * 1000 div n_tokens AS BIGINT)").alias(
                 "chars_per_token_ppk"
