@@ -91,6 +91,12 @@ SINGLE_PARTITION_OK = {
 }
 
 BNLJ_OK = {
+    "dedup_semantic_semdedup": (
+        "exact single-cell mode: the constant cell key constant-folds "
+        "the intra-cell equi-join into the all-pairs BNLJ ON PURPOSE "
+        "(provably-exact fixture-scale pin, plans/round11_ops.py); the "
+        "production nlist>1 path equi-joins on a real cell column"
+    ),
     "sample_mixture": "1-row totals crossJoin broadcast",
     "sample_mixture_dedup_aware": "1-row totals crossJoin broadcast",
     "sample_temperature_mixture": "1-row totals crossJoin broadcast",

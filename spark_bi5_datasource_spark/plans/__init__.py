@@ -19,6 +19,7 @@ from .round7_ops import ROUND7_OPS
 from .round8_ops import ROUND8_OPS
 from .round9_ops import ROUND9_OPS
 from .round10_ops import ROUND10_OPS
+from .round11_ops import ROUND11_OPS
 from .tpch_pack import TPCH_PACK
 
 # name -> (fn, oracle_sql | None, in_bench)
@@ -35,6 +36,7 @@ CATALOG: dict[str, tuple] = {
     **ROUND8_OPS,
     **ROUND9_OPS,
     **ROUND10_OPS,
+    **ROUND11_OPS,
 }
 
 # The driver's correctness gate checks the FIRST 50 entries of
