@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .fastmoney import HALF_ADJUST_CENTS as _HA
-from .round4_ops import _copurchase_pairs
+from .round4_ops import _copurchase_pairs, _salted_wedge_join
 from .tables import t
 
 ROUND10_OPS: dict[str, tuple] = {}
@@ -562,7 +562,7 @@ def graph_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     x = adj.toDF("u", "nbr")
     y = adj.toDF("v", "nbr")
     common = (
-        x.join(y, "nbr")
+        _salted_wedge_join(x, y, "nbr", "u")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count("*").cast("bigint").alias("com"))

@@ -512,6 +512,60 @@ def _copurchase_pairs(lineitem) -> DataFrame:
     ).select("p.u", "p.v")
 
 
+def _salted_wedge_join(x, y, key: str, salt_on: str, hub_cap: int = 4096,
+                       salts: int = 16):
+    """Skew guard for wedge generation (the r6 verdict's power-law
+    note): ``x.join(y, key)`` where ``key`` is the shared middle
+    node, except that HUB keys — y-side multiplicity > ``hub_cap`` —
+    are salted: each x row takes one deterministic salt
+    (``pmod(xxhash64(salt_on), salts)``), each hub y row replicates
+    across all ``salts``, so a hub's deg² wedge fan-out spreads over
+    ``salts`` shuffle tasks instead of landing on one.  Non-hub keys
+    ride salt 0 — on a benign degree distribution (the fixtures) the
+    hub set is empty, the broadcast is empty, and the join reduces to
+    the plain equi-join with the SAME row set (each matching (x, y)
+    pair meets at exactly one salt), so downstream aggregates hash
+    identically with or without the guard (pinned in
+    tests/test_round4_properties.py).
+
+    Cost: one |y| counting pass for the hub set (broadcast — a graph
+    has few nodes above any sane cap) and ×salts replication of hub
+    rows only; the deg² work itself is the query's answer and cannot
+    shrink, only spread.  Measured on a planted power-law graph in
+    SCALE_NOTES.md ("wedge skew guard")."""
+    hubs = (
+        y.groupBy(key)
+        .agg(F.count("*").alias("__kc"))
+        .where(F.col("__kc") > hub_cap)
+        .select(key, F.lit(True).alias("__hub"))
+    )
+    xs = (
+        x.join(F.broadcast(hubs), key, "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__hub").isNotNull(),
+                F.pmod(F.xxhash64(salt_on), F.lit(salts)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__hub")
+    )
+    ys = (
+        y.join(F.broadcast(hubs), key, "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.col("__hub").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(salts - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("__hub")
+    )
+    return xs.join(ys, [key, "__salt"]).drop("__salt")
+
+
 _TRI_SQL = """
     WITH li AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -561,7 +615,7 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     e2 = e.toDF("v", "w")
     e3 = e.toDF("u3", "w3")
     tri = (
-        e.join(e2, "v")
+        _salted_wedge_join(e, e2, "v", "u")
         .join(
             e3,
             (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")),

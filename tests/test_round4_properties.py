@@ -92,3 +92,65 @@ class TestEwmaProperties:
             s = sum(v * (1 << j) for j, v in enumerate(frame))
             ref = s / ((1 << n) - 1)
             assert got[t_idx] == pytest.approx(ref, abs=2e-6)
+
+
+class TestSaltedWedgeJoin:
+    """The wedge-skew guard (round4_ops._salted_wedge_join) must be
+    output-identical to the plain equi-join — on benign graphs (empty
+    hub set, salt-0 fast path) AND on a planted power-law graph where
+    the cap forces hub salting."""
+
+    def _adj(self, spark, edges):
+        from pyspark.sql import functions as F
+
+        e = spark.createDataFrame(edges, "u long, v long")
+        return e.select(
+            F.col("u").alias("node"), F.col("v").alias("nbr")
+        ).unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+
+    def _common_counts(self, adj, **kw):
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.plans.round4_ops import (
+            _salted_wedge_join,
+        )
+
+        x = adj.toDF("u", "nbr")
+        y = adj.toDF("v", "nbr")
+        out = (
+            _salted_wedge_join(x, y, "nbr", "u", **kw)
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("com"))
+            .collect()
+        )
+        return {(r["u"], r["v"]): r["com"] for r in out}
+
+    def test_planted_power_law_hub(self, spark):
+        from pyspark.sql import functions as F
+
+        # star around node 0 (degree 60 — a hub at cap 8) plus a ring
+        # of local edges: wedge counts through the hub must survive
+        # the salted path bit-for-bit
+        edges = [(0, i) for i in range(1, 61)]
+        edges += [(i, i + 1) for i in range(1, 60, 3)]
+        adj = self._adj(spark, edges)
+        plain = (
+            adj.toDF("u", "nbr")
+            .join(adj.toDF("v", "nbr"), "nbr")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("com"))
+            .collect()
+        )
+        want = {(r["u"], r["v"]): r["com"] for r in plain}
+        assert want  # the star yields C(60,2) wedge pairs
+        got = self._common_counts(adj, hub_cap=8, salts=4)
+        assert got == want
+
+    def test_benign_graph_no_hubs(self, spark):
+        edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+        adj = self._adj(spark, edges)
+        got = self._common_counts(adj, hub_cap=4096, salts=16)
+        # triangle (1,2,3) and (1,3,4): common-neighbor counts by hand
+        assert got[(1, 3)] == 2 and got[(2, 4)] == 2
