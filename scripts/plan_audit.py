@@ -61,6 +61,7 @@ ARROW_KERNELS = {
     "tok_ttr_by_source": "term-count partial kernel (functions/text.py term_count_partials)",
     "tok_oov_by_source": "term-count partial kernel (functions/text.py term_count_partials)",
     "tok_fertility_by_lang": "term-count partial kernel (functions/text.py term_count_partials)",
+    "dedup_winnowing_fingerprints": "per-doc rolling-hash winnow kernel (operators/winnowing.py)",
 }
 
 # queries allowed an Exchange SinglePartition, with the bound
@@ -88,6 +89,7 @@ SINGLE_PARTITION_OK = {
     "window_rsi_cutler": "lag + rolling-sum windows over the per-day aggregated series (<=|days|)",
     "events_wau_sliding": "prefix sum over per-day boundary deltas (<=|days|+7 rows post-agg)",
     "corpus_source_gini": "rank/cumsum window over the per-source aggregate (<=|sources| rows)",
+    "corpus_quality_prune_curve": "global ntile over (doc_id, logit, n_chars) triples only; percentile-threshold swap documented for corpus scale",
 }
 
 BNLJ_OK = {

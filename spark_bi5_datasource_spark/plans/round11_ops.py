@@ -22,9 +22,10 @@ integer ppm, deterministic total orders.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .fastmoney import HALF_ADJUST_CENTS as _HA
 from .tables import t
 
 ROUND11_OPS: dict[str, tuple] = {}
@@ -190,4 +191,792 @@ def text_contamination_matrix(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------- winnowing fingerprints
+
+def _winnow_hash_sql(col: str, i: str, k: int = 8) -> str:
+    """Base-131 polynomial over codepoints mod 1e9+7, folded with a
+    mod after every step — textually identical fold order to the
+    NumPy kernel (operators/winnowing.py), so the values match
+    bit-for-bit."""
+    h = f"CAST(ascii(substr({col}, {i}, 1)) AS BIGINT) % 1000000007"
+    for j in range(1, k):
+        h = f"(({h}) * 131 + ascii(substr({col}, {i} + {j}, 1))) % 1000000007"
+    return h
+
+
+_WINNOW_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS m FROM documents
+    ), g AS (
+      SELECT doc_id, i, {_winnow_hash_sql("text", "i")} AS h
+      FROM d, UNNEST(generate_series(1, m - 7)) AS u(i)
+      WHERE m >= 8
+    ), perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM g GROUP BY doc_id
+    ), wins AS (
+      SELECT doc_id, i,
+        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+        count(*) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n
+      FROM g
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE n = 4
+      UNION
+      SELECT g.doc_id, min(g.h) AS fp
+      FROM g JOIN perdoc p USING (doc_id)
+      WHERE p.n_grams < 4 GROUP BY g.doc_id
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        CAST(bit_xor(fp) AS BIGINT) AS fp_xor
+      FROM fps GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+      CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fp,
+      a.fp_xor
+    FROM d
+    LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+@_q("dedup_winnowing_fingerprints", _WINNOW_SQL, bench=True)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (k=8 char-grams, window
+    w=4): per document, the count of distinct winnowed fingerprints
+    plus their XOR set-digest — the digest pins the exact fingerprint
+    SET against the brute-force SQL twin without materializing a
+    per-fingerprint fan-out row stream.  Winnowing guarantees any
+    shared substring of length >= w + k - 1 = 11 chars surfaces as a
+    shared fingerprint while keeping ~2/(w+1) of the gram hashes —
+    the character-level clone-detection complement of the
+    token-shingle dedup family (operators/dedup.py).
+
+    Scale shape: a pure per-document NumPy rolling-hash kernel behind
+    the row-group fan-out gate (operators/winnowing.py) — no shuffle;
+    the final orderBy exists only for the deterministic driver
+    compare."""
+    from ..operators.winnowing import winnow_fingerprint_stats
+
+    docs = t(spark, sf, "documents")
+    return winnow_fingerprint_stats(docs, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+# ------------------------------------- referential-integrity audit
+
+_REFINT_SQL = """
+    WITH checks AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk,
+        (SELECT count(*) FROM lineitem) AS n_child,
+        (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+        (SELECT count(*) FROM lineitem),
+        (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM part p
+                           WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+        (SELECT count(*) FROM lineitem),
+        (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM supplier s
+                           WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+        (SELECT count(*) FROM orders),
+        (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))
+    )
+    SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+      CAST(n_orphans AS BIGINT) AS n_orphans,
+      CAST(n_orphans * 1000000 // n_child AS BIGINT) AS orphan_ppm
+    FROM checks ORDER BY fk
+"""
+
+
+@_q("dq_referential_integrity", _REFINT_SQL, bench=True)
+def dq_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Foreign-key orphan audit across the four star-schema edges:
+    per edge, the child row count, the count of non-null child keys
+    with no parent (left-anti join), and the orphan rate in exact
+    ppm — the ingestion gate every warehouse load runs before a
+    snapshot is trusted (intact TPC-H fixtures audit to zero, which
+    is the assertion).
+
+    Scale shape: each edge is one anti-join keyed on the FK — Spark
+    picks broadcast for dim-sized parents (part/supplier/customer)
+    and a shuffled hash anti-join for orders; the per-edge result is
+    a 1-row scalar aggregate pair (documented plan-audit bound) and
+    the union is 4 rows."""
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+    ]
+    frames = []
+    for fk, child, ck, parent, pk in edges:
+        c = t(spark, sf, child)
+        p = t(spark, sf, parent).select(F.col(pk).alias(ck))
+        n_child = c.agg(F.count("*").cast("bigint").alias("n_child"))
+        orphans = (
+            c.select(ck)
+            .where(F.col(ck).isNotNull())
+            .join(p, ck, "left_anti")
+            .agg(F.count("*").cast("bigint").alias("n_orphans"))
+        )
+        frames.append(
+            n_child.crossJoin(orphans).select(
+                F.lit(fk).alias("fk"), "n_child", "n_orphans"
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out.select(
+        "fk", "n_child", "n_orphans",
+        F.expr("CAST(n_orphans * 1000000 div n_child AS BIGINT)").alias(
+            "orphan_ppm"
+        ),
+    ).orderBy("fk")
+
+
+# -------------------------------------------- per-column null audit
+
+_NULLPROF_SQL = """
+    WITH p AS (
+      SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        count(*) - count(doc_id) AS n_null,
+        count(DISTINCT doc_id) AS n_distinct FROM documents
+      UNION ALL
+      SELECT 'text', count(*), count(*) - count(text),
+        count(DISTINCT text) FROM documents
+      UNION ALL
+      SELECT 'lang', count(*), count(*) - count(lang),
+        count(DISTINCT lang) FROM documents
+      UNION ALL
+      SELECT 'source', count(*), count(*) - count(source),
+        count(DISTINCT source) FROM documents
+      UNION ALL
+      SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        count(DISTINCT n_chars) FROM documents
+    )
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+      CAST(n_null AS BIGINT) AS n_null,
+      CAST(n_distinct AS BIGINT) AS n_distinct,
+      CAST(n_null * 1000000 // n_rows AS BIGINT) AS null_ppm
+    FROM p ORDER BY col_name
+"""
+
+
+@_q("dq_null_profile", _NULLPROF_SQL)
+def dq_null_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column completeness/cardinality profile of the documents
+    table: row count, null count, exact distinct count, null rate in
+    ppm — one row per column, the schema-drift companion to
+    dq_expectations (which checks value RANGES; this checks SHAPE).
+
+    Scale shape: ONE aggregate pass computes every column's metrics —
+    Spark plans the multi-column distinct via Expand (x|cols| row
+    multiplication feeding partial aggregates, here x5), which
+    map-side-combines before the single shuffle; the stack() unpivot
+    runs on the 1-row result."""
+    d = t(spark, sf, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            (F.count("*") - F.count(c)).alias(f"null_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    one = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in cols
+    )
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (col_name, n_null,"
+                " n_distinct)"
+            ),
+        )
+        .select(
+            "col_name",
+            F.col("n_rows").cast("bigint"),
+            F.col("n_null").cast("bigint"),
+            F.col("n_distinct").cast("bigint"),
+            F.expr("CAST(n_null * 1000000 div n_rows AS BIGINT)").alias(
+                "null_ppm"
+            ),
+        )
+        .orderBy("col_name")
+    )
+
+
+# --------------------------------------- association-rule lift
+
+_LIFT_SQL = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM li
+    ), deg AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+      FROM li GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+        CAST(count(*) AS BIGINT) AS n_uv
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    )
+    SELECT u, v, n_uv, du.n_item AS n_u, dv.n_item AS n_v,
+      CAST((n_uv * 1000000 // du.n_item) * n.n_orders // dv.n_item
+        AS BIGINT) AS lift_ppm
+    FROM pairs
+    JOIN deg du ON du.l_partkey = u
+    JOIN deg dv ON dv.l_partkey = v
+    CROSS JOIN n
+    ORDER BY lift_ppm DESC, u, v
+    LIMIT 500
+"""
+
+
+@_q("basket_association_lift", _LIFT_SQL, bench=True)
+def basket_association_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association lift for co-purchased part pairs
+    with support >= 2 co-orders: lift = P(u,v) / (P(u)·P(v)) in
+    integer ppm, evaluated with a DEFINED two-step floor —
+    ``(n_uv · 1e6 div n_u) · N div n_v`` — so the value is exact and
+    overflow-free at any scale (each intermediate stays under
+    n_uv·1e6 <= 1.5e14; a single-expression cross-multiply would
+    overflow BIGINT at x1000 order counts).  Top 500 by (lift, u, v)
+    — a deterministic total order.
+
+    Scale shape: pair generation is the basket pattern
+    (_copurchase_pairs — one collect_set groupBy, no self-join); the
+    per-item support frame keys on part (broadcast at dim scale) and
+    the corpus total is a 1-row broadcast."""
+    from .round4_ops import _copurchase_pairs
+
+    li = t(spark, sf, "lineitem")
+    dli = li.select("l_orderkey", "l_partkey").distinct()
+    n = dli.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    deg = dli.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    pairs = (
+        _copurchase_pairs(li)
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("n_uv"))
+        .where("n_uv >= 2")
+    )
+    du = deg.select(F.col("l_partkey").alias("u"), F.col("n_item").alias("n_u"))
+    dv = deg.select(F.col("l_partkey").alias("v"), F.col("n_item").alias("n_v"))
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "u", "v", "n_uv", "n_u", "n_v",
+            F.expr(
+                "CAST((n_uv * 1000000 div n_u) * n_orders div n_v"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "u", "v")
+        .limit(500)
+    )
+
+
+# ------------------------------------ graph degree distribution
+
+_DEGDIST_SQL = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    )
+    SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS log2_bucket,
+      CAST(count(*) AS BIGINT) AS n_nodes,
+      CAST(min(degree) AS BIGINT) AS min_degree,
+      CAST(max(degree) AS BIGINT) AS max_degree
+    FROM deg GROUP BY log2_bucket ORDER BY log2_bucket
+"""
+
+
+@_q("graph_degree_distribution", _DEGDIST_SQL)
+def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph in power-of-two
+    buckets — the power-law profile that decides whether the wedge
+    ops need their hub guard (_salted_wedge_join).  The bucket index
+    is floor(log2(degree)) computed EXACTLY as the bit length of the
+    degree (``length(bin(x)) - 1``) — no engine float log near a
+    power-of-two boundary.
+
+    Scale shape: basket-pattern pair generation, one (u,v) count, one
+    per-node count, one |buckets|-row rollup — every aggregate
+    map-side-combines."""
+    from .round4_ops import _copurchase_pairs
+
+    li = t(spark, sf, "lineitem")
+    e = (
+        _copurchase_pairs(li)
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .where("n >= 2")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return (
+        deg.groupBy(
+            F.expr("CAST(length(bin(degree)) - 1 AS BIGINT)").alias(
+                "log2_bucket"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+# ------------------------------------------------- Aroon indicator
+
+_AROON_SQL = """
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), px AS (
+      SELECT event_type, day,
+        CAST(max(cents) AS BIGINT) AS hi, CAST(min(cents) AS BIGINT) AS lo
+      FROM base GROUP BY event_type, day
+    ), rn AS (
+      SELECT event_type, day, hi, lo,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+          AS BIGINT) AS r
+      FROM px
+    ), wm AS (
+      SELECT event_type, day, r,
+        CAST(count(*) OVER w AS BIGINT) AS n,
+        max(hi * 100000 + r) OVER w AS pmax,
+        min(lo * 100000 + (99999 - r)) OVER w AS pmin
+      FROM rn
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+      CAST((25 - (r - ((pmax % 100000) + 100000) % 100000)) * 4
+        AS BIGINT) AS aroon_up,
+      CAST((25 - (r - (99999 - ((pmin % 100000) + 100000) % 100000))) * 4
+        AS BIGINT) AS aroon_down,
+      CAST(((25 - (r - ((pmax % 100000) + 100000) % 100000))
+          - (25 - (r - (99999 - ((pmin % 100000) + 100000) % 100000)))) * 4
+        AS BIGINT) AS aroon_osc
+    FROM wm WHERE n = 25
+    ORDER BY event_type, day
+"""
+
+
+@_q("window_aroon", _AROON_SQL)
+def window_aroon(spark: SparkSession, sf: str) -> DataFrame:
+    """25-day Aroon indicator per event-type price series:
+    aroon_up = (25 - days_since_25d_high) · 4, aroon_down likewise on
+    the low, oscillator = up - down — all exact integers.  The argmax
+    day inside the rolling window comes from PACKED BIGINT extrema —
+    ``max(hi·1e5 + rownum)`` (ties resolve to the most recent bar)
+    and ``min(lo·1e5 + (99999 - rownum))`` for the argmin — instead
+    of an arg_max window (which Spark lacks over frames); the
+    double-mod ``((x % 1e5) + 1e5) % 1e5`` unpack is sign-safe and
+    engine-identical.  rownum < 1e5 bounds the packing (calendar days
+    — ~2.4k even at x1000).
+
+    Scale shape: the indicator family's standard two stages — one
+    map-side-combinable per-(type, day) extrema pass over the fact
+    scan, then type-partitioned windows over the tiny bar frame
+    (daily_ohlc_bars supplies hi/lo; close is unused here)."""
+    from .daily_bars import daily_ohlc_bars
+
+    px = daily_ohlc_bars(spark, sf).select("event_type", "day", "hi", "lo")
+    wt = Window.partitionBy("event_type").orderBy("day")
+    w25 = wt.rowsBetween(-24, 0)
+    wm = px.select(
+        "event_type",
+        "day",
+        F.row_number().over(wt).cast("bigint").alias("r"),
+        "hi",
+        "lo",
+    ).select(
+        "event_type",
+        "day",
+        "r",
+        F.count("*").over(w25).cast("bigint").alias("n"),
+        F.max(F.expr("hi * 100000 + r")).over(w25).alias("pmax"),
+        F.min(F.expr("lo * 100000 + (99999 - r)")).over(w25).alias("pmin"),
+    )
+    up = "(25 - (r - ((pmax % 100000) + 100000) % 100000))"
+    dn = "(25 - (r - (99999 - ((pmin % 100000) + 100000) % 100000)))"
+    return (
+        wm.where("n = 25")
+        .select(
+            "event_type",
+            "day",
+            F.expr(f"CAST({up} * 4 AS BIGINT)").alias("aroon_up"),
+            F.expr(f"CAST({dn} * 4 AS BIGINT)").alias("aroon_down"),
+            F.expr(f"CAST(({up} - {dn}) * 4 AS BIGINT)").alias("aroon_osc"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ------------------------------------------- on-balance volume
+
+_OBV_SQL = """
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), px AS (
+      SELECT event_type, day,
+        CAST(arg_max(cents, ts) AS BIGINT) AS cl,
+        CAST(count(*) AS BIGINT) AS vol
+      FROM base GROUP BY event_type, day
+    ), ch AS (
+      SELECT event_type, day, cl, vol,
+        cl - lag(cl) OVER (PARTITION BY event_type ORDER BY day) AS d
+      FROM px
+    )
+    SELECT event_type, day, cl AS close_cents, vol,
+      CAST(sum(CASE WHEN d > 0 THEN vol WHEN d < 0 THEN -vol
+                    ELSE 0 END)
+        OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS BIGINT) AS obv
+    FROM ch ORDER BY event_type, day
+"""
+
+
+@_q("window_obv_daily", _OBV_SQL)
+def window_obv_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """On-balance volume per event-type series: daily volume (tick
+    count) added on close-up days, subtracted on close-down days,
+    accumulated — the classic volume-confirmation indicator, exact
+    integers end to end (the sign comes from a CASE, not ``sign()``,
+    which returns DOUBLE in both engines).  The first day of each
+    series contributes 0 (NULL diff).
+
+    Scale shape: one per-(type, day) close+count aggregate over the
+    fact scan (volume rides the same pass as the close — no second
+    scan), then a type-partitioned running sum over the bar frame."""
+    ev = (
+        t(spark, sf, "events")
+        .where("ts IS NOT NULL AND value IS NOT NULL")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            F.expr(_HA.format(x="value", m="100")).alias("cents"),
+        )
+    )
+    px = ev.groupBy("event_type", "day").agg(
+        F.expr("max_by(cents, ts)").cast("bigint").alias("cl"),
+        F.count("*").cast("bigint").alias("vol"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    ch = px.select(
+        "event_type", "day", "cl", "vol",
+        (F.col("cl") - F.lag("cl").over(wt)).alias("d"),
+    )
+    return ch.select(
+        "event_type",
+        "day",
+        F.col("cl").alias("close_cents"),
+        "vol",
+        F.sum(
+            F.expr("CASE WHEN d > 0 THEN vol WHEN d < 0 THEN -vol ELSE 0 END")
+        )
+        .over(wt.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("obv"),
+    ).orderBy("event_type", "day")
+
+
+# ------------------------------------------- hourly burst detection
+
+_BURST_SQL = """
+    WITH hr AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, hour_ts
+    ), wm AS (
+      SELECT event_type, hour_ts, c,
+        CAST(count(*) OVER w AS BIGINT) AS n,
+        CAST(sum(c) OVER w AS BIGINT) AS s,
+        CAST(sum(c * c) OVER w AS BIGINT) AS s2
+      FROM hr
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_ts, c,
+      CAST(s * 1000 // 24 AS BIGINT) AS mean_milli,
+      (24 * c - s) * (24 * c - s) > 9 * (24 * s2 - s * s)
+        AND 24 * c > s AS is_burst
+    FROM wm WHERE n = 24
+    ORDER BY event_type, hour_ts
+"""
+
+
+@_q("events_burst_hours", _BURST_SQL)
+def events_burst_hours(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly burst detection per event type: an hour is a burst when
+    its count exceeds the trailing-24-observed-hours mean by more
+    than 3 sigma AND is above the mean — evaluated entirely in
+    integer space by cross-multiplying the z-test,
+    (24c - s)^2 > 9·(24·s2 - s^2), so no engine float variance ever
+    touches the flag boundary.  The trailing frame EXCLUDES the
+    current hour (24 PRECEDING .. 1 PRECEDING): a burst must not
+    inflate its own baseline.
+
+    Scale shape: one map-side-combinable (type, hour) count over the
+    fact scan, then type-partitioned windows over ~|types|·|hours|
+    rows."""
+    hr = (
+        t(spark, sf, "events")
+        .where("ts IS NOT NULL")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-24, -1)
+    )
+    wm = hr.select(
+        "event_type", "hour_ts", "c",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("c").over(w).cast("bigint").alias("s"),
+        F.sum(F.expr("c * c")).over(w).cast("bigint").alias("s2"),
+    )
+    return (
+        wm.where("n = 24")
+        .select(
+            "event_type",
+            "hour_ts",
+            "c",
+            F.expr("CAST(s * 1000 div 24 AS BIGINT)").alias("mean_milli"),
+            F.expr(
+                "(24 * c - s) * (24 * c - s) > 9 * (24 * s2 - s * s)"
+                " AND 24 * c > s"
+            ).alias("is_burst"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+# ------------------------------------------ readability (FK grade)
+
+_READ_SQL = """
+    WITH f AS (
+      SELECT source,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw,
+        greatest(
+          (length(text) - length(replace(text, '.', '')))
+          + (length(text) - length(replace(text, '!', '')))
+          + (length(text) - length(replace(text, '?', ''))), 1) AS ns,
+        len(regexp_extract_all(lower(text), '[aeiouy]+')) AS ny
+      FROM documents
+    ), src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(nw) AS BIGINT) AS words,
+        CAST(sum(ns) AS BIGINT) AS sentences,
+        CAST(sum(ny) AS BIGINT) AS syllables
+      FROM f GROUP BY source
+    )
+    SELECT source, n_docs, words, sentences, syllables,
+      CAST(390 * words // sentences + 11800 * syllables // words - 15590
+        AS BIGINT) AS fk_grade_milli
+    FROM src ORDER BY source
+"""
+
+
+@_q("text_readability_scores", _READ_SQL)
+def text_readability_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Flesch-Kincaid grade level in exact integer milli
+    (FK = 0.39·words/sentence + 11.8·syllables/word - 15.59, floored
+    term-by-term on the SOURCE-LEVEL totals — totals are positive, so
+    every division sees non-negative operands and trunc == floor in
+    both engines).  Sentence count = terminal-punctuation characters
+    (replace-length delta — no regex needed); syllables = vowel-group
+    count, the standard cheap proxy.  The corpus-quality companion to
+    text_quality_logit: grade bands drive curriculum and filtering
+    decisions.
+
+    Scale shape: a pure per-row map over one documents scan feeding a
+    |sources|-row aggregate — no shuffle beyond the rollup."""
+    f = t(spark, sf, "documents").select(
+        "source",
+        F.expr(
+            "size(filter(split(text, ' '), x -> x <> ''))"
+        ).alias("nw"),
+        F.expr(
+            "greatest((length(text) - length(replace(text, '.', '')))"
+            " + (length(text) - length(replace(text, '!', '')))"
+            " + (length(text) - length(replace(text, '?', ''))), 1)"
+        ).alias("ns"),
+        F.expr("regexp_count(lower(text), '[aeiouy]+')").alias("ny"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("words"),
+            F.sum("ns").cast("bigint").alias("sentences"),
+            F.sum("ny").cast("bigint").alias("syllables"),
+        )
+        .select(
+            "source", "n_docs", "words", "sentences", "syllables",
+            F.expr(
+                "CAST(390 * words div sentences"
+                " + 11800 * syllables div words - 15590 AS BIGINT)"
+            ).alias("fk_grade_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------- quality prune curve
+
+_PRUNE_SQL = """
+    WITH f AS (
+      SELECT doc_id, n_chars,
+        2 * (1000000 * len(list_filter(string_split_regex(lower(text),
+              '[^a-z]+'), x -> x <> '' AND x IN ('the','a','of','and',
+              'to','in','is','it','for','on')))
+            // greatest(len(list_filter(string_split_regex(lower(text),
+              '[^a-z]+'), x -> x <> '')), 1))
+        + (1000000 * least(len(list_filter(string_split_regex(lower(text),
+              '[^a-z]+'), x -> x <> '')), 400) // 400)
+        - 3 * (1000000 * length(regexp_replace(text, '[^.!?,;]', '', 'g'))
+            // greatest(length(text), 1)) AS logit
+      FROM documents
+    ), ranked AS (
+      SELECT n_chars, logit,
+        ntile(10) OVER (ORDER BY logit DESC, doc_id) AS decile
+      FROM f
+    ), per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM ranked GROUP BY decile
+    ), tot AS (
+      SELECT CAST(sum(chars) AS BIGINT) AS total_chars FROM per
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_docs, chars,
+      CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
+      CAST(sum(chars) OVER (ORDER BY decile) AS BIGINT) AS cum_chars,
+      CAST(sum(chars) OVER (ORDER BY decile) * 1000000 // total_chars
+        AS BIGINT) AS cum_chars_ppm
+    FROM per CROSS JOIN tot ORDER BY decile
+"""
+
+
+@_q("corpus_quality_prune_curve", _PRUNE_SQL)
+def corpus_quality_prune_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Prune curve over the deterministic quality logit
+    (text_quality_logit's exact integer score): documents ranked best
+    -> worst, cut into deciles (ntile over the total order
+    (logit DESC, doc_id)), reporting docs/chars per decile and the
+    cumulative corpus fraction retained at each cut in exact ppm —
+    the "how much do we lose at threshold X" table a corpus curation
+    run reads before fixing its filter.
+
+    Scale shape: the per-row logit map feeds ONE global ntile — a
+    documented SinglePartition window over (doc_id, logit, n_chars)
+    triples only (the same bound class as events_rfm's quintiles
+    before the parallel rewrite; at true corpus scale swap ntile for
+    the percentile-threshold variant) — then a 10-row rollup."""
+    stops = "('the','a','of','and','to','in','is','it','for','on')"
+    tks = "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
+    f = t(spark, sf, "documents").select(
+        "doc_id",
+        "n_chars",
+        (
+            F.lit(2)
+            * F.expr(
+                f"1000000 * size(filter({tks}, x -> x IN {stops}))"
+                f" div greatest(size({tks}), 1)"
+            )
+            + F.expr(f"1000000 * least(size({tks}), 400) div 400")
+            - F.lit(3)
+            * F.expr(
+                "1000000 * length(regexp_replace(text, '[^.!?,;]', ''))"
+                " div greatest(length(text), 1)"
+            )
+        ).alias("logit"),
+    )
+    ranked = f.select(
+        "n_chars",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("logit"), "doc_id"))
+        .alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    tot = per.agg(F.sum("chars").cast("bigint").alias("total_chars"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint"),
+            "n_docs",
+            "chars",
+            F.sum("n_docs").over(wc).cast("bigint").alias("cum_docs"),
+            F.sum("chars").over(wc).cast("bigint").alias("cum_chars"),
+            F.expr(
+                "CAST(sum(chars) OVER (ORDER BY decile ROWS BETWEEN"
+                " UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000"
+                " div total_chars AS BIGINT)"
+            ).alias("cum_chars_ppm"),
+        )
+        .orderBy("decile")
     )
