@@ -980,3 +980,419 @@ def corpus_quality_prune_curve(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ------------------------------------------------ Ichimoku cloud
+
+_ICHI_SQL = """
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), px AS (
+      SELECT event_type, day,
+        CAST(max(cents) AS BIGINT) AS hi, CAST(min(cents) AS BIGINT) AS lo,
+        CAST(arg_max(cents, ts) AS BIGINT) AS cl
+      FROM base GROUP BY event_type, day
+    ), mids AS (
+      SELECT event_type, day, cl,
+        CAST(count(*) OVER w52 AS BIGINT) AS n16,
+        (max(hi) OVER w9 + min(lo) OVER w9) // 2 AS tenkan,
+        (max(hi) OVER w26 + min(lo) OVER w26) // 2 AS kijun,
+        (max(hi) OVER w52 + min(lo) OVER w52) // 2 AS mid16
+      FROM px
+      WINDOW
+        w9 AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        w26 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+        w52 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+    ), sh AS (
+      SELECT event_type, day, cl, n16, tenkan, kijun,
+        lag((tenkan + kijun) // 2, 8) OVER wt AS senkou_a,
+        lag(mid16, 8) OVER wt AS senkou_b,
+        lag(n16, 8) OVER wt AS lag_n16,
+        lead(cl, 8) OVER wt AS chikou
+      FROM mids
+      WINDOW wt AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, CAST(cl AS BIGINT) AS close_cents,
+      CAST(tenkan AS BIGINT) AS tenkan,
+      CAST(kijun AS BIGINT) AS kijun,
+      CAST(senkou_a AS BIGINT) AS senkou_a,
+      CAST(senkou_b AS BIGINT) AS senkou_b,
+      CAST(chikou AS BIGINT) AS chikou,
+      cl > greatest(senkou_a, senkou_b) AS above_cloud
+    FROM sh WHERE n16 = 16 AND lag_n16 = 16
+    ORDER BY event_type, day
+"""
+
+
+@_q("window_ichimoku", _ICHI_SQL)
+def window_ichimoku(spark: SparkSession, sf: str) -> DataFrame:
+    """Ichimoku cloud per event-type series in exact cents: tenkan
+    (9-day midpoint), kijun (26-day), senkou A/B (the cloud —
+    displaced 26 days forward, so today's cloud is lag(26) of the
+    midpoint series), chikou (close displaced 26 back = lead(26),
+    NULL near the series tail by definition), and the above-cloud
+    flag.  Midpoints are (max+min) div 2 on positive cents — floor
+    and trunc agree.  Rows require BOTH a full 52-day window today
+    and a full window at the displaced origin (lag_n16 = 16): no
+    partially-warmed cloud ever flags a signal.
+
+    Scale shape: the indicator-family standard — one per-(type, day)
+    OHLC reduction (shared daily_ohlc_bars builder), then three
+    frame windows + one lag/lead pass, all partitioned by event_type
+    over the tiny bar series."""
+    from .daily_bars import daily_ohlc_bars
+
+    px = daily_ohlc_bars(spark, sf)
+    wt = Window.partitionBy("event_type").orderBy("day")
+    w16 = wt.rowsBetween(-15, 0)
+    mids = px.select(
+        "event_type",
+        "day",
+        "cl",
+        F.count("*").over(w16).cast("bigint").alias("n16"),
+        F.expr("(%s + %s) div 2"
+               % ("max(hi) OVER (PARTITION BY event_type ORDER BY day"
+                  " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)",
+                  "min(lo) OVER (PARTITION BY event_type ORDER BY day"
+                  " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")).alias("tenkan"),
+        F.expr("(%s + %s) div 2"
+               % ("max(hi) OVER (PARTITION BY event_type ORDER BY day"
+                  " ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)",
+                  "min(lo) OVER (PARTITION BY event_type ORDER BY day"
+                  " ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)")).alias("kijun"),
+        F.expr("(%s + %s) div 2"
+               % ("max(hi) OVER (PARTITION BY event_type ORDER BY day"
+                  " ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)",
+                  "min(lo) OVER (PARTITION BY event_type ORDER BY day"
+                  " ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)")).alias("mid16"),
+    )
+    sh = mids.select(
+        "event_type",
+        "day",
+        "cl",
+        "n16",
+        "tenkan",
+        "kijun",
+        F.lag(F.expr("(tenkan + kijun) div 2"), 8).over(wt).alias("senkou_a"),
+        F.lag("mid16", 8).over(wt).alias("senkou_b"),
+        F.lag("n16", 8).over(wt).alias("lag_n16"),
+        F.lead("cl", 8).over(wt).alias("chikou"),
+    )
+    return (
+        sh.where("n16 = 16 AND lag_n16 = 16")
+        .select(
+            "event_type",
+            "day",
+            F.col("cl").cast("bigint").alias("close_cents"),
+            F.col("tenkan").cast("bigint"),
+            F.col("kijun").cast("bigint"),
+            F.col("senkou_a").cast("bigint"),
+            F.col("senkou_b").cast("bigint"),
+            F.col("chikou").cast("bigint"),
+            F.expr("cl > greatest(senkou_a, senkou_b)").alias("above_cloud"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ------------------------------------- order/lineitem reconciliation
+
+_RECON_SQL = """
+    WITH lc AS (
+      SELECT l_orderkey,
+        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+          * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS actual_c
+      FROM lineitem GROUP BY l_orderkey
+    ), j AS (
+      SELECT o.o_orderstatus,
+        CAST(round(o.o_totalprice * 100) AS BIGINT) AS expected_c,
+        lc.actual_c
+      FROM orders o JOIN lc ON lc.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CASE WHEN abs(expected_c - actual_c) > 100
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+      CAST(sum(abs(expected_c - actual_c)) AS BIGINT) AS total_abs_diff_c,
+      CAST(sum(CASE WHEN abs(expected_c - actual_c) > 100
+               THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        AS mismatch_ppm
+    FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@_q("dq_order_reconciliation", _RECON_SQL)
+def dq_order_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table money reconciliation: per order, the header total
+    vs the sum of line charges extprice·(1-disc)·(1+tax), both
+    half-adjusted to exact integer cents PER ROW before any sum (the
+    fastmoney discipline — the double product is computed identically
+    by both engines, and once in cents the aggregation is exact), a
+    mismatch flag at a 1-dollar tolerance, and per-status totals —
+    the classic "does the header lie" audit on a denormalized feed.
+    The synthetic fixture's headers are independent of its lines, so
+    the audit REPORTS near-total mismatch — which is the point: the
+    numbers are deterministic and the oracle pins them.
+
+    Scale shape: one map-side-combinable per-order aggregate over
+    lineitem, one equi-join to orders on the natural clustering key
+    (exchange-free under the bucketed layout, the q21 shape), one
+    |status|-row rollup."""
+    li = t(spark, sf, "lineitem")
+    lc = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                _HA.format(
+                    x="l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+                    m="100",
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("actual_c")
+    )
+    od = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(_HA.format(x="o_totalprice", m="100")).alias("expected_c"),
+    )
+    j = od.join(lc, od.o_orderkey == lc.l_orderkey)
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN abs(expected_c - actual_c) > 100"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_mismatch"),
+            F.sum(F.expr("abs(expected_c - actual_c)"))
+            .cast("bigint")
+            .alias("total_abs_diff_c"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "n_mismatch",
+            "total_abs_diff_c",
+            F.expr("CAST(n_mismatch * 1000000 div n_orders AS BIGINT)").alias(
+                "mismatch_ppm"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------- shipping latency
+
+_SHIPLAT_SQL = """
+    WITH j AS (
+      SELECT o.o_orderpriority,
+        least(date_diff('day', CAST(o.o_orderdate AS DATE),
+          CAST(l.l_shipdate AS DATE)) // 7, 8) AS wk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+    ), per AS (
+      SELECT o_orderpriority, CAST(wk AS BIGINT) AS week_bucket,
+        CAST(count(*) AS BIGINT) AS n
+      FROM j GROUP BY o_orderpriority, wk
+    ), tot AS (
+      SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS tot
+      FROM per GROUP BY o_orderpriority
+    )
+    SELECT p.o_orderpriority, p.week_bucket, p.n,
+      CAST(p.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+    FROM per p JOIN tot t USING (o_orderpriority)
+    ORDER BY o_orderpriority, week_bucket
+"""
+
+
+@_q("orders_ship_latency", _SHIPLAT_SQL)
+def orders_ship_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-to-ship latency distribution: integer weeks between
+    order date and each line's ship date, capped into an 8+ bucket,
+    per order priority, with the within-priority share in exact ppm
+    — the fulfilment-SLA histogram.  datediff is calendar-exact in
+    both engines (DATE-truncated operands).
+
+    Scale shape: the fact-to-fact join rides the orderkey clustering
+    (exchange-free under the bucketed layout); buckets collapse
+    map-side to ≤|priorities|·9 rows and the share join is a
+    broadcast."""
+    li = t(spark, sf, "lineitem").where("l_shipdate IS NOT NULL").select(
+        "l_orderkey", "l_shipdate"
+    )
+    od = t(spark, sf, "orders").where("o_orderdate IS NOT NULL").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "o_orderpriority",
+        F.expr(
+            "least(datediff(CAST(l_shipdate AS DATE),"
+            " CAST(o_orderdate AS DATE)) div 7, 8)"
+        ).alias("week_bucket"),
+    )
+    per = j.groupBy("o_orderpriority", "week_bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = per.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("bigint").alias("tot")
+    )
+    return (
+        per.join(F.broadcast(tot), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("week_bucket").cast("bigint"),
+            "n",
+            F.expr("CAST(n * 1000000 div tot AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("o_orderpriority", "week_bucket")
+    )
+
+
+# ---------------------------------------------- prefix dedup clusters
+
+_PREFIX_SQL = """
+    WITH c AS (
+      SELECT substr(text, 1, 64) AS pfx, CAST(count(*) AS BIGINT) AS sz
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY pfx
+    )
+    SELECT sz AS cluster_size,
+      CAST(count(*) AS BIGINT) AS n_clusters,
+      CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY sz ORDER BY cluster_size
+"""
+
+
+@_q("dedup_prefix_clusters", _PREFIX_SQL)
+def dedup_prefix_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-collision profile: documents grouped by their first 64
+    characters, reported as a cluster-size histogram — the cheapest
+    crawl-dedup signal there is (boilerplate headers, mirrored pages
+    and templated spam all collide on prefixes long before a shingle
+    pass runs), used to size the real dedup job.
+
+    Scale shape: one groupBy on a fixed-width key projection
+    (map-side combinable — the 64-char prefix is the only data
+    touched), then a ≤|distinct sizes|-row rollup."""
+    c = (
+        t(spark, sf, "documents")
+        .where("text IS NOT NULL")
+        .groupBy(F.expr("substr(text, 1, 64)").alias("pfx"))
+        .agg(F.count("*").cast("bigint").alias("sz"))
+    )
+    return (
+        c.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            F.expr("CAST(cluster_size * n_clusters AS BIGINT)").alias(
+                "n_docs"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# -------------------------------------------------- lang × source mix
+
+_LANGMIX_SQL = """
+    WITH per AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT source, CAST(sum(chars) AS BIGINT) AS src_chars
+      FROM per GROUP BY source
+    )
+    SELECT p.lang, p.source, p.n_docs, p.chars,
+      CAST(p.chars * 1000000 // t.src_chars AS BIGINT) AS src_share_ppm
+    FROM per p JOIN tot t USING (source)
+    ORDER BY lang, source
+"""
+
+
+@_q("corpus_lang_mix", _LANGMIX_SQL)
+def corpus_lang_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Language × source composition matrix: docs and char mass per
+    cell plus each language's share of its source's characters in
+    exact ppm — the first table a multilingual-corpus plan reads
+    (and the denominator sanity-check for every per-lang op
+    downstream).
+
+    Scale shape: one map-side-combinable (lang, source) count over
+    the metadata columns only; shares join a broadcast |sources|-row
+    total."""
+    per = t(spark, sf, "documents").groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    tot = per.groupBy("source").agg(
+        F.sum("chars").cast("bigint").alias("src_chars")
+    )
+    return (
+        per.join(F.broadcast(tot), "source")
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "chars",
+            F.expr("CAST(chars * 1000000 div src_chars AS BIGINT)").alias(
+                "src_share_ppm"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------- embedding norm audit
+
+_NORMHIST_SQL = """
+    WITH n AS (
+      SELECT CAST(floor(list_sum(list_transform(
+          CAST(embedding AS DOUBLE[]), x -> x * x)) * 100) AS BIGINT)
+        AS bucket
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM n GROUP BY bucket ORDER BY bucket
+"""
+
+
+@_q("sim_norm_histogram", _NORMHIST_SQL)
+def sim_norm_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding squared-norm histogram in centi-buckets
+    (floor(|v|²·100)) — the drift/normalization audit run before any
+    cosine index is trusted (un-normalized or collapsed vectors show
+    up as mass away from the expected bucket).  The squared norm is
+    a per-row left fold over the vector — both engines evaluate the
+    identical double sequence, so the floor boundary is
+    engine-stable (the dedup_semantic_semdedup oracle pins the same
+    arithmetic).
+
+    Scale shape: pure per-row map + map-side-combinable bucket
+    count; nothing global."""
+    return (
+        t(spark, sf, "embeddings")
+        .where("embedding IS NOT NULL")
+        .select(
+            F.expr(
+                "CAST(floor(aggregate(transform(CAST(embedding AS"
+                " ARRAY<DOUBLE>), x -> x * x), 0D, (a, b) -> a + b)"
+                " * 100) AS BIGINT)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+        .orderBy("bucket")
+    )
