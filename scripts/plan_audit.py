@@ -89,7 +89,7 @@ SINGLE_PARTITION_OK = {
     "window_rsi_cutler": "lag + rolling-sum windows over the per-day aggregated series (<=|days|)",
     "events_wau_sliding": "prefix sum over per-day boundary deltas (<=|days|+7 rows post-agg)",
     "corpus_source_gini": "rank/cumsum window over the per-source aggregate (<=|sources| rows)",
-    "corpus_quality_prune_curve": "global ntile over (doc_id, logit, n_chars) triples only; percentile-threshold swap documented for corpus scale",
+    "corpus_quality_prune_curve": "parallel-rank ntile (no corpus-wide SinglePartition); remaining windows ride the 10-row decile frame",
 }
 
 BNLJ_OK = {

@@ -926,11 +926,16 @@ def corpus_quality_prune_curve(spark: SparkSession, sf: str) -> DataFrame:
     the "how much do we lose at threshold X" table a corpus curation
     run reads before fixing its filter.
 
-    Scale shape: the per-row logit map feeds ONE global ntile — a
-    documented SinglePartition window over (doc_id, logit, n_chars)
-    triples only (the same bound class as events_rfm's quintiles
-    before the parallel rewrite; at true corpus scale swap ntile for
-    the percentile-threshold variant) — then a 10-row rollup."""
+    Scale shape: the oracle's literal ``ntile(10) OVER (ORDER BY …)``
+    would plan an Exchange SinglePartition over the whole corpus (5M
+    rows through one task at x1000 — measured 36.6 s); instead the
+    decile comes from operators.ranking.with_global_rank (range
+    partition + parallel windows + bounded offsets) and ``ntile_expr``
+    reproduces SQL NTILE's bucket arithmetic from the exact global
+    rank — hash-identical to the ntile oracle, no single-partition
+    exchange (the events_rfm pattern).  Then a 10-row rollup."""
+    from ..operators.ranking import ntile_expr, with_global_rank
+
     stops = "('the','a','of','and','to','in','is','it','for','on')"
     tks = "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"
     f = t(spark, sf, "documents").select(
@@ -949,12 +954,10 @@ def corpus_quality_prune_curve(spark: SparkSession, sf: str) -> DataFrame:
                 " div greatest(length(text), 1)"
             )
         ).alias("logit"),
-    )
-    ranked = f.select(
-        "n_chars",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("logit"), "doc_id"))
-        .alias("decile"),
+    ).withColumn("neg_logit", -F.col("logit")).persist()
+    n = f.count()  # bounded: one long, needed by NTILE arithmetic
+    ranked = with_global_rank(f, ["neg_logit", "doc_id"], "rk").select(
+        "n_chars", ntile_expr("rk", n, 10).alias("decile")
     )
     per = ranked.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -1395,4 +1398,256 @@ def sim_norm_histogram(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("n_vecs"))
         .orderBy("bucket")
+    )
+
+
+# ------------------------------------- shingle DF profile (LSH tuning)
+
+_SHDF_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+      FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)
+      WHERE len(tk) >= 3
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS shingle
+      FROM toks WHERE len(tk) < 3
+    ), df AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS df
+      FROM sh GROUP BY shingle
+    )
+    SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_bucket,
+      CAST(count(*) AS BIGINT) AS n_shingles,
+      CAST(sum(df) AS BIGINT) AS doc_memberships,
+      CAST(min(df) AS BIGINT) AS min_df,
+      CAST(max(df) AS BIGINT) AS max_df
+    FROM df GROUP BY log2_bucket ORDER BY log2_bucket
+"""
+
+
+@_q("dedup_shingle_df_profile", _SHDF_SQL)
+def dedup_shingle_df_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-frequency histogram of the dedup 3-gram shingle space
+    in power-of-two buckets (exact bit-length, no float log): how many
+    shingles live in 1 doc, 2-3, 4-7, ... — the distribution that
+    sizes every shingle-keyed index in the dedup family (a heavy tail
+    here predicts hot inverted-index keys and motivates the df-cap /
+    hub-guard tiers before an LSH run is launched).
+
+    Scale shape: one distinct (doc, shingle) pass (the dedup family's
+    shared first stage), one shingle-keyed count, one |buckets|-row
+    rollup — all map-side-combinable."""
+    from ..operators.dedup import with_shingles
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    sh = (
+        with_shingles(docs, "text", 3)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    df = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
+    return (
+        df.groupBy(
+            F.expr("CAST(length(bin(df)) - 1 AS BIGINT)").alias("log2_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("doc_memberships"),
+            F.min("df").cast("bigint").alias("min_df"),
+            F.max("df").cast("bigint").alias("max_df"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+# --------------------------------------------- repeat-purchase curve
+
+_REPEAT_SQL = """
+    WITH rk AS (
+      SELECT o_custkey,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS rk
+      FROM orders
+    ), per AS (
+      SELECT CAST(rk AS BIGINT) AS order_rank,
+        CAST(count(*) AS BIGINT) AS n_customers
+      FROM rk WHERE rk <= 20 GROUP BY rk
+    ), tot AS (
+      SELECT CAST(max(n_customers) AS BIGINT) AS n_first FROM per
+    )
+    SELECT order_rank, n_customers,
+      CAST(n_customers * 1000000 // t.n_first AS BIGINT) AS reach_ppm
+    FROM per CROSS JOIN tot t
+    ORDER BY order_rank
+"""
+
+
+@_q("orders_repeat_curve", _REPEAT_SQL)
+def orders_repeat_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeat-purchase reach curve: how many customers place a 1st,
+    2nd, ... Nth order (curve reported through rank 20), with reach
+    as an exact ppm of first-order customers — the order-count twin of the
+    time-based cohort retention op (events_cohort_retention): this
+    one answers "do buyers come back", not "when".
+
+    Scale shape: one customer-keyed row_number window over orders
+    (single exchange on o_custkey), a ≤20-row rollup, and a 1-row
+    broadcast for the denominator."""
+    rk = t(spark, sf, "orders").select(
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("rk")
+    )
+    per = (
+        rk.where("rk <= 20")
+        .groupBy(F.expr("CAST(rk AS BIGINT)").alias("order_rank"))
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+    tot = per.agg(F.max("n_customers").cast("bigint").alias("n_first"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "order_rank",
+            "n_customers",
+            F.expr(
+                "CAST(n_customers * 1000000 div n_first AS BIGINT)"
+            ).alias("reach_ppm"),
+        )
+        .orderBy("order_rank")
+    )
+
+
+# --------------------------------------------- event-ordering audit
+
+_ORDERING_SQL = """
+    WITH s AS (
+      SELECT event_type, ts,
+        lag(ts) OVER (PARTITION BY event_type ORDER BY event_id) AS pts
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_steps,
+      CAST(sum(CASE WHEN ts < pts THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_regressions,
+      CAST(sum(CASE WHEN ts < pts THEN 1 ELSE 0 END) * 1000000
+        // count(*) AS BIGINT) AS regression_ppm,
+      CAST(max(CASE WHEN ts < pts
+               THEN date_diff('microseconds', ts, pts) ELSE 0 END)
+        AS BIGINT) AS max_regression_us
+    FROM s WHERE pts IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
+@_q("dq_event_ordering", _ORDERING_SQL)
+def dq_event_ordering(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-order audit: within each event type, how often does
+    the timestamp REGRESS along the append order (event_id)?  Reports
+    step count, regression count/rate (ppm) and the worst backward
+    jump in exact integer microseconds — the check that decides
+    whether downstream sessionization can trust arrival order or must
+    sort (and how much watermark slack a streaming twin needs).
+
+    Scale shape: one type-keyed lag window over (event_id, ts) pairs,
+    then a |types|-row rollup — single exchange."""
+    s = (
+        t(spark, sf, "events")
+        .where("ts IS NOT NULL")
+        .select(
+            "event_type",
+            "ts",
+            F.lag("ts")
+            .over(Window.partitionBy("event_type").orderBy("event_id"))
+            .alias("pts"),
+        )
+    )
+    return (
+        s.where("pts IS NOT NULL")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_steps"),
+            F.sum(F.expr("CASE WHEN ts < pts THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_regressions"),
+            F.max(
+                F.expr(
+                    "CASE WHEN ts < pts"
+                    " THEN unix_micros(pts) - unix_micros(ts) ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("max_regression_us"),
+        )
+        .select(
+            "event_type",
+            "n_steps",
+            "n_regressions",
+            F.expr(
+                "CAST(n_regressions * 1000000 div n_steps AS BIGINT)"
+            ).alias("regression_ppm"),
+            "max_regression_us",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------ user-concentration HHI
+
+_HHI_SQL = """
+    WITH per AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_users,
+      CAST(sum(c) AS BIGINT) AS n_events,
+      CAST(sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT)
+        AS hhi_ppm,
+      CAST((sum(c) * sum(c)) // sum(c * c) AS BIGINT)
+        AS effective_users
+    FROM per GROUP BY event_type ORDER BY event_type
+"""
+
+
+@_q("events_user_hhi", _HHI_SQL)
+def events_user_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """User-concentration Herfindahl index per event type:
+    HHI = Σ share² in exact ppm via cross-multiplication
+    (Σc²·10⁶ div (Σc)²) plus the inverse-Simpson effective user count
+    ((Σc)² div Σc²) — the audience-concentration twin of
+    text_source_diversity: an HHI near 10⁶ means one user IS the
+    signal (and that type's per-user windows will skew).
+
+    Scale shape: one map-side-combinable (type, user) count, then a
+    |types|-row rollup of integer moments — no window, no join.
+    BIGINT bound: Σc² ≤ Σc·max(c) ≈ 10¹² at x1000, ×10⁶ stays under
+    2⁶³."""
+    per = t(spark, sf, "events").groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum(F.expr("c * c")).cast("bigint").alias("s2"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            F.expr(
+                "CAST(s2 * 1000000 div (n_events * n_events) AS BIGINT)"
+            ).alias("hhi_ppm"),
+            F.expr(
+                "CAST((n_events * n_events) div s2 AS BIGINT)"
+            ).alias("effective_users"),
+        )
+        .orderBy("event_type")
     )
