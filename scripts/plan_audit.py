@@ -90,6 +90,7 @@ SINGLE_PARTITION_OK = {
     "events_wau_sliding": "prefix sum over per-day boundary deltas (<=|days|+7 rows post-agg)",
     "corpus_source_gini": "rank/cumsum window over the per-source aggregate (<=|sources| rows)",
     "corpus_quality_prune_curve": "parallel-rank ntile (no corpus-wide SinglePartition); remaining windows ride the 10-row decile frame",
+    "orders_seasonality_mom": "lag-1/lag-12 window over the post-agg monthly series (<=|months| rows, ~84 at x1000)",
 }
 
 BNLJ_OK = {

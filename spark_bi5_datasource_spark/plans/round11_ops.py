@@ -1651,3 +1651,317 @@ def events_user_hhi(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- week-over-week deltas
+
+_WOW_SQL = """
+    WITH wk AS (
+      SELECT event_type, date_trunc('week', ts) AS week_start,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type, week_start
+    ), d AS (
+      SELECT event_type, week_start, n_events, rev_c,
+        lag(n_events) OVER w AS pn, lag(rev_c) OVER w AS pr
+      FROM wk WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+    )
+    SELECT event_type, week_start, n_events, rev_c,
+      CASE WHEN pn > 0
+        THEN CAST((n_events - pn) * 1000000 // pn AS BIGINT) END
+        AS events_wow_ppm,
+      CASE WHEN pr > 0
+        THEN CAST((rev_c - pr) * 1000000 // pr AS BIGINT) END
+        AS rev_wow_ppm
+    FROM d WHERE pn IS NOT NULL
+    ORDER BY event_type, week_start
+"""
+
+
+@_q("events_kpi_wow_delta", _WOW_SQL)
+def events_kpi_wow_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week KPI deltas per event type: weekly event counts
+    and exact-cents revenue with the WoW change in integer ppm
+    (NULL-guarded when the prior week's base is 0 — a ratio against
+    nothing is not a number; negative deltas keep exact floor
+    semantics on a positive divisor).  date_trunc('week') is
+    Monday-anchored in both engines.
+
+    Scale shape: one map-side-combinable (type, week) rollup over the
+    fact scan, then a type-partitioned lag over ≤|types|·|weeks|
+    rows."""
+    wk = (
+        t(spark, sf, "events")
+        .where("ts IS NOT NULL AND value IS NOT NULL")
+        .groupBy(
+            "event_type", F.date_trunc("week", "ts").alias("week_start")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.expr(_HA.format(x="value", m="100")))
+            .cast("bigint")
+            .alias("rev_c"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    d = wk.select(
+        "*",
+        F.lag("n_events").over(w).alias("pn"),
+        F.lag("rev_c").over(w).alias("pr"),
+    )
+    return (
+        d.where("pn IS NOT NULL")
+        .select(
+            "event_type",
+            "week_start",
+            "n_events",
+            "rev_c",
+            F.expr(
+                "CASE WHEN pn > 0 THEN CAST((n_events - pn) * 1000000"
+                " div pn AS BIGINT) END"
+            ).alias("events_wow_ppm"),
+            F.expr(
+                "CASE WHEN pr > 0 THEN CAST((rev_c - pr) * 1000000"
+                " div pr AS BIGINT) END"
+            ).alias("rev_wow_ppm"),
+        )
+        .orderBy("event_type", "week_start")
+    )
+
+
+# --------------------------------------- monthly seasonality deltas
+
+_MOM_SQL = """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month_start,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS rev_c
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY month_start
+    ), d AS (
+      SELECT month_start, n_orders, rev_c,
+        lag(rev_c, 1) OVER w AS prev_m,
+        lag(rev_c, 12) OVER w AS prev_y
+      FROM m WINDOW w AS (ORDER BY month_start)
+    )
+    SELECT month_start, n_orders, rev_c,
+      CASE WHEN prev_m > 0
+        THEN CAST((rev_c - prev_m) * 1000000 // prev_m AS BIGINT) END
+        AS mom_ppm,
+      CASE WHEN prev_y > 0
+        THEN CAST((rev_c - prev_y) * 1000000 // prev_y AS BIGINT) END
+        AS yoy_ppm
+    FROM d ORDER BY month_start
+"""
+
+
+@_q("orders_seasonality_mom", _MOM_SQL)
+def orders_seasonality_mom(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly revenue in exact cents with month-over-month and
+    year-over-year deltas in integer ppm (lag 1 / lag 12 over the
+    months actually present; NULL until the base exists) — the
+    finance-calendar twin of events_forecast_snaive.
+
+    Scale shape: one ≤|months|-row rollup over the orders scan, then
+    lags over that tiny series (documented SinglePartition bound —
+    ~84 calendar months even at x1000)."""
+    m = (
+        t(spark, sf, "orders")
+        .where("o_orderdate IS NOT NULL")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.expr(_HA.format(x="o_totalprice", m="100")))
+            .cast("bigint")
+            .alias("rev_c"),
+        )
+    )
+    w = Window.orderBy("month_start")
+    return (
+        m.select(
+            "*",
+            F.lag("rev_c", 1).over(w).alias("prev_m"),
+            F.lag("rev_c", 12).over(w).alias("prev_y"),
+        )
+        .select(
+            "month_start",
+            "n_orders",
+            "rev_c",
+            F.expr(
+                "CASE WHEN prev_m > 0 THEN CAST((rev_c - prev_m) * 1000000"
+                " div prev_m AS BIGINT) END"
+            ).alias("mom_ppm"),
+            F.expr(
+                "CASE WHEN prev_y > 0 THEN CAST((rev_c - prev_y) * 1000000"
+                " div prev_y AS BIGINT) END"
+            ).alias("yoy_ppm"),
+        )
+        .orderBy("month_start")
+    )
+
+
+# ------------------------------------------------ URL/e-mail audit
+
+_URLMAIL_SQL = """
+    WITH f AS (
+      SELECT source,
+        len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_url,
+        len(regexp_extract_all(text,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS n_mail
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_url) AS BIGINT) AS url_hits,
+      CAST(sum(n_mail) AS BIGINT) AS email_hits,
+      CAST(sum(CASE WHEN n_url > 0 THEN 1 ELSE 0 END) * 1000000
+        // count(*) AS BIGINT) AS docs_with_url_ppm,
+      CAST(sum(CASE WHEN n_mail > 0 THEN 1 ELSE 0 END) * 1000000
+        // count(*) AS BIGINT) AS docs_with_email_ppm
+    FROM f GROUP BY source ORDER BY source
+"""
+
+
+@_q("text_url_email_stats", _URLMAIL_SQL)
+def text_url_email_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """URL / e-mail density per source: total pattern hits plus the
+    share of documents containing each, in exact ppm — the
+    PII-and-markup triage that decides which sources need the
+    redaction pass (text_redact_pii) before training.  Patterns stay
+    in the dialect-portable regex subset (scalar_regex_funcs
+    contract).
+
+    Scale shape: pure per-row regexp counts over one scan feeding a
+    |sources|-row rollup."""
+    f = (
+        t(spark, sf, "documents")
+        .where("text IS NOT NULL")
+        .select(
+            "source",
+            F.expr("regexp_count(text, 'https?://[^ ]+')").alias("n_url"),
+            F.expr(
+                "regexp_count(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')"
+            ).alias("n_mail"),
+        )
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_url").cast("bigint").alias("url_hits"),
+            F.sum("n_mail").cast("bigint").alias("email_hits"),
+            F.sum(F.expr("CASE WHEN n_url > 0 THEN 1 ELSE 0 END"))
+            .alias("du"),
+            F.sum(F.expr("CASE WHEN n_mail > 0 THEN 1 ELSE 0 END"))
+            .alias("dm"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "url_hits",
+            "email_hits",
+            F.expr("CAST(du * 1000000 div n_docs AS BIGINT)").alias(
+                "docs_with_url_ppm"
+            ),
+            F.expr("CAST(dm * 1000000 div n_docs AS BIGINT)").alias(
+                "docs_with_email_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ----------------------------------------- commodity channel index
+
+_CCI_SQL = """
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), px AS (
+      SELECT event_type, day,
+        CAST(max(cents) AS BIGINT) AS hi, CAST(min(cents) AS BIGINT) AS lo,
+        CAST(arg_max(cents, ts) AS BIGINT) AS cl
+      FROM base GROUP BY event_type, day
+    ), tp AS (
+      SELECT event_type, day,
+        (hi + lo + cl) * 1000 // 3 AS tp_m
+      FROM px
+    ), wm AS (
+      SELECT event_type, day, tp_m,
+        CAST(count(*) OVER w AS BIGINT) AS n,
+        CAST(sum(tp_m) OVER w AS BIGINT) AS s,
+        array_agg(tp_m) OVER w AS xs
+      FROM tp
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), dev AS (
+      SELECT event_type, day, tp_m, n, s,
+        list_sum(list_transform(xs, x -> abs(x * n - s))) AS md
+      FROM wm WHERE n = 20
+    )
+    SELECT event_type, day, tp_m,
+      CASE WHEN md > 0
+        THEN CAST((tp_m * n - s) * n * 1000000 // (15 * md) AS BIGINT)
+      END AS cci_milli
+    FROM dev ORDER BY event_type, day
+"""
+
+
+@_q("window_cci", _CCI_SQL)
+def window_cci(spark: SparkSession, sf: str) -> DataFrame:
+    """20-day Commodity Channel Index per event-type series, exact to
+    the milli: CCI = (tp − SMA) / (0.015 · meanAbsDev) evaluated
+    entirely in n-scaled integer space — tp in milli-cents (the /3 is
+    the only division, floored once), deviations as |xᵢ·n − s| so no
+    rational mean is ever materialized, and the final
+    (tp·n − s)·n·10⁶ div (15·md) folds the 0.015 into integers.  The
+    window's member values ride a 20-element collect_list aggregated
+    JVM-side with a higher-order fold — the mean-absolute-deviation
+    needs every member against the CURRENT window's mean, which no
+    pair of plain window sums can express.
+
+    Scale shape: indicator-family standard — the heavy per-(type,
+    day) OHLC pass, then type-partitioned windows carrying a bounded
+    20-element array over the tiny bar frame."""
+    from .daily_bars import daily_ohlc_bars
+
+    px = daily_ohlc_bars(spark, sf)
+    tp = px.select(
+        "event_type", "day",
+        F.expr("(hi + lo + cl) * 1000 div 3").alias("tp_m"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-19, 0)
+    )
+    wm = tp.select(
+        "event_type",
+        "day",
+        "tp_m",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("tp_m").over(w).cast("bigint").alias("s"),
+        F.collect_list("tp_m").over(w).alias("xs"),
+    )
+    dev = wm.where("n = 20").select(
+        "event_type",
+        "day",
+        "tp_m",
+        "n",
+        "s",
+        F.expr(
+            "aggregate(transform(xs, x -> abs(x * n - s)), 0L,"
+            " (a, b) -> a + b)"
+        ).alias("md"),
+    )
+    return dev.select(
+        "event_type",
+        "day",
+        "tp_m",
+        F.expr(
+            "CASE WHEN md > 0 THEN CAST((tp_m * n - s) * n * 1000000"
+            " div (15 * md) AS BIGINT) END"
+        ).alias("cci_milli"),
+    ).orderBy("event_type", "day")
