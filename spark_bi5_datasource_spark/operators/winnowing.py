@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 
 from ..functions.text import _fanout
 
-__all__ = ["winnow_fingerprint_stats", "winnow_py"]
+__all__ = ["winnow_fingerprint_stats", "winnow_fingerprints", "winnow_py"]
 
 
 def winnow_py(
@@ -107,6 +107,52 @@ def winnow_fingerprint_stats(
                     "n_grams": pd.array(ngs, dtype="Int64"),
                     "n_fp": pd.array(nfs, dtype="Int64"),
                     "fp_xor": pd.array(xs, dtype="Int64"),
+                }
+            )
+
+    return _fanout(df.select(id_col, text_col)).mapInPandas(
+        kernel, out_schema
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4,
+    base: int = 131, mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Exploded per-document fingerprint rows ``(id, fp)`` — one row
+    per DISTINCT winnowed fingerprint — for inverted-index consumers
+    (near-dup pair detection).  Same selection as
+    winnow_fingerprint_stats; documents with no grams emit nothing."""
+    import numpy as np
+
+    out_schema = f"{id_col} long, fp long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                m = len(text) if isinstance(text, str) else 0
+                n = m - k + 1
+                if n <= 0:
+                    continue
+                codes = np.fromiter(map(ord, text), np.int64, count=m)
+                h = np.zeros(n, np.int64)
+                for j in range(k):
+                    h = (h * base + codes[j : j + n]) % mod
+                if n < w:
+                    sel = np.array([h.min()])
+                else:
+                    sel = np.unique(
+                        np.lib.stride_tricks.sliding_window_view(
+                            h, w
+                        ).min(axis=1)
+                    )
+                ids.extend([did] * len(sel))
+                fps.extend(int(x) for x in sel)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="Int64"),
+                    "fp": pd.array(fps, dtype="Int64"),
                 }
             )
 

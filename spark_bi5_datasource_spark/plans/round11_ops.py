@@ -1657,7 +1657,7 @@ def events_user_hhi(spark: SparkSession, sf: str) -> DataFrame:
 
 _WOW_SQL = """
     WITH wk AS (
-      SELECT event_type, date_trunc('week', ts) AS week_start,
+      SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week_start,
         CAST(count(*) AS BIGINT) AS n_events,
         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
       FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
@@ -1695,7 +1695,8 @@ def events_kpi_wow_delta(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "events")
         .where("ts IS NOT NULL AND value IS NOT NULL")
         .groupBy(
-            "event_type", F.date_trunc("week", "ts").alias("week_start")
+            "event_type",
+            F.to_date(F.date_trunc("week", "ts")).alias("week_start")
         )
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
@@ -1734,7 +1735,7 @@ def events_kpi_wow_delta(spark: SparkSession, sf: str) -> DataFrame:
 
 _MOM_SQL = """
     WITH m AS (
-      SELECT date_trunc('month', o_orderdate) AS month_start,
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
         CAST(count(*) AS BIGINT) AS n_orders,
         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
           AS rev_c
@@ -1775,7 +1776,11 @@ def orders_seasonality_mom(spark: SparkSession, sf: str) -> DataFrame:
     m = (
         t(spark, sf, "orders")
         .where("o_orderdate IS NOT NULL")
-        .groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
+        .groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias(
+                "month_start"
+            )
+        )
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
             F.sum(F.expr(_HA.format(x="o_totalprice", m="100")))
@@ -1979,3 +1984,236 @@ def window_cci(spark: SparkSession, sf: str) -> DataFrame:
             " div (15 * md) AS BIGINT) END"
         ).alias("cci_milli"),
     ).orderBy("event_type", "day")
+
+
+# ------------------------------------- winnowing near-dup pairs
+
+_WINNOW_PAIRS_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS m FROM documents
+    ), g AS (
+      SELECT doc_id, i, {_winnow_hash_sql("text", "i")} AS h
+      FROM d, UNNEST(generate_series(1, m - 7)) AS u(i)
+      WHERE m >= 8
+    ), perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM g GROUP BY doc_id
+    ), wins AS (
+      SELECT doc_id, i,
+        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+        count(*) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n
+      FROM g
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE n = 4
+      UNION
+      SELECT g.doc_id, min(g.h) AS fp
+      FROM g JOIN perdoc p USING (doc_id)
+      WHERE p.n_grams < 4 GROUP BY g.doc_id
+    ), keep AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING count(*) BETWEEN 2 AND 50
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(count(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN keep USING (fp) JOIN fps b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b HAVING count(*) >= 2
+    )
+    SELECT doc_a, doc_b, n_shared
+    FROM pairs ORDER BY n_shared DESC, doc_a, doc_b LIMIT 200
+"""
+
+
+@_q("dedup_winnow_pairs", _WINNOW_PAIRS_SQL, bench=True)
+def dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style near-dup pair detection over the winnowing
+    fingerprints: document pairs sharing >= 2 winnowed fingerprints,
+    ranked by shared-fingerprint count (top 200, deterministic
+    order).  Ubiquitous fingerprints — document frequency > 50, the
+    boilerplate a crawl shares everywhere — are dropped from pair
+    generation exactly as MOSS drops common code scaffolding (the
+    SQL twin applies the identical df band, so the hash pins the
+    filter too).
+
+    Scale shape: per-doc fingerprints from the Arrow kernel (no
+    shuffle), one fp-keyed groupBy for the df band, basket-pattern
+    pair unfold from the fp -> docs inverted index (sorted
+    collect_set + array-HOF expansion, bounded C(df<=50, 2) per
+    fingerprint — never a raw self-join), one (a, b) count.  The df
+    cap is the hub guard: pair volume is bounded by
+    |fps| · C(50, 2)."""
+    from ..operators.winnowing import winnow_fingerprints
+
+    docs = t(spark, sf, "documents")
+    fps = winnow_fingerprints(docs, "doc_id", "text")
+    inv = (
+        fps.groupBy("fp")
+        .agg(F.expr("sort_array(collect_set(doc_id))").alias("ds"))
+        .where("size(ds) BETWEEN 2 AND 50")
+    )
+    pairs = inv.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where("n_shared >= 2")
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(200)
+    )
+
+
+# ------------------------------------ volume-weighted moving average
+
+_VWMA_SQL = """
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), px AS (
+      SELECT event_type, day,
+        CAST(arg_max(cents, ts) AS BIGINT) AS cl,
+        CAST(count(*) AS BIGINT) AS vol
+      FROM base GROUP BY event_type, day
+    ), wm AS (
+      SELECT event_type, day, cl, vol,
+        CAST(count(*) OVER w AS BIGINT) AS n,
+        CAST(sum(cl * vol) OVER w AS BIGINT) AS pv,
+        CAST(sum(vol) OVER w AS BIGINT) AS v
+      FROM px
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, cl AS close_cents, vol,
+      CAST(pv // v AS BIGINT) AS vwma_cents,
+      cl > pv // v AS above_vwma
+    FROM wm WHERE n = 10
+    ORDER BY event_type, day
+"""
+
+
+@_q("window_vwma", _VWMA_SQL)
+def window_vwma(spark: SparkSession, sf: str) -> DataFrame:
+    """10-day volume-weighted moving average per event-type series in
+    exact cents (floor of Σ(close·vol)/Σvol over the trailing full
+    window — positive operands, trunc == floor both engines), with
+    the close-above-VWMA flag.  The volume-weighted complement of the
+    SMA family: a close drifting above its VWMA on thin volume reads
+    differently than on heavy volume.
+
+    Scale shape: close and volume ride ONE per-(type, day) pass, then
+    a type-partitioned window over the bar frame; Σ(cl·vol) stays
+    under BIGINT (1e6 cents · 1e5 ticks · 10 days = 1e12)."""
+    ev = (
+        t(spark, sf, "events")
+        .where("ts IS NOT NULL AND value IS NOT NULL")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            F.expr(_HA.format(x="value", m="100")).alias("cents"),
+        )
+    )
+    px = ev.groupBy("event_type", "day").agg(
+        F.expr("max_by(cents, ts)").cast("bigint").alias("cl"),
+        F.count("*").cast("bigint").alias("vol"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-9, 0)
+    )
+    wm = px.select(
+        "event_type",
+        "day",
+        "cl",
+        "vol",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum(F.expr("cl * vol")).over(w).cast("bigint").alias("pv"),
+        F.sum("vol").over(w).cast("bigint").alias("v"),
+    )
+    return (
+        wm.where("n = 10")
+        .select(
+            "event_type",
+            "day",
+            F.col("cl").alias("close_cents"),
+            "vol",
+            F.expr("CAST(pv div v AS BIGINT)").alias("vwma_cents"),
+            F.expr("cl > pv div v").alias("above_vwma"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------- new vs returning users
+
+_NEWRET_SQL = """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE ts IS NOT NULL
+    ), first AS (
+      SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id
+    )
+    SELECT du.day,
+      CAST(count(*) AS BIGINT) AS active_users,
+      CAST(sum(CASE WHEN f.first_day = du.day THEN 1 ELSE 0 END)
+        AS BIGINT) AS new_users,
+      CAST(count(*) - sum(CASE WHEN f.first_day = du.day THEN 1 ELSE 0
+        END) AS BIGINT) AS returning_users,
+      CAST(sum(CASE WHEN f.first_day = du.day THEN 1 ELSE 0 END)
+        * 1000000 // count(*) AS BIGINT) AS new_share_ppm
+    FROM du JOIN first f USING (user_id)
+    GROUP BY du.day ORDER BY du.day
+"""
+
+
+@_q("events_new_vs_returning", _NEWRET_SQL)
+def events_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily new-vs-returning split: active users per day, how many
+    are on their FIRST active day, the returning remainder, and the
+    new share in exact ppm — the acquisition/retention pulse read
+    next to events_cume_users (which shows the cumulative total this
+    op decomposes per day).
+
+    Scale shape: one (day, user) distinct, a per-user min(day), and
+    the classification join — all three legs key on user_id, so the
+    whole plan rides a single hash partitioning; the final rollup is
+    ≤|days| rows."""
+    du = (
+        t(spark, sf, "events")
+        .where("ts IS NOT NULL")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    first = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = du.join(first, "user_id").select(
+        "day", F.expr("CASE WHEN first_day = day THEN 1 ELSE 0 END").alias("nw")
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("active_users"),
+            F.sum("nw").cast("bigint").alias("new_users"),
+        )
+        .select(
+            "day",
+            "active_users",
+            "new_users",
+            (F.col("active_users") - F.col("new_users"))
+            .cast("bigint")
+            .alias("returning_users"),
+            F.expr(
+                "CAST(new_users * 1000000 div active_users AS BIGINT)"
+            ).alias("new_share_ppm"),
+        )
+        .orderBy("day")
+    )
