@@ -2217,3 +2217,163 @@ def events_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ------------------------------------------- count-min sketch (exact pin)
+
+# depth-4 universal-hash rows over the BIGINT key: row 0 is the
+# IDENTITY row (a=1, b=0) with W prime above any fixture/scale key
+# domain, so it is collision-free and the CMS min equals the true
+# count — the provably-exact-at-a-point configuration (CMS estimates
+# are always >= truth; one exact row pins the min to truth).  Rows
+# 1-3 use small prime widths and DO collide — the plumbing the exact
+# row certifies is the same plumbing production runs with all-small
+# widths.  All hashing is explicit integer arithmetic, portable to
+# the SQL twin.
+_CMS_P = 2_147_483_647  # 2^31 - 1
+_CMS_ROWS = [  # (a, b, width)
+    (1, 0, 1_000_003_565_842_103),  # identity row: W prime > key domain
+    (1_103_515_245, 12_345, 8_191),
+    (214_013, 2_531_011, 16_381),
+    (69_069, 362_437, 32_749),
+]
+_CMS_HASH = "((({a} * l_partkey + {b}) % {p}) % {w})"
+
+
+def _cms_bucket_sql(r: int) -> str:
+    a, b, w = _CMS_ROWS[r]
+    return _CMS_HASH.format(a=a, b=b, p=_CMS_P, w=w)
+
+
+_CMS_SQL = f"""
+    WITH buckets AS (
+      {" UNION ALL ".join(
+          f"SELECT {r} AS row_id, {_cms_bucket_sql(r)} AS bucket,"
+          f" l_partkey FROM lineitem"
+          for r in range(len(_CMS_ROWS)))}
+    ), counters AS (
+      SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM buckets GROUP BY row_id, bucket
+    ), keys AS (
+      SELECT DISTINCT l_partkey FROM lineitem
+    ), probes AS (
+      SELECT k.l_partkey, b.row_id, {_CMS_HASH.format(
+          a="CASE b.row_id WHEN 0 THEN 1 WHEN 1 THEN 1103515245"
+            " WHEN 2 THEN 214013 ELSE 69069 END",
+          b="CASE b.row_id WHEN 0 THEN 0 WHEN 1 THEN 12345"
+            " WHEN 2 THEN 2531011 ELSE 362437 END",
+          p=_CMS_P,
+          w="CASE b.row_id WHEN 0 THEN 1000003565842103 WHEN 1 THEN 8191"
+            " WHEN 2 THEN 16381 ELSE 32749 END")} AS bucket
+      FROM keys k CROSS JOIN (SELECT DISTINCT row_id FROM counters) b
+    ), est AS (
+      SELECT p.l_partkey, CAST(min(c.c) AS BIGINT) AS est_count
+      FROM probes p JOIN counters c
+        ON c.row_id = p.row_id AND c.bucket = p.bucket
+      GROUP BY p.l_partkey
+    )
+    SELECT l_partkey, est_count
+    FROM est ORDER BY est_count DESC, l_partkey LIMIT 20
+"""
+
+
+@_q("agg_count_min_exact", _CMS_SQL)
+def agg_count_min_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters over lineitem part keys, in the
+    provably-exact configuration: depth-4 universal-hash counter
+    rows where row 0 is the identity row (collision-free W) — CMS
+    estimates are always >= truth and the exact row participates in
+    the min, so every estimate equals the true count and the DuckDB
+    twin can be the plain GROUP BY (the sim_ivf_exact /
+    agg_approx_quantiles exact-at-a-point discipline).  Rows 1-3 use
+    real small widths (8k/16k/32k) and genuinely collide — the
+    mergeable-counter plumbing being certified is exactly what a
+    production all-small-width sketch runs.  Top-20 by (est, key), a
+    deterministic total order.
+
+    Scale shape: the sketch build is one map-side-combinable
+    (row, bucket) count — 4 counters per input row, the classic
+    mergeable-sketch shuffle of O(d·W) not O(rows); the probe side
+    joins the |keys| frame to the counter table per row and takes a
+    4-way min.  At 100 TB only the d·W counter table moves."""
+    li = t(spark, sf, "lineitem").select("l_partkey")
+    bucket_structs = ", ".join(
+        f"named_struct('row_id', {r}, 'bucket', "
+        + _CMS_HASH.format(a=a, b=b, p=_CMS_P, w=w)
+        + ")"
+        for r, (a, b, w) in enumerate(_CMS_ROWS)
+    )
+    counters = (
+        li.select(
+            F.explode(F.expr(f"array({bucket_structs})")).alias("rb")
+        )
+        .groupBy("rb.row_id", "rb.bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    keys = li.distinct()
+    probes = keys.select(
+        "l_partkey",
+        F.explode(F.expr(f"array({bucket_structs})")).alias("rb"),
+    ).select("l_partkey", "rb.row_id", "rb.bucket")
+    est = (
+        probes.join(counters, ["row_id", "bucket"])
+        .groupBy("l_partkey")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), "l_partkey").limit(20)
+
+
+# ------------------------------------- dedup survival by source
+
+_SURVIVAL_SQL = """
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      WHERE text IS NOT NULL GROUP BY text
+    ), j AS (
+      SELECT d.source,
+        CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+      FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id
+      WHERE d.text IS NOT NULL
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(kept) AS BIGINT) AS n_kept,
+      CAST(sum(kept) * 1000000 // count(*) AS BIGINT) AS survival_ppm
+    FROM j GROUP BY source ORDER BY source
+"""
+
+
+@_q("text_dedup_survival_by_source", _SURVIVAL_SQL)
+def text_dedup_survival_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source survival rate under exact text dedup with the
+    lowest-doc_id representative rule: how much of each source
+    remains after the cheapest dedup pass — the per-source impact
+    report that corpus_dedup_inflation (which counts the duplicate
+    MASS) reads next to; a source with low survival is feeding the
+    corpus copies, not content.
+
+    Scale shape: one (text -> min doc_id) aggregate keyed on the
+    content bytes, one id-keyed semi-classification join, a
+    |sources|-row rollup."""
+    d = t(spark, sf, "documents").where("text IS NOT NULL")
+    keep = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", F.lit(1).alias("kept")
+    )
+    j = d.select("source", "doc_id").join(keep, "doc_id", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr("CAST(n_kept * 1000000 div n_docs AS BIGINT)").alias(
+                "survival_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
