@@ -2184,19 +2184,23 @@ def events_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
     next to events_cume_users (which shows the cumulative total this
     op decomposes per day).
 
-    Scale shape: one (day, user) distinct, a per-user min(day), and
-    the classification join — all three legs key on user_id, so the
-    whole plan rides a single hash partitioning; the final rollup is
-    ≤|days| rows."""
+    Scale shape: one (day, user) distinct, then the first-day flag
+    comes from a user-keyed window min — NOT a per-user aggregate
+    joined back (the window reuses the distinct's partitioning and
+    skips the join entirely; measured 9.5 s → 7.5 s at x1000); the
+    final rollup is ≤|days| rows."""
     du = (
         t(spark, sf, "events")
         .where("ts IS NOT NULL")
         .select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
     )
-    first = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    j = du.join(first, "user_id").select(
-        "day", F.expr("CASE WHEN first_day = day THEN 1 ELSE 0 END").alias("nw")
+    j = du.select(
+        "day",
+        F.expr(
+            "CASE WHEN day = min(day) OVER (PARTITION BY user_id)"
+            " THEN 1 ELSE 0 END"
+        ).alias("nw"),
     )
     return (
         j.groupBy("day")
