@@ -2381,3 +2381,119 @@ def text_dedup_survival_by_source(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- langid confusion matrix
+
+
+def _langid_confusion_sql() -> str:
+    from .llm_ops import _sql_lang_id
+
+    return f"""
+    WITH pred AS ({_sql_lang_id()}),
+    cells AS (
+      SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang_true, lang_pred
+    ), rows_ AS (
+      SELECT lang_true, CAST(sum(n) AS BIGINT) AS row_total
+      FROM cells GROUP BY lang_true
+    )
+    SELECT c.lang_true, c.lang_pred, c.n, r.row_total,
+      CAST(c.n * 1000000 // r.row_total AS BIGINT) AS row_share_ppm
+    FROM cells c JOIN rows_ r USING (lang_true)
+    ORDER BY lang_true, lang_pred
+"""
+
+
+@_q("corpus_langid_confusion", _langid_confusion_sql())
+def corpus_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Confusion matrix of the stopword-vote language classifier
+    against the fixture's labeled lang column: per (true, predicted)
+    cell count and its share of the true-language row in exact ppm —
+    the evaluation harness every classifier swap runs before
+    replacing text_langid's heuristic (the diagonal shares ARE the
+    per-language recall).
+
+    Scale shape: the per-row vote (one tokenize, functions/text.py
+    lang_id) feeds a ≤|langs|²-cell rollup; the row-total join is a
+    broadcast."""
+    from ..functions.text import lang_id
+
+    pred = t(spark, sf, "documents").select(
+        F.col("lang").alias("lang_true"),
+        lang_id("text").alias("lang_pred"),
+    )
+    cells = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    rows = cells.groupBy("lang_true").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return (
+        cells.join(F.broadcast(rows), "lang_true")
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n",
+            "row_total",
+            F.expr("CAST(n * 1000000 div row_total AS BIGINT)").alias(
+                "row_share_ppm"
+            ),
+        )
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+# --------------------------------------------- duplicate-event audit
+
+_DUPEVENT_SQL = """
+    WITH g AS (
+      SELECT event_type, user_id, ts, value,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, user_id, ts, value
+    )
+    SELECT event_type,
+      CAST(sum(c) AS BIGINT) AS n_events,
+      CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_groups,
+      CAST(sum(c - 1) AS BIGINT) AS n_extra_rows,
+      CAST(sum(c - 1) * 1000000 // sum(c) AS BIGINT) AS extra_ppm
+    FROM g GROUP BY event_type ORDER BY event_type
+"""
+
+
+@_q("dq_duplicate_event_audit", _DUPEVENT_SQL)
+def dq_duplicate_event_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicate-event audit per type: identical
+    (user, ts, type, value) tuples collapsed, reporting the group
+    count, the surplus rows a retry/at-least-once pipeline injected,
+    and the surplus rate in exact ppm — the idempotency check run
+    before any counting metric downstream is believed (a clean feed
+    audits to zero surplus, which is the assertion on the fixture).
+
+    Scale shape: one map-side-combinable group on the natural
+    event identity, then a |types|-row rollup — the dedup-count
+    shape with no second scan."""
+    g = t(spark, sf, "events").groupBy(
+        "event_type", "user_id", "ts", "value"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum(F.expr("CASE WHEN c > 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_dup_groups"),
+            F.sum(F.expr("c - 1")).cast("bigint").alias("n_extra_rows"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_dup_groups",
+            "n_extra_rows",
+            F.expr(
+                "CAST(n_extra_rows * 1000000 div n_events AS BIGINT)"
+            ).alias("extra_ppm"),
+        )
+        .orderBy("event_type")
+    )
