@@ -51,31 +51,31 @@ CATALOG: dict[str, tuple] = {
 # The union of driver-green rows across rounds is the coverage
 # record — see COVERAGE.md.
 DRIVER_WINDOW: list[str] = [
-    # round-7 window (scripts/window_rotation.py over CORRECTNESS_r0{1..6}):
-    # the 46 entries added in builder rounds 6-10 after the r06 freeze,
-    # never yet exposed to a driver gate, come first — after this round
-    # the driver-green union covers ALL 201 oracle-backed catalog entries
-    # ever written — then 4 least-recently-exposed (r01) filler.
-    "retrieval_rerank_topk", "sample_mixture_dedup_aware",
-    "text_quality_logit", "curriculum_interleave", "split_leakage_free",
-    "sample_temperature_mixture", "text_keywords_per_doc",
-    "events_user_streaks", "window_cusum_changepoint",
-    "agg_audience_overlap", "join_asof_nearest", "events_cohort_ltv",
-    "events_power_users_pareto", "sql_recursive_rollup",
-    "scalar_regex_funcs", "events_dow_hour_heatmap", "events_funnel_latency",
-    "dq_expectations", "dq_k_anonymity", "tok_zipf_profile",
-    "text_source_diversity", "events_top_paths", "events_wau_sliding",
-    "window_bollinger_bands", "text_boilerplate_spans", "join_asof_tolerance",
-    "window_rsi_cutler", "window_atr_bands", "dq_distribution_drift",
-    "events_ab_cuped", "events_forecast_snaive", "corpus_epoch_plan",
-    "tok_fertility_by_lang", "dedup_ngram_containment",
-    "sim_mrl_prefix_recall", "window_stochastic_osc",
-    "window_donchian_channels", "dq_benford_first_digit",
-    "corpus_source_gini", "events_ab_srm_check", "graph_neighbor_jaccard",
-    "tok_ttr_by_source", "window_pivot_points", "tok_oov_by_source",
-    "corpus_dedup_inflation", "events_diff_in_diff",
+    # round-8 window (scripts/window_rotation.py over CORRECTNESS_r0{1..7}):
+    # the 33 round-11 additions (plans/round11_ops.py), never yet exposed
+    # to a driver gate, come first — after this round the driver-green
+    # union covers ALL 234 oracle-backed catalog entries ever written —
+    # then 17 least-recently-exposed (r01) filler.
+    "dedup_semantic_semdedup", "text_contamination_matrix",
+    "dedup_winnowing_fingerprints", "dq_referential_integrity",
+    "dq_null_profile", "basket_association_lift",
+    "graph_degree_distribution", "window_aroon", "window_obv_daily",
+    "events_burst_hours", "text_readability_scores",
+    "corpus_quality_prune_curve", "window_ichimoku",
+    "dq_order_reconciliation", "orders_ship_latency",
+    "dedup_prefix_clusters", "corpus_lang_mix", "sim_norm_histogram",
+    "dedup_shingle_df_profile", "orders_repeat_curve",
+    "dq_event_ordering", "events_user_hhi", "events_kpi_wow_delta",
+    "orders_seasonality_mom", "text_url_email_stats", "window_cci",
+    "dedup_winnow_pairs", "window_vwma", "events_new_vs_returning",
+    "agg_count_min_exact", "text_dedup_survival_by_source",
+    "corpus_langid_confusion", "dq_duplicate_event_audit",
     "b1_scan_count", "b5_groupby_count", "b6_filter_project",
-    "q1_pricing_summary",
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
+    "join_broadcast_dims", "join_left_outer", "join_range",
+    "join_asof_events_orders", "window_topk_per_segment",
+    "window_running_total", "agg_rollup", "agg_stats",
+    "scalar_string_funcs", "scalar_date_funcs", "scalar_json_funcs",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(
