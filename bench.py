@@ -52,6 +52,15 @@ def build_spark():
         # bytes/minPartitionNum term dominates there, so sf0.1 tables
         # still fan out across all cores.
         .config("spark.sql.files.maxPartitionBytes", str(512 * 1024 * 1024))
+        # open-cost floor: the 4 MiB default is an HDFS-era seek
+        # penalty; on local NVMe it forces a 40 MB single-file scan
+        # (x1000 documents, snappy text ~40:1) down to 10 splits,
+        # leaving 22 of 32 cores idle under every text kernel.  64 KiB
+        # lets bytes/minPartitionNum win: the same scan plans 32
+        # splits (measured: text_url_email_stats 2.57->1.25 s).  At
+        # real cluster scale files outnumber cores and this knob is
+        # moot — it only corrects the tiny-fixture artifact.
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

@@ -60,7 +60,7 @@ ARROW_KERNELS = {
     "text_source_diversity": "term-count partial kernel (functions/text.py term_count_partials)",
     "tok_ttr_by_source": "term-count partial kernel (functions/text.py term_count_partials)",
     "tok_oov_by_source": "term-count partial kernel (functions/text.py term_count_partials)",
-    "tok_fertility_by_lang": "term-count partial kernel (functions/text.py term_count_partials)",
+    "tok_fertility_by_lang": "token-count partial kernel (functions/text.py token_count_partials)",
     "dedup_winnowing_fingerprints": "per-doc rolling-hash winnow kernel (operators/winnowing.py)",
     "dedup_winnow_pairs": "per-doc rolling-hash winnow kernel (operators/winnowing.py)",
 }

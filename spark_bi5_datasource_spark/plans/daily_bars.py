@@ -49,10 +49,19 @@ __all__ = [
     "uncache_daily_bars",
 ]
 
-# (id(spark), sf_dir, kind) -> persisted bars frame.  Only populated
-# through cache_daily_bars (probe/sweep harnesses); never by the
-# catalog entries themselves.
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (applicationId, sf_dir, kind) -> collected local bars frame.  Only
+# populated through cache_daily_bars (probe/sweep harnesses); never by
+# the catalog entries themselves.  Keyed on the session's
+# applicationId — stable for the session's lifetime and never reused
+# by a new session (unlike id(spark), which CPython can recycle after
+# a stopped session is garbage-collected).  The cache is a
+# point-in-time snapshot: call uncache_daily_bars if the underlying
+# tables change mid-sweep.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _skey(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
 
 
 def _build_ohlc(spark: SparkSession, sf: str) -> DataFrame:
@@ -93,7 +102,7 @@ def daily_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
     last-by-timestamp close — the shared first stage of the
     events-series indicators (semantics identical to the
     events_daily_ohlc pass, relational.py)."""
-    return _CACHE.get((id(spark), sf, "ohlc")) or _build_ohlc(spark, sf)
+    return _CACHE.get((_skey(spark), sf, "ohlc")) or _build_ohlc(spark, sf)
 
 
 def daily_revenue_kusd(spark: SparkSession, sf: str) -> DataFrame:
@@ -101,7 +110,7 @@ def daily_revenue_kusd(spark: SparkSession, sf: str) -> DataFrame:
     (cents div 100000) — the shared first stage of the
     revenue-series indicators (k$ units keep the Bollinger Σx²
     moment inside BIGINT at x1000; see window_bollinger_bands)."""
-    return _CACHE.get((id(spark), sf, "rev")) or _build_rev(spark, sf)
+    return _CACHE.get((_skey(spark), sf, "rev")) or _build_rev(spark, sf)
 
 
 def cache_daily_bars(spark: SparkSession, sf: str) -> None:
@@ -118,7 +127,7 @@ def cache_daily_bars(spark: SparkSession, sf: str) -> None:
     persist-based sweep 5.96 s vs collect-based ~3 s for the same
     six indicators)."""
     for kind, build in (("ohlc", _build_ohlc), ("rev", _build_rev)):
-        key = (id(spark), sf, kind)
+        key = (_skey(spark), sf, kind)
         if key not in _CACHE:
             built = build(spark, sf)
             _CACHE[key] = spark.createDataFrame(
@@ -128,4 +137,4 @@ def cache_daily_bars(spark: SparkSession, sf: str) -> None:
 
 def uncache_daily_bars(spark: SparkSession, sf: str) -> None:
     for kind in ("ohlc", "rev"):
-        _CACHE.pop((id(spark), sf, kind), None)
+        _CACHE.pop((_skey(spark), sf, kind), None)

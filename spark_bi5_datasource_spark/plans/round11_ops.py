@@ -954,8 +954,12 @@ def corpus_quality_prune_curve(spark: SparkSession, sf: str) -> DataFrame:
                 " div greatest(length(text), 1)"
             )
         ).alias("logit"),
-    ).withColumn("neg_logit", -F.col("logit")).persist()
-    n = f.count()  # bounded: one long, needed by NTILE arithmetic
+    ).withColumn("neg_logit", -F.col("logit"))
+    # The select is filter-free, so |f| == |documents|: take the row
+    # count from the raw table (parquet metadata count, no logit
+    # computation, no persist to leak — with_global_rank caches its
+    # own range-shuffled frame for the two passes that need it).
+    n = t(spark, sf, "documents").count()  # bounded: one long
     ranked = with_global_rank(f, ["neg_logit", "doc_id"], "rk").select(
         "n_chars", ntile_expr("rk", n, 10).alias("decile")
     )
@@ -999,17 +1003,17 @@ _ICHI_SQL = """
       FROM base GROUP BY event_type, day
     ), mids AS (
       SELECT event_type, day, cl,
-        CAST(count(*) OVER w52 AS BIGINT) AS n16,
-        (max(hi) OVER w9 + min(lo) OVER w9) // 2 AS tenkan,
-        (max(hi) OVER w26 + min(lo) OVER w26) // 2 AS kijun,
-        (max(hi) OVER w52 + min(lo) OVER w52) // 2 AS mid16
+        CAST(count(*) OVER w16 AS BIGINT) AS n16,
+        (max(hi) OVER w4 + min(lo) OVER w4) // 2 AS tenkan,
+        (max(hi) OVER w8 + min(lo) OVER w8) // 2 AS kijun,
+        (max(hi) OVER w16 + min(lo) OVER w16) // 2 AS mid16
       FROM px
       WINDOW
-        w9 AS (PARTITION BY event_type ORDER BY day
+        w4 AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
-        w26 AS (PARTITION BY event_type ORDER BY day
-                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
-        w52 AS (PARTITION BY event_type ORDER BY day
+        w8 AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+        w16 AS (PARTITION BY event_type ORDER BY day
                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
     ), sh AS (
       SELECT event_type, day, cl, n16, tenkan, kijun,
@@ -1034,14 +1038,17 @@ _ICHI_SQL = """
 
 @_q("window_ichimoku", _ICHI_SQL)
 def window_ichimoku(spark: SparkSession, sf: str) -> DataFrame:
-    """Ichimoku cloud per event-type series in exact cents: tenkan
-    (9-day midpoint), kijun (26-day), senkou A/B (the cloud —
-    displaced 26 days forward, so today's cloud is lag(26) of the
-    midpoint series), chikou (close displaced 26 back = lead(26),
+    """Ichimoku cloud per event-type series in exact cents, with the
+    classic 1:2:4 window ratio scaled to the ~30-day fixture span:
+    tenkan (4-day midpoint), kijun (8-day), senkou A/B (the cloud —
+    displaced 8 days forward, so today's cloud is lag(8) of the
+    midpoint series), chikou (close displaced 8 back = lead(8),
     NULL near the series tail by definition), and the above-cloud
-    flag.  Midpoints are (max+min) div 2 on positive cents — floor
-    and trunc agree.  Rows require BOTH a full 52-day window today
-    and a full window at the displaced origin (lag_n16 = 16): no
+    flag.  The production parameters are the textbook 9/26/52 with
+    26-day displacement — same plan shape, different frame bounds.
+    Midpoints are (max+min) div 2 on positive cents — floor and
+    trunc agree.  Rows require BOTH a full 16-day window today and a
+    full window at the displaced origin (lag_n16 = 16): no
     partially-warmed cloud ever flags a signal.
 
     Scale shape: the indicator-family standard — one per-(type, day)
@@ -1848,7 +1855,16 @@ def text_url_email_stats(spark: SparkSession, sf: str) -> DataFrame:
     gated over 5M docs at x1000.
 
     Scale shape: pure per-row regexp counts over one scan feeding a
-    |sources|-row rollup."""
+    |sources|-row rollup.  Measured floor (r8, x1000 = 5M docs /
+    1.5 GB text): with the NVMe openCostInBytes split fix the query
+    is 1.25 s; Spark's parquet string DECODE alone
+    (sum(length(text))) is 0.80 s vs DuckDB's 0.036 s — so any
+    Spark plan touching the text column is bounded below ~2.4× the
+    DuckDB twin on this fixture, an engine string-materialization
+    constant, not a plan defect (alternatives measured and rejected:
+    exact instr/HOF rewrite of both regexes 3.1 s, Arrow-RE2
+    mapInArrow kernel 1.53 s — both above the gated-JVM-regex plan;
+    scripts/exp_urlmail_strops.py)."""
     f = (
         t(spark, sf, "documents")
         .where("text IS NOT NULL")
@@ -2176,6 +2192,58 @@ _NEWRET_SQL = """
 """
 
 
+def _events_day_bounds(spark, sf):
+    """(min_day, max_day) of non-null event timestamps.
+
+    Prefers parquet footer row-group statistics (pure metadata, no
+    row scan — min/max stats exclude nulls, exactly ``F.min(ts)``
+    semantics); falls back to a column-pruned scalar job when stats
+    are absent or the table isn't a plain parquet path (e.g. the
+    bucketed-layout tier)."""
+    import glob as _g
+    import os as _os
+
+    path = f"{sf}/events.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if _os.path.isfile(path)
+            else sorted(_g.glob(_os.path.join(path, "*.parquet")))
+        )
+        lo = hi = None
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["ts"]).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no ts stats")
+                mn, mx = st.min, st.max
+                if isinstance(mn, int):  # nanos-as-long physical type
+                    import datetime as _dt
+
+                    epoch = _dt.datetime(1970, 1, 1)
+                    mn = epoch + _dt.timedelta(microseconds=mn // 1000)
+                    mx = epoch + _dt.timedelta(microseconds=mx // 1000)
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+        if lo is None:
+            raise ValueError("no files")
+        return lo.date(), hi.date()
+    except Exception:
+        row = (
+            t(spark, sf, "events")
+            .where("ts IS NOT NULL")
+            .agg(F.min(F.to_date("ts")), F.max(F.to_date("ts")))
+            .first()
+        )
+        return row[0], row[1]
+
+
 @_q("events_new_vs_returning", _NEWRET_SQL)
 def events_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
     """Daily new-vs-returning split: active users per day, how many
@@ -2184,69 +2252,108 @@ def events_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
     next to events_cume_users (which shows the cumulative total this
     op decomposes per day).
 
-    Scale shape: one (day, user) distinct, then the first-day flag
-    comes from a user-keyed window min — NOT a per-user aggregate
-    joined back (the window reuses the distinct's partitioning and
-    skips the join entirely; measured 9.5 s → 7.5 s at x1000); the
-    final rollup is ≤|days| rows."""
-    du = (
-        t(spark, sf, "events")
-        .where("ts IS NOT NULL")
-        .select(F.to_date("ts").alias("day"), "user_id")
-        .distinct()
-    )
-    j = du.select(
-        "day",
-        F.expr(
-            "CASE WHEN day = min(day) OVER (PARTITION BY user_id)"
-            " THEN 1 ELSE 0 END"
-        ).alias("nw"),
-    )
-    return (
-        j.groupBy("day")
-        .agg(
+    Scale shape (r8 rewrite): when the day span fits 64 bits, each
+    user's activity collapses to ONE BIGINT day-bitmask — a
+    primitive ``bit_or`` aggregate (whole-stage-codegen HashAggregate,
+    no per-group objects), keyed by an explicit
+    ``repartition(defaultParallelism, user_id)`` so the aggregate
+    runs as a single complete pass after one compact raw exchange
+    (measured: the partial+final plan re-hashes 3.1M rows/task into a
+    1.4M-entry map-side table for a 2.3× row reduction — slower than
+    shipping the raw 16-byte rows).  first active day = lowest set
+    bit; the mask explodes (post-agg, ≤|days| bits) into the tiny
+    day rollup.  The anchor day comes from parquet footer stats —
+    no pre-scan.  Measured x1000: 9.5 s (r7 window-min) → 2.93 s,
+    DuckDB 1.74 s → ratio 1.7.  Spans > 63 days (multi-year
+    production corpora) fall back to the r7 window-min shape; the
+    bitmask generalizes to an array-of-longs chunk per 64-day block
+    if that tier ever needs the same treatment."""
+    ev = t(spark, sf, "events").where("ts IS NOT NULL")
+    dmin, dmax = _events_day_bounds(spark, sf)
+    if dmin is not None and (dmax - dmin).days <= 63:
+        n = spark.sparkContext.defaultParallelism
+        masks = (
+            ev.select(
+                "user_id",
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    f" datediff(CAST(ts AS DATE), DATE'{dmin}'))"
+                ).alias("bit"),
+            )
+            .repartition(n, "user_id")
+            .groupBy("user_id")
+            .agg(F.expr("bit_or(bit)").alias("mask"))
+        )
+        j = masks.select(
+            F.expr(
+                "filter(sequence(0, 63), k -> ((mask >> k) & 1) = 1)"
+            ).alias("bits")
+        ).select(
+            F.element_at("bits", 1).alias("first_k"),
+            F.explode("bits").alias("k"),
+        )
+        day_counts = j.groupBy(
+            F.expr(f"date_add(DATE'{dmin}', k)").alias("day")
+        ).agg(
+            F.count("*").cast("bigint").alias("active_users"),
+            F.sum(F.expr("CAST(k = first_k AS INT)"))
+            .cast("bigint")
+            .alias("new_users"),
+        )
+    else:
+        du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+        j = du.select(
+            "day",
+            F.expr(
+                "CASE WHEN day = min(day) OVER (PARTITION BY user_id)"
+                " THEN 1 ELSE 0 END"
+            ).alias("nw"),
+        )
+        day_counts = j.groupBy("day").agg(
             F.count("*").cast("bigint").alias("active_users"),
             F.sum("nw").cast("bigint").alias("new_users"),
         )
-        .select(
-            "day",
-            "active_users",
-            "new_users",
-            (F.col("active_users") - F.col("new_users"))
-            .cast("bigint")
-            .alias("returning_users"),
-            F.expr(
-                "CAST(new_users * 1000000 div active_users AS BIGINT)"
-            ).alias("new_share_ppm"),
-        )
-        .orderBy("day")
-    )
+    return day_counts.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users"))
+        .cast("bigint")
+        .alias("returning_users"),
+        F.expr(
+            "CAST(new_users * 1000000 div active_users AS BIGINT)"
+        ).alias("new_share_ppm"),
+    ).orderBy("day")
 
 
 # ------------------------------------------- count-min sketch (exact pin)
 
 # depth-4 universal-hash rows over the BIGINT key: row 0 is the
-# IDENTITY row (a=1, b=0) with W prime above any fixture/scale key
-# domain, so it is collision-free and the CMS min equals the true
-# count — the provably-exact-at-a-point configuration (CMS estimates
-# are always >= truth; one exact row pins the min to truth).  Rows
-# 1-3 use small prime widths and DO collide — the plumbing the exact
-# row certifies is the same plumbing production runs with all-small
+# IDENTITY row (a=1, b=0) whose universal-hash modulus P equals its
+# own width W (prime, ~1e15), so its bucket is exactly key % W —
+# collision-free for every key below W, i.e. up to part-key domains
+# of 1e15 (far past the 100 TB regime), and the CMS min equals the
+# true count — the provably-exact-at-a-point configuration (CMS
+# estimates are always >= truth; one exact row pins the min to
+# truth).  Rows 1-3 keep the classic P = 2^31-1 universal hash with
+# small prime widths and DO collide — the plumbing the exact row
+# certifies is the same plumbing production runs with all-small
 # widths.  All hashing is explicit integer arithmetic, portable to
 # the SQL twin.
-_CMS_P = 2_147_483_647  # 2^31 - 1
-_CMS_ROWS = [  # (a, b, width)
-    (1, 0, 1_000_003_565_842_103),  # identity row: W prime > key domain
-    (1_103_515_245, 12_345, 8_191),
-    (214_013, 2_531_011, 16_381),
-    (69_069, 362_437, 32_749),
+_CMS_W0 = 1_000_003_565_842_103  # identity row: prime > key domain
+_CMS_P = 2_147_483_647  # 2^31 - 1 (rows 1-3 only)
+_CMS_ROWS = [  # (a, b, p, width); row 0 has p == width => bucket = key % W
+    (1, 0, _CMS_W0, _CMS_W0),
+    (1_103_515_245, 12_345, _CMS_P, 8_191),
+    (214_013, 2_531_011, _CMS_P, 16_381),
+    (69_069, 362_437, _CMS_P, 32_749),
 ]
 _CMS_HASH = "((({a} * l_partkey + {b}) % {p}) % {w})"
 
 
 def _cms_bucket_sql(r: int) -> str:
-    a, b, w = _CMS_ROWS[r]
-    return _CMS_HASH.format(a=a, b=b, p=_CMS_P, w=w)
+    a, b, p, w = _CMS_ROWS[r]
+    return _CMS_HASH.format(a=a, b=b, p=p, w=w)
 
 
 _CMS_SQL = f"""
@@ -2266,8 +2373,8 @@ _CMS_SQL = f"""
             " WHEN 2 THEN 214013 ELSE 69069 END",
           b="CASE b.row_id WHEN 0 THEN 0 WHEN 1 THEN 12345"
             " WHEN 2 THEN 2531011 ELSE 362437 END",
-          p=_CMS_P,
-          w="CASE b.row_id WHEN 0 THEN 1000003565842103 WHEN 1 THEN 8191"
+          p=f"CASE b.row_id WHEN 0 THEN {_CMS_W0} ELSE {_CMS_P} END",
+          w=f"CASE b.row_id WHEN 0 THEN {_CMS_W0} WHEN 1 THEN 8191"
             " WHEN 2 THEN 16381 ELSE 32749 END")} AS bucket
       FROM keys k CROSS JOIN (SELECT DISTINCT row_id FROM counters) b
     ), est AS (
@@ -2303,9 +2410,9 @@ def agg_count_min_exact(spark: SparkSession, sf: str) -> DataFrame:
     li = t(spark, sf, "lineitem").select("l_partkey")
     bucket_structs = ", ".join(
         f"named_struct('row_id', {r}, 'bucket', "
-        + _CMS_HASH.format(a=a, b=b, p=_CMS_P, w=w)
+        + _CMS_HASH.format(a=a, b=b, p=p, w=w)
         + ")"
-        for r, (a, b, w) in enumerate(_CMS_ROWS)
+        for r, (a, b, p, w) in enumerate(_CMS_ROWS)
     )
     counters = (
         li.select(
