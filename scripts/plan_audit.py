@@ -128,6 +128,10 @@ BNLJ_OK = {
     "sim_mrl_prefix_recall": "<=10-query broadcast per cosine_topk leg",
     "corpus_source_gini": "1-row moment frame crossJoin broadcast",
     "dq_benford_first_digit": "1-row totals crossJoin broadcast",
+    "sim_ann_recall_monitor": (
+        "<=8-query broadcast on the exact cosine_topk leg; every "
+        "approximate leg is a bucket/cell equi-join (round12_ops)"
+    ),
 }
 
 

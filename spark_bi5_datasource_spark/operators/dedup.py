@@ -441,6 +441,65 @@ def _minhash_dedup_once(
     return df.join(losers, id_col, "left_anti")
 
 
+def minhash_delta_dedup(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental corpus-delta dedup: drop increment docs that are
+    verified near-dups (shingle-Jaccard ≥ ``threshold``) of ANY
+    corpus doc — WITHOUT ever pairing the corpus with itself.
+
+    The production shape of every recurring-crawl pipeline: the
+    standing corpus's band index is the build side (at scale it is
+    precomputed once and stored; here it is derived inline from the
+    corpus frame), the new increment bands probe it, and candidate
+    pairs exist only across the increment×corpus boundary — the
+    corpus self-join that dominates a naive full-corpus re-dedup
+    (|C|² band collisions vs |Δ|·|C| here, |Δ| ≪ |C|) never happens.
+    Candidates are deduped on (inc, corp) before the
+    shingle-Jaccard verification, mirroring ``_minhash_dedup_once``.
+
+    Returns the surviving increment rows (all columns of
+    ``increment``)."""
+    sig_c = minhash_signatures(corpus, id_col, text_col, n, num_perm)
+    sig_i = minhash_signatures(increment, id_col, text_col, n, num_perm)
+    bc = _banded(sig_c, id_col, num_perm, bands, carry=(text_col,)).select(
+        F.col(id_col).alias("__cid"),
+        F.col(text_col).alias("__ct"),
+        "band",
+        "bucket",
+    )
+    bi = _banded(sig_i, id_col, num_perm, bands, carry=(text_col,)).select(
+        F.col(id_col).alias("__iid"),
+        F.col(text_col).alias("__it"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        bi.join(bc, ["band", "bucket"])
+        .select("__iid", "__it", "__cid", "__ct")
+        .dropDuplicates(["__iid", "__cid"])
+    )
+    verified = (
+        with_shingles(cand, "__it", n, "__si")
+        .transform(lambda d: with_shingles(d, "__ct", n, "__sc"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__si", "__sc"))
+            / F.size(F.array_union("__si", "__sc")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    losers = verified.select(F.col("__iid").alias(id_col)).distinct()
+    return increment.join(losers, id_col, "left_anti")
+
+
 def simhash(
     df: DataFrame, text_col: str, out_col: str = "simhash"
 ) -> DataFrame:

@@ -2437,3 +2437,87 @@ class TestTableDiff:
             compare=["v"],  # w differs but is not compared
         )
         assert got == set()
+
+
+class TestDeltaDedup:
+    """minhash_delta_dedup: increment-vs-corpus near-dedup that never
+    pairs the corpus with itself (plans/round12_ops.py twin)."""
+
+    @pytest.fixture()
+    def crawl(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog while rain"
+            " falls on the quiet town"
+        )
+        other = (
+            "spark catalyst optimizes declarative query plans into"
+            " distributed physical stages"
+        )
+        rows = [
+            # corpus (ids % 10 != 0)
+            (1, base),
+            (2, other),
+            (3, base),  # corpus-internal dup of 1: must NOT matter
+            # increment (ids % 10 == 0)
+            (10, base.replace("quiet", "busy")),  # near-dup of corpus 1
+            (20, base),  # exact dup of corpus 1
+            (30, "completely unrelated words about cooking pasta with"
+                 " garlic butter and fresh basil"),
+            (40, other),  # exact dup of corpus 2
+            # increment-internal dup pair: BOTH survive (delta dedup
+            # only checks against the corpus, never increment-self)
+            (50, "fresh crawl page about gardening tools and seasonal"
+                 " soil preparation for beginners"),
+            (60, "fresh crawl page about gardening tools and seasonal"
+                 " soil preparation for beginners"),
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_drops_corpus_near_dups_keeps_novel(self, spark, crawl):
+        from spark_bi5_datasource_spark.operators.dedup import (
+            minhash_delta_dedup,
+        )
+
+        corpus = crawl.where("doc_id % 10 <> 0")
+        increment = crawl.where("doc_id % 10 = 0")
+        kept = sorted(
+            r.doc_id
+            for r in minhash_delta_dedup(
+                corpus, increment, "doc_id", "text", threshold=0.4
+            ).collect()
+        )
+        # 10/20/40 collide with corpus; 30 is novel; 50+60 BOTH stay
+        assert kept == [30, 50, 60]
+
+    def test_corpus_rows_never_returned(self, spark, crawl):
+        from spark_bi5_datasource_spark.operators.dedup import (
+            minhash_delta_dedup,
+        )
+
+        corpus = crawl.where("doc_id % 10 <> 0")
+        increment = crawl.where("doc_id % 10 = 0")
+        out = minhash_delta_dedup(
+            corpus, increment, "doc_id", "text", threshold=0.4
+        )
+        assert all(r.doc_id % 10 == 0 for r in out.collect())
+
+
+class TestAnnRecallMonitor:
+    def test_recall_table_shape_and_monotonicity(self, spark):
+        """IVF recall must not DECREASE with wider probes (a superset
+        of cells can only add candidates), every ppm is in [0, 1e6],
+        and all six (tier, param) rows exist even at zero recall."""
+        from spark_bi5_datasource_spark.plans.round12_ops import (
+            sim_ann_recall_monitor,
+        )
+
+        from tests.conftest import TESTDATA_SF
+
+        rows = sim_ann_recall_monitor(spark, TESTDATA_SF).collect()
+        table = {(r.tier, r.param): r.recall_ppm for r in rows}
+        assert len(table) == 6
+        assert {t for t, _ in table} == {"lsh", "ivf"}
+        assert all(0 <= v <= 1_000_000 for v in table.values())
+        assert (
+            table[("ivf", 1)] <= table[("ivf", 2)] <= table[("ivf", 4)]
+        )
