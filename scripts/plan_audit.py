@@ -132,6 +132,8 @@ BNLJ_OK = {
         "<=8-query broadcast on the exact cosine_topk leg; every "
         "approximate leg is a bucket/cell equi-join (round12_ops)"
     ),
+    "orders_backlog_aging": "1-row open-total crossJoin broadcast",
+    "orders_pareto_abc": "1-row revenue-total crossJoin broadcast",
 }
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .fastmoney import HALF_ADJUST_CENTS as _HA
 from .tables import fanout, t
 
 ROUND12_OPS: dict[str, tuple] = {}
@@ -379,4 +380,456 @@ def sim_ann_recall_monitor(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
         .orderBy("tier", "param")
+    )
+
+
+# ------------------------------------------------------- MACD
+
+# Binary-decay EMA discipline from window_ewma (round4_ops): weights
+# 2^0..2^(len-1) over the frame-ordered list keep every term exact
+# BIGINT (cents < 2^16, fast_num < 2^24, slow_num < 2^32,
+# macd_num < 2^41, signal_num < 2^45), so both engines divide the
+# same integers and round(x, 6) can never straddle an FP boundary.
+_MACD_DEN = 255 * 65535  # (2^8-1)(2^16-1): common macd denominator
+
+_MACD_SQL = f"""
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), px AS (
+      SELECT event_type, day,
+        CAST(arg_max(cents, ts) AS BIGINT) AS cl
+      FROM base GROUP BY event_type, day
+    ), l AS (
+      SELECT event_type, day, cl,
+        list(cl) OVER w8 AS xs8, list(cl) OVER w16 AS xs16
+      FROM px
+      WINDOW
+        w8 AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+        w16 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+    ), m AS (
+      SELECT event_type, day, cl,
+        list_sum(list_transform(xs8,
+          (v, i) -> v * (1::BIGINT << (i - 1)))) * 65535
+        - list_sum(list_transform(xs16,
+            (v, i) -> v * (1::BIGINT << (i - 1)))) * 255 AS macd_num
+      FROM l WHERE len(xs16) = 16
+    ), s AS (
+      SELECT event_type, day, cl, macd_num,
+        list(macd_num) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ms
+      FROM m
+    )
+    SELECT event_type, day, cl AS close_cents,
+      round(CAST(macd_num AS DOUBLE) / {_MACD_DEN}.0, 6) AS macd_cents,
+      round(CAST(list_sum(list_transform(ms,
+          (v, i) -> v * (1::BIGINT << (i - 1)))) AS DOUBLE)
+        / ({_MACD_DEN}.0 * 15), 6) AS signal_cents,
+      macd_num * 15 > list_sum(list_transform(ms,
+        (v, i) -> v * (1::BIGINT << (i - 1)))) AS macd_above_signal
+    FROM s WHERE len(ms) = 4
+    ORDER BY event_type, day
+"""
+
+
+@_q("window_macd", _MACD_SQL)
+def window_macd(spark: SparkSession, sf: str) -> DataFrame:
+    """MACD per event-type close series, fixture-scaled frames (fast
+    8 / slow 16 / signal 4 — the classic 12/26/9 at the ~30-day
+    span): macd = EMA_fast − EMA_slow on binary-decay frame EMAs
+    (the window_ewma exact-BIGINT discipline — position weights
+    2^0..2^(len−1) over the ordered frame list), signal = the same
+    decay over the trailing 4 macd numerators, plus the
+    above-signal crossover flag computed on exact integers
+    (macd_num·15 vs signal_num — no float ever decides the flag).
+    Rows gate on a full 16-day slow frame AND a full 4-row signal
+    frame.
+
+    Scale shape: the indicator-family standard — the shared
+    per-(type, day) bar reduction, then two frame windows + one
+    cascaded window over the macd numerators, all partitioned by
+    event_type over the tiny bar series."""
+    from .daily_bars import daily_ohlc_bars
+
+    px = daily_ohlc_bars(spark, sf).select("event_type", "day", "cl")
+    wt = Window.partitionBy("event_type").orderBy("day")
+    fold = (
+        "aggregate({xs}, named_struct('i', 0, 's', 0L), (st, v) -> "
+        "named_struct('i', st.i + 1, 's', st.s + v * shiftleft(1L, st.i)),"
+        " st -> st.s)"
+    )
+    l = px.select(
+        "event_type",
+        "day",
+        "cl",
+        F.collect_list("cl").over(wt.rowsBetween(-7, 0)).alias("xs8"),
+        F.collect_list("cl").over(wt.rowsBetween(-15, 0)).alias("xs16"),
+    )
+    m = l.where("size(xs16) = 16").select(
+        "event_type",
+        "day",
+        "cl",
+        F.expr(
+            f"{fold.format(xs='xs8')} * 65535L"
+            f" - {fold.format(xs='xs16')} * 255L"
+        ).alias("macd_num"),
+    )
+    s = m.select(
+        "event_type",
+        "day",
+        "cl",
+        "macd_num",
+        F.collect_list("macd_num").over(wt.rowsBetween(-3, 0)).alias("ms"),
+    )
+    sig = fold.format(xs="ms")
+    return (
+        s.where("size(ms) = 4")
+        .select(
+            "event_type",
+            "day",
+            F.col("cl").alias("close_cents"),
+            F.round(
+                F.expr(f"CAST(macd_num AS DOUBLE) / {_MACD_DEN}.0"), 6
+            ).alias("macd_cents"),
+            F.round(
+                F.expr(f"CAST({sig} AS DOUBLE) / ({_MACD_DEN}.0 * 15)"), 6
+            ).alias("signal_cents"),
+            F.expr(f"macd_num * 15 > {sig}").alias("macd_above_signal"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ----------------------------------------------- backlog aging
+
+_BACKLOG_D = "2000-01-01"  # snapshot date: inside the orders span
+# at every fixture scale (dates are never stride-shifted)
+
+_BACKLOG_SQL = f"""
+    WITH ms AS (
+      SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS mx
+      FROM lineitem GROUP BY l_orderkey
+    ), open_o AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS od,
+        CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o LEFT JOIN ms ON ms.l_orderkey = o.o_orderkey
+      WHERE CAST(o.o_orderdate AS DATE) <= DATE '{_BACKLOG_D}'
+        AND (ms.mx IS NULL OR ms.mx > DATE '{_BACKLOG_D}')
+    ), per AS (
+      SELECT least(date_diff('day', od, DATE '{_BACKLOG_D}') // 30, 12)
+          AS age_bucket,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(cents) AS BIGINT) AS value_cents
+      FROM open_o GROUP BY age_bucket
+    ), tot AS (
+      SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM per
+    )
+    SELECT CAST(age_bucket AS BIGINT) AS age_bucket, n_orders,
+      value_cents,
+      CAST(n_orders * 1000000 // t AS BIGINT) AS share_ppm
+    FROM per CROSS JOIN tot ORDER BY age_bucket
+"""
+
+
+@_q("orders_backlog_aging", _BACKLOG_SQL)
+def orders_backlog_aging(spark: SparkSession, sf: str) -> DataFrame:
+    """Open-order backlog aging at a snapshot date: orders placed on
+    or before the snapshot whose LAST line has not shipped by it
+    (or that have no lines at all), bucketed by 30-day age (capped
+    at 12 = "a year or older"), with order counts, exact order-value
+    cents and the backlog share in ppm — the fulfilment-ops twin of
+    orders_ship_latency (what is still OWED, not how fast we were).
+
+    Scale shape: the per-order max-shipdate aggregate and the orders
+    join both key on the orderkey — exchange-free under the bucketed
+    layout (tables.BUCKET_SPECS), exactly like dq_order_reconciliation;
+    then a ≤13-row rollup with a 1-row total broadcast."""
+    d = _BACKLOG_D
+    li = t(spark, sf, "lineitem").groupBy("l_orderkey").agg(
+        F.max(F.expr("CAST(l_shipdate AS DATE)")).alias("mx")
+    )
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(o_orderdate AS DATE)").alias("od"),
+        F.expr(_HA.format(x="o_totalprice", m="100")).alias("cents"),
+    )
+    open_o = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .where(f"od <= DATE'{d}' AND (mx IS NULL OR mx > DATE'{d}')")
+        .select("od", "cents")
+    )
+    per = open_o.groupBy(
+        F.expr(f"least(datediff(DATE'{d}', od) div 30, 12)").alias(
+            "age_bucket"
+        )
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("value_cents"),
+    )
+    tot = per.agg(F.sum("n_orders").cast("bigint").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("age_bucket").cast("bigint"),
+            "n_orders",
+            "value_cents",
+            F.expr("CAST(n_orders * 1000000 div t AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+# ----------------------------------------------- Pareto ABC classes
+
+_ABC_SQL = """
+    WITH pr AS (
+      SELECT l_partkey,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_partkey
+    ), r AS (
+      SELECT l_partkey, rev_c,
+        sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM pr
+    ), tot AS (
+      SELECT CAST(sum(rev_c) AS BIGINT) AS t FROM pr
+    ), cls AS (
+      SELECT CASE
+          WHEN (cum / 100000) * 1000000 // (t / 100000) <= 800000
+            THEN 'A'
+          WHEN (cum / 100000) * 1000000 // (t / 100000) <= 950000
+            THEN 'B'
+          ELSE 'C' END AS abc_class,
+        rev_c
+      FROM r CROSS JOIN tot
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+      CAST(sum(rev_c) AS BIGINT) AS revenue_cents
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+@_q("orders_pareto_abc", _ABC_SQL)
+def orders_pareto_abc(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: parts ranked
+    by exact revenue cents, class A while the inclusive cumulative
+    share ≤ 80%, B to 95%, C after — the classic Pareto cut every
+    supply/assortment review starts from.  The share test runs on
+    k$-scaled integers ((cum div 1e5)·10⁶ div (total div 1e5)) so the
+    cross-multiply stays inside BIGINT at x1000 (the
+    orders_seasonality_mom ANSI-canary lesson) and both engines
+    compare identical integers.
+
+    Scale shape: one part-keyed revenue aggregate, then the global
+    cumulative sum runs PARALLEL via operators.ranking.
+    global_running_sum (range partition + per-partition offsets — no
+    Exchange SinglePartition, the corpus_quality_prune_curve
+    discipline), a 1-row total broadcast, and a 3-row class rollup."""
+    from ..operators.ranking import global_running_sum
+
+    pr = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.expr(_HA.format(x="l_extendedprice", m="100")))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+        .withColumn("neg_rev", -F.col("rev_c"))
+    )
+    r = global_running_sum(pr, ["neg_rev", "l_partkey"], "rev_c", "cum")
+    tot = pr.agg(F.sum("rev_c").cast("bigint").alias("t"))
+    cls = r.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CASE WHEN (cum div 100000) * 1000000 div (t div 100000)"
+            " <= 800000 THEN 'A'"
+            " WHEN (cum div 100000) * 1000000 div (t div 100000)"
+            " <= 950000 THEN 'B' ELSE 'C' END"
+        ).alias("abc_class"),
+        "rev_c",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("rev_c").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# ------------------------------------- minhash estimator-error monitor
+
+_MH_P = (1 << 61) - 1
+_MH_POLY_P = 1_000_000_007
+_MH_NPERM = 32
+
+
+def _mh_coeffs() -> tuple[list[int], list[int]]:
+    """The exact universal-hash family minhash_signatures uses
+    (seed 0x5EED + num_perm) — the monitor measures the PRODUCTION
+    permutation family, only the shingle hash differs (portable
+    polynomial instead of xxhash64, which DuckDB cannot evaluate)."""
+    import random
+
+    rng = random.Random(0x5EED + _MH_NPERM)
+    a = [rng.randrange(1, 1 << 30) for _ in range(_MH_NPERM)]
+    b = [rng.randrange(0, _MH_P) for _ in range(_MH_NPERM)]
+    return a, b
+
+
+def _mh_error_sql() -> str:
+    a, b = _mh_coeffs()
+    perms = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(_MH_NPERM))
+    return f"""
+    WITH pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        a.text AS ta, b.text AS tb
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id < 20 AND a.doc_id % 2 = 0
+        AND a.text IS NOT NULL AND b.text IS NOT NULL
+    ), ids AS (
+      SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+    ), toks AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS tk
+      FROM documents d JOIN ids ON ids.id = d.doc_id
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+      FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)
+      WHERE len(tk) >= 3
+      UNION
+      SELECT doc_id, array_to_string(tk, ' ') AS shingle
+      FROM toks WHERE len(tk) < 3
+    ), hs AS (
+      SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        list_transform(string_split(shingle, ''),
+          c -> CAST(ascii(c) AS BIGINT))),
+        (acc, c) -> (acc * 131 + c) % {_MH_POLY_P}) AS h
+      FROM sh
+    ), mh AS (
+      SELECT doc_id, p.i,
+        min((p.a * h + p.b) % {_MH_P}) AS mv
+      FROM hs CROSS JOIN (VALUES {perms}) p(i, a, b)
+      GROUP BY doc_id, p.i
+    ), agree AS (
+      SELECT pr.id_a, pr.id_b,
+        CAST(sum(CASE WHEN x.mv = y.mv THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_agree
+      FROM pairs pr
+      JOIN mh x ON x.doc_id = pr.id_a
+      JOIN mh y ON y.doc_id = pr.id_b AND y.i = x.i
+      GROUP BY pr.id_a, pr.id_b
+    ), exact AS (
+      SELECT pr.id_a, pr.id_b,
+        CAST(count(CASE WHEN sb.shingle IS NOT NULL THEN 1 END)
+          AS BIGINT) AS n_int,
+        (SELECT count(*) FROM sh WHERE sh.doc_id = pr.id_a)
+        + (SELECT count(*) FROM sh WHERE sh.doc_id = pr.id_b)
+        - CAST(count(CASE WHEN sb.shingle IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_uni
+      FROM pairs pr
+      JOIN sh sa ON sa.doc_id = pr.id_a
+      LEFT JOIN sh sb ON sb.doc_id = pr.id_b AND sb.shingle = sa.shingle
+      GROUP BY pr.id_a, pr.id_b
+    )
+    SELECT g.id_a, g.id_b,
+      CAST(g.n_agree * 1000000 // {_MH_NPERM} AS BIGINT)
+        AS est_jaccard_ppm,
+      CAST(e.n_int * 1000000 // e.n_uni AS BIGINT) AS exact_jaccard_ppm,
+      CAST(abs(g.n_agree * 1000000 // {_MH_NPERM}
+        - e.n_int * 1000000 // e.n_uni) AS BIGINT) AS abs_err_ppm
+    FROM agree g JOIN exact e
+      ON e.id_a = g.id_a AND e.id_b = g.id_b
+    ORDER BY g.id_a
+"""
+
+
+@_q("dedup_minhash_error_monitor", _mh_error_sql())
+def dedup_minhash_error_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash estimator-error table on a deterministic 10-pair doc
+    slice (adjacent ids below 20): the 32-permutation signature
+    agreement rate (= estimated Jaccard) next to the EXACT
+    word-3-shingle Jaccard, both in integer ppm, plus the absolute
+    error — the sketch-accuracy guardrail that decides num_perm at
+    corpus scale, the dedup twin of sim_ann_recall_monitor.
+
+    Uses the PRODUCTION universal-hash permutation family
+    (minhash_signatures' seeded a/b coefficients) over an
+    engine-portable polynomial shingle hash (fold (h·131 + code) mod
+    1e9+7 — the winnowing portability policy) so the DuckDB twin
+    reproduces every signature value bit-for-bit; xxhash64 exists
+    only JVM-side and is unverifiable cross-engine.
+
+    Scale shape: per-doc shingle/hash work is narrow HOF expressions
+    over the 20-doc slice; signature min-agg is
+    |docs|·num_perm-keyed; the exact leg joins the two shingle sets
+    per pair — all bounded by the slice contract."""
+    a, b = _mh_coeffs()
+    from ..operators.dedup import with_shingles
+
+    docs = t(spark, sf, "documents").where(
+        "doc_id < 20 AND text IS NOT NULL"
+    )
+    da = docs.where("doc_id % 2 = 0").select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("ta")
+    )
+    db = docs.where("doc_id % 2 = 1").select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("tb")
+    )
+    pairs = da.join(db, F.col("id_b") == F.col("id_a") + 1)
+
+    poly = (
+        "transform({sh}, s -> aggregate(split(s, ''), 0L,"
+        f" (acc, c) -> (acc * 131 + ascii(c)) % {_MH_POLY_P}))"
+    )
+    a_arr = "array({})".format(",".join(f"{x}L" for x in a))
+    b_arr = "array({})".format(",".join(f"{x}L" for x in b))
+    sig = (
+        "transform(array({hs}), h -> zip_with("
+        + a_arr + ", " + b_arr + ", (a, b) -> "
+        + f"array_min(transform(h, x -> (a * x + b) % {_MH_P}L))))[0]"
+    )
+    shingled = (
+        with_shingles(pairs, "ta", 3, "__sa")
+        .transform(lambda d: with_shingles(d, "tb", 3, "__sb"))
+    )
+    return (
+        shingled.select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "size(filter(zip_with("
+                + sig.format(hs=poly.format(sh="__sa"))
+                + ", "
+                + sig.format(hs=poly.format(sh="__sb"))
+                + ", (x, y) -> x = y), v -> v))"
+            ).alias("n_agree"),
+            F.expr(
+                "size(array_intersect(__sa, __sb))"
+            ).alias("n_int"),
+            F.expr("size(array_union(__sa, __sb))").alias("n_uni"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                f"CAST(n_agree * 1000000 div {_MH_NPERM} AS BIGINT)"
+            ).alias("est_jaccard_ppm"),
+            F.expr("CAST(n_int * 1000000 div n_uni AS BIGINT)").alias(
+                "exact_jaccard_ppm"
+            ),
+            F.expr(
+                f"CAST(abs(n_agree * 1000000 div {_MH_NPERM}"
+                " - n_int * 1000000 div n_uni) AS BIGINT)"
+            ).alias("abs_err_ppm"),
+        )
+        .orderBy("id_a")
     )
