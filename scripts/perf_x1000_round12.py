@@ -30,8 +30,6 @@ TABLES = [
     "events", "documents", "embeddings",
 ]
 QUERIES = [
-    "text_contamination_matrix",
-    "dedup_semantic_semdedup",
     "corpus_langid_confusion",
     "dq_duplicate_event_audit",
     "agg_count_min_exact",
@@ -39,6 +37,9 @@ QUERIES = [
     "events_new_vs_returning",
     "text_url_email_stats",
 ]
+# corpus-sized distinct ops: ONE cold execution each (a warm
+# min-of-2 would triple a ~8-min pass for no extra information)
+HEAVY = ["text_contamination_matrix"]
 EXCLUSIONS = {
     "basket_association_lift": (
         "1.2B-row co-purchase pair stream; DuckDB twin disk-died at "
@@ -46,6 +47,13 @@ EXCLUSIONS = {
     ),
     "graph_degree_distribution": (
         "same pair stream as basket_association_lift — x10 roster only"
+    ),
+    "dedup_semantic_semdedup": (
+        "the catalog entry is the nlist=1 EXACT mode (its intra-cell "
+        "pair set IS the all-pairs set — C(2M,2) ~ 2e12 scored pairs "
+        "at x1000; the provably-exact fixture-scale pin, not a scaled "
+        "engine).  The production path, semantic_dedup(nlist>1), is "
+        "measured Spark-only at x100 in SCALE_NOTES (r8)"
     ),
 }
 
@@ -72,6 +80,14 @@ def main() -> None:
     for q in QUERIES:
         spark_t[q] = timed(qs[q](spark, scaled), runs=2)
         print(f"# spark {q}: {spark_t[q]}", file=sys.stderr)
+    import time as _t
+    from bench import run_noop
+    cold: dict[str, float] = {}
+    for q in HEAVY:
+        t0 = _t.perf_counter()
+        run_noop(qs[q](spark, scaled))
+        cold[q] = round(_t.perf_counter() - t0, 3)
+        print(f"# spark {q} (cold x1): {cold[q]}", file=sys.stderr)
     spark.stop()
 
     con = duckdb.connect()
@@ -79,12 +95,14 @@ def main() -> None:
     for tb in TABLES:
         con.execute(f"CREATE VIEW {tb} AS FROM '{scaled}/{tb}.parquet'")
     duck_t: dict[str, float] = {}
-    for q in QUERIES:
+    for q in QUERIES + HEAVY:
         if q not in oracles:
             continue
-        con.execute(oracles[q]).fetchall()
+        runs = 1 if q in HEAVY else 2
+        if q not in HEAVY:
+            con.execute(oracles[q]).fetchall()  # warm-up
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             s = time.perf_counter()
             con.execute(oracles[q]).fetchall()
             best = min(best, time.perf_counter() - s)
@@ -95,10 +113,13 @@ def main() -> None:
     out = {
         "x": 1000,
         "spark": spark_t,
+        "spark_cold_single_run": cold,
         "duckdb": duck_t,
         "per_query_ratio": {
-            q: (round(spark_t[q] / duck_t[q], 2) if duck_t.get(q) else None)
-            for q in QUERIES
+            **{q: (round(spark_t[q] / duck_t[q], 2) if duck_t.get(q) else None)
+               for q in QUERIES},
+            **{q: (round(cold[q] / duck_t[q], 2) if duck_t.get(q) else None)
+               for q in HEAVY},
         },
         "exclusions": EXCLUSIONS,
     }

@@ -2348,7 +2348,12 @@ _CMS_ROWS = [  # (a, b, p, width); row 0 has p == width => bucket = key % W
     (214_013, 2_531_011, _CMS_P, 16_381),
     (69_069, 362_437, _CMS_P, 32_749),
 ]
-_CMS_HASH = "((({a} * l_partkey + {b}) % {p}) % {w})"
+# the key is reduced mod P BEFORE the multiply: the universal-hash
+# guarantee needs key < P anyway, values are identical for every
+# key below P, and a * (key % P) stays under 2^62 where the raw
+# a * key overflows BIGINT once stride-replicated keys pass 2^33
+# (the x1000 ANSI canary caught exactly this, r8)
+_CMS_HASH = "((({a} * (l_partkey % {p}) + {b}) % {p}) % {w})"
 
 
 def _cms_bucket_sql(r: int) -> str:
@@ -2578,12 +2583,24 @@ def dq_duplicate_event_audit(spark: SparkSession, sf: str) -> DataFrame:
     before any counting metric downstream is believed (a clean feed
     audits to zero surplus, which is the assertion on the fixture).
 
-    Scale shape: one map-side-combinable group on the natural
-    event identity, then a |types|-row rollup — the dedup-count
-    shape with no second scan."""
-    g = t(spark, sf, "events").groupBy(
-        "event_type", "user_id", "ts", "value"
-    ).agg(F.count("*").cast("bigint").alias("c"))
+    Scale shape: ONE raw exchange on the natural event identity into
+    a complete aggregate (explicit repartition — on a clean feed
+    nearly every group is unique, so a partial+final plan re-hashes
+    100M rows/wave for no row reduction; measured 8.1 → 6.7 s at
+    x1000, the events_new_vs_returning r8 lesson), then a
+    |types|-row rollup.  The residual ~3.7× vs DuckDB is the
+    100M-unique-group hash-agg constant (the SRM/WAU hash-distinct
+    class, SCALE_NOTES): a narrow xxhash64 prefilter pass measured
+    5.7 s — within noise of the full-tuple aggregate — and was
+    rejected."""
+    n = spark.sparkContext.defaultParallelism
+    g = (
+        t(spark, sf, "events")
+        .select("event_type", "user_id", "ts", "value")
+        .repartition(n, "event_type", "user_id", "ts", "value")
+        .groupBy("event_type", "user_id", "ts", "value")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
     return (
         g.groupBy("event_type")
         .agg(

@@ -833,3 +833,232 @@ def dedup_minhash_error_monitor(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("id_a")
     )
+
+
+# ----------------------------------------------- encoding audit
+
+_ENC_SQL = """
+    WITH f AS (
+      SELECT source,
+        strlen(text) - length(text) AS nonascii_excess,
+        CASE WHEN instr(text, '�') > 0 THEN 1 ELSE 0 END
+          AS has_repl,
+        length(text) - length(replace(text, chr(9), '')) AS tabs,
+        length(text) - length(replace(text, chr(10), '')) AS newlines
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN nonascii_excess > 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS docs_nonascii,
+      CAST(sum(nonascii_excess) AS BIGINT) AS nonascii_excess_bytes,
+      CAST(sum(has_repl) AS BIGINT) AS docs_replacement_char,
+      CAST(sum(tabs) AS BIGINT) AS tab_chars,
+      CAST(sum(newlines) AS BIGINT) AS newline_chars,
+      CAST(sum(CASE WHEN nonascii_excess > 0 THEN 1 ELSE 0 END)
+        * 1000000 // count(*) AS BIGINT) AS nonascii_docs_ppm
+    FROM f GROUP BY source ORDER BY source
+"""
+
+
+@_q("text_encoding_audit", _ENC_SQL)
+def text_encoding_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """UTF-8 hygiene audit per source: documents containing non-ASCII
+    (detected as octet length exceeding character length — zero
+    regex, zero per-char work), total multi-byte excess, U+FFFD
+    replacement-character carriers (the fingerprint of a broken
+    transcode upstream), and tab/newline counts — the
+    encoding-triage table a crawl pipeline reads before trusting a
+    source's text bytes.
+
+    Scale shape: pure per-row arithmetic on one scan (byte/char
+    lengths are O(1) metadata of the string value; the two
+    single-char replaces are the only full-text passes) feeding a
+    |sources|-row rollup."""
+    f = (
+        t(spark, sf, "documents")
+        .where("text IS NOT NULL")
+        .select(
+            "source",
+            F.expr("octet_length(text) - length(text)").alias(
+                "nonascii_excess"
+            ),
+            F.expr(
+                # literal U+FFFD: Spark's chr(n) wraps mod 256, so
+                # chr(65533) is NOT the replacement char there —
+                # caught by the planted-bytes pytest
+                "CASE WHEN instr(text, '�') > 0 THEN 1 ELSE 0 END"
+            ).alias("has_repl"),
+            F.expr(
+                "length(text) - length(replace(text, chr(9), ''))"
+            ).alias("tabs"),
+            F.expr(
+                "length(text) - length(replace(text, chr(10), ''))"
+            ).alias("newlines"),
+        )
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN nonascii_excess > 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("docs_nonascii"),
+            F.sum("nonascii_excess").cast("bigint").alias(
+                "nonascii_excess_bytes"
+            ),
+            F.sum("has_repl").cast("bigint").alias("docs_replacement_char"),
+            F.sum("tabs").cast("bigint").alias("tab_chars"),
+            F.sum("newlines").cast("bigint").alias("newline_chars"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST(docs_nonascii * 1000000 div n_docs AS BIGINT)"
+            ).alias("nonascii_docs_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------ DAU/WAU/MAU stickiness
+
+_STICKY_SQL = """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE ts IS NOT NULL
+    ), days AS (
+      SELECT DISTINCT day FROM du
+    ), m AS (
+      SELECT d.day,
+        CAST(count(DISTINCT CASE WHEN du.day = d.day
+          THEN du.user_id END) AS BIGINT) AS dau,
+        CAST(count(DISTINCT CASE WHEN du.day > d.day - 7
+          THEN du.user_id END) AS BIGINT) AS wau7,
+        CAST(count(DISTINCT du.user_id) AS BIGINT) AS mau28
+      FROM days d JOIN du
+        ON du.day <= d.day AND du.day > d.day - 28
+      GROUP BY d.day
+    )
+    SELECT day, dau, wau7, mau28,
+      CAST(dau * 1000000 // mau28 AS BIGINT) AS stickiness_ppm
+    FROM m ORDER BY day
+"""
+
+
+@_q("events_stickiness_dau_mau", _STICKY_SQL)
+def events_stickiness_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / trailing-7 WAU / trailing-28 MAU per day plus the
+    DAU/MAU "stickiness" ratio in exact ppm — the engagement pulse
+    read next to events_wau_sliding (which tracks one window; this
+    op tracks the ratio product teams actually watch).  Trailing
+    windows warm up naturally at the span start (day 0's MAU window
+    is day 0 alone) — same definition both engines.
+
+    Scale shape (the events_new_vs_returning r8 kernel): each user
+    collapses to ONE BIGINT day-bitmask via a primitive bit_or
+    aggregate after an explicit user repartition — the three
+    memberships then come from mask∧window-mask tests on the
+    ≤|days|-per-user post-agg explode, so the corpus is touched once
+    and the wide state is 8 bytes per user.  The oracle's literal
+    shape (a day×(day,user) range join + three conditional count
+    DISTINCTs) is the plan this kernel replaces.  Day spans > 62
+    fall back to the distinct-pair explode (one (day,user) frame
+    fanned to its ≤28 trailing days, then a count-distinct rollup)."""
+    from .round11_ops import _events_day_bounds
+
+    ev = t(spark, sf, "events").where("ts IS NOT NULL")
+    dmin, dmax = _events_day_bounds(spark, sf)
+    span = (dmax - dmin).days if dmin is not None else 9999
+    if span <= 62:
+        n = spark.sparkContext.defaultParallelism
+        masks = (
+            ev.select(
+                "user_id",
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    f" datediff(CAST(ts AS DATE), DATE'{dmin}'))"
+                ).alias("bit"),
+            )
+            .repartition(n, "user_id")
+            .groupBy("user_id")
+            .agg(F.expr("bit_or(bit)").alias("mask"))
+        )
+        # per user, only days whose trailing-28 window sees activity
+        m28 = (
+            "(shiftleft(1L, d + 1) - 1)"
+            " ^ (shiftleft(1L, greatest(d - 27, 0)) - 1)"
+        )
+        m7 = (
+            "(shiftleft(1L, d + 1) - 1)"
+            " ^ (shiftleft(1L, greatest(d - 6, 0)) - 1)"
+        )
+        j = masks.select(
+            F.explode(
+                F.expr(
+                    f"filter(sequence(0, {span}),"
+                    f" d -> (mask & ({m28})) != 0)"
+                )
+            ).alias("d"),
+            "mask",
+        ).select(
+            "d",
+            F.expr("CAST((mask & shiftleft(1L, d)) != 0 AS INT)").alias(
+                "is_dau"
+            ),
+            F.expr(f"CAST((mask & ({m7})) != 0 AS INT)").alias("is_wau"),
+        )
+        day_counts = j.groupBy(
+            F.expr(f"date_add(DATE'{dmin}', d)").alias("day")
+        ).agg(
+            F.sum("is_dau").cast("bigint").alias("dau"),
+            F.sum("is_wau").cast("bigint").alias("wau7"),
+            F.count("*").cast("bigint").alias("mau28"),
+        )
+        # the oracle reports only days that actually have activity
+        active_days = (
+            masks.select(
+                F.explode(
+                    F.expr(
+                        f"filter(sequence(0, {span}),"
+                        " d -> (mask & shiftleft(1L, d)) != 0)"
+                    )
+                ).alias("d")
+            )
+            .distinct()
+            .select(F.expr(f"date_add(DATE'{dmin}', d)").alias("day"))
+        )
+        day_counts = day_counts.join(active_days, "day", "left_semi")
+    else:
+        du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+        fan = du.select(
+            "user_id",
+            F.col("day").alias("active_day"),
+            F.explode(
+                F.expr("sequence(day, date_add(day, 27))")
+            ).alias("day"),
+        )
+        day_counts = (
+            fan.groupBy("day")
+            .agg(
+                F.count_distinct(
+                    F.expr("CASE WHEN active_day = day THEN user_id END")
+                ).cast("bigint").alias("dau"),
+                F.count_distinct(
+                    F.expr(
+                        "CASE WHEN active_day > date_sub(day, 7)"
+                        " THEN user_id END"
+                    )
+                ).cast("bigint").alias("wau7"),
+                F.count_distinct("user_id").cast("bigint").alias("mau28"),
+            )
+            .join(du.select("day").distinct(), "day", "left_semi")
+        )
+    return day_counts.select(
+        "day",
+        "dau",
+        "wau7",
+        "mau28",
+        F.expr("CAST(dau * 1000000 div mau28 AS BIGINT)").alias(
+            "stickiness_ppm"
+        ),
+    ).orderBy("day")

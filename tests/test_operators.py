@@ -2521,3 +2521,60 @@ class TestAnnRecallMonitor:
         assert (
             table[("ivf", 1)] <= table[("ivf", 2)] <= table[("ivf", 4)]
         )
+
+
+class TestStickinessAndEncoding:
+    def test_stickiness_invariants(self, spark):
+        """DAU <= WAU7 <= MAU28 per day (windows nest), ratio in
+        [0, 1e6], and the reported days are exactly the active
+        days."""
+        from tests.conftest import TESTDATA_SF
+
+        from spark_bi5_datasource_spark.plans.round12_ops import (
+            events_stickiness_dau_mau,
+        )
+
+        rows = events_stickiness_dau_mau(spark, TESTDATA_SF).collect()
+        assert rows, "no active days reported"
+        for r in rows:
+            assert 1 <= r.dau <= r.wau7 <= r.mau28
+            assert 0 <= r.stickiness_ppm <= 1_000_000
+        ev = spark.read.parquet(f"{TESTDATA_SF}/events.parquet")
+        n_days = (
+            ev.where("ts IS NOT NULL")
+            .selectExpr("CAST(ts AS DATE) AS d")
+            .distinct()
+            .count()
+        )
+        assert len(rows) == n_days
+
+    def test_encoding_audit_detects_planted_bytes(self, spark):
+        """Non-ASCII, U+FFFD, tabs and newlines planted in a tiny
+        frame must be counted exactly."""
+        from spark_bi5_datasource_spark.plans.round12_ops import (
+            text_encoding_audit,
+        )
+
+        rows = [
+            ("a", "plain ascii text"),
+            ("a", "café naïve"),          # 2 two-byte chars... é + ï
+            ("b", "bad � decode � here"),  # 2 replacement chars
+            ("b", "tab\there\nand\nnewlines"),
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            out = {
+                r.source: r
+                for r in text_encoding_audit(spark, td).collect()
+            }
+        a, b = out["a"], out["b"]
+        assert a.docs_nonascii == 1 and a.nonascii_excess_bytes == 2
+        assert a.docs_replacement_char == 0
+        # U+FFFD is itself non-ASCII (3 UTF-8 bytes -> excess 2 each)
+        assert b.docs_replacement_char == 1
+        assert b.tab_chars == 1 and b.newline_chars == 2
+        assert b.nonascii_docs_ppm == 500_000
