@@ -55,12 +55,15 @@ def build_spark():
         # open-cost floor: the 4 MiB default is an HDFS-era seek
         # penalty; on local NVMe it forces a 40 MB single-file scan
         # (x1000 documents, snappy text ~40:1) down to 10 splits,
-        # leaving 22 of 32 cores idle under every text kernel.  64 KiB
-        # lets bytes/minPartitionNum win: the same scan plans 32
-        # splits (measured: text_url_email_stats 2.57->1.25 s).  At
-        # real cluster scale files outnumber cores and this knob is
-        # moot — it only corrects the tiny-fixture artifact.
-        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
+        # leaving 22 of 32 cores idle under every text kernel.  1 MiB
+        # lets bytes/minPartitionNum win there (the same scan plans 32
+        # splits; measured: text_url_email_stats 2.57->1.25 s) while
+        # keeping the sf0.1 roster's many ~4 MB files at a handful of
+        # splits each — the first cut (64 KiB) shredded those into
+        # 32 tiny tasks and cost the 33-query idle pin ~3 s of pure
+        # scheduler overhead (17.3 vs 14.4 s).  At real cluster scale
+        # files outnumber cores and this knob is moot.
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

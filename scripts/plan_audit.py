@@ -134,6 +134,12 @@ BNLJ_OK = {
     ),
     "orders_backlog_aging": "1-row open-total crossJoin broadcast",
     "orders_pareto_abc": "1-row revenue-total crossJoin broadcast",
+    "dq_doc_embedding_coverage": "1-row orphan-count crossJoin broadcast",
+    "dedup_band_tuning_monitor": (
+        "200-doc slice contract: the exact-truth leg is an "
+        "all-pairs cross join over <=200 rows (C(200,2) pairs), "
+        "the error-monitor discipline"
+    ),
 }
 
 

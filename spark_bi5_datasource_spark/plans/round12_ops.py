@@ -1062,3 +1062,304 @@ def events_stickiness_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
             "stickiness_ppm"
         ),
     ).orderBy("day")
+
+
+# --------------------------------------- doc/embedding coverage audit
+
+_DOCVEC_SQL = """
+    WITH d AS (
+      SELECT doc_id, source FROM documents
+    ), e AS (
+      SELECT vec_id FROM embeddings
+    ), per AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_with_vec
+      FROM d LEFT JOIN e ON e.vec_id = d.doc_id
+      GROUP BY d.source
+    ), orphans AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM e LEFT JOIN d ON d.doc_id = e.vec_id
+      WHERE d.doc_id IS NULL
+    )
+    SELECT source, n_docs, n_with_vec,
+      CAST(n_with_vec * 1000000 // n_docs AS BIGINT) AS coverage_ppm,
+      (SELECT n FROM orphans) AS orphan_vectors
+    FROM per ORDER BY source
+"""
+
+
+@_q("dq_doc_embedding_coverage", _DOCVEC_SQL)
+def dq_doc_embedding_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Document↔embedding alignment audit: per source, how many
+    documents have a vector (doc_id = vec_id — the pipeline contract
+    between the text and embedding stages), the coverage in exact
+    ppm, and the count of orphan vectors pointing at no document —
+    the check an embedding-indexing pipeline runs after every
+    backfill before ANN queries are allowed to trust the index.  A
+    healthy pipeline audits to full coverage and zero orphans, which
+    is the assertion on the fixture (the dq_referential_integrity
+    discipline extended to the unstructured tier).
+
+    Scale shape: two id-keyed joins (both sides id-partitioned;
+    embeddings side column-pruned to the 8-byte key) feeding a
+    |sources|-row rollup plus one scalar orphan count."""
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    e = t(spark, sf, "embeddings").select("vec_id")
+    per = (
+        d.join(e, d.doc_id == e.vec_id, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.expr("CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_with_vec"),
+        )
+    )
+    orphans = (
+        e.join(d, d.doc_id == e.vec_id, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("orphan_vectors"))
+    )
+    return (
+        per.crossJoin(F.broadcast(orphans))
+        .select(
+            "source",
+            "n_docs",
+            "n_with_vec",
+            F.expr(
+                "CAST(n_with_vec * 1000000 div n_docs AS BIGINT)"
+            ).alias("coverage_ppm"),
+            "orphan_vectors",
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------- minhash band-tuning monitor
+
+_BT_BANDS = (4, 8, 16)
+_BT_SLICE = 200  # doc_id < 200 — the tuning slice
+_BT_THRESH_PPM = 500_000  # "true dup" = exact jaccard >= 0.5
+
+
+def _bt_sql() -> str:
+    a, b = _mh_coeffs()
+    perms = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(_MH_NPERM))
+    band_legs = " UNION ALL ".join(
+        f"""
+        SELECT {nb} AS bands, doc_id, i // (32 // {nb}) AS band_idx,
+          string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS key
+        FROM mh GROUP BY doc_id, i // (32 // {nb})
+        """
+        for nb in _BT_BANDS
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < {_BT_SLICE} AND text IS NOT NULL
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM docs
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+      FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)
+      WHERE len(tk) >= 3
+      UNION
+      SELECT doc_id, array_to_string(tk, ' ') AS shingle
+      FROM toks WHERE len(tk) < 3
+    ), hs AS (
+      SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        list_transform(string_split(shingle, ''),
+          c -> CAST(ascii(c) AS BIGINT))),
+        (acc, c) -> (acc * 131 + c) % {_MH_POLY_P}) AS h
+      FROM sh
+    ), mh AS (
+      SELECT doc_id, p.i, min((p.a * h + p.b) % {_MH_P}) AS mv
+      FROM hs CROSS JOIN (VALUES {perms}) p(i, a, b)
+      GROUP BY doc_id, p.i
+    ), banded AS ({band_legs}
+    ), cand AS (
+      SELECT DISTINCT x.bands, x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.bands = y.bands AND x.band_idx = y.band_idx
+        AND x.key = y.key AND x.doc_id < y.doc_id
+    ), jac AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+        CAST(count(CASE WHEN sb2.shingle IS NOT NULL THEN 1 END)
+          AS BIGINT) * 1000000 //
+        ((SELECT count(*) FROM sh WHERE sh.doc_id = sa.doc_id)
+         + (SELECT count(*) FROM sh WHERE sh.doc_id = sb.doc_id)
+         - CAST(count(CASE WHEN sb2.shingle IS NOT NULL THEN 1 END)
+             AS BIGINT)) AS j_ppm
+      FROM (SELECT DISTINCT doc_id FROM sh) sa
+      JOIN (SELECT DISTINCT doc_id FROM sh) sb
+        ON sa.doc_id < sb.doc_id
+      JOIN sh sx ON sx.doc_id = sa.doc_id
+      LEFT JOIN sh sb2
+        ON sb2.doc_id = sb.doc_id AND sb2.shingle = sx.shingle
+      GROUP BY sa.doc_id, sb.doc_id
+    ), truth AS (
+      SELECT id_a, id_b FROM jac WHERE j_ppm >= {_BT_THRESH_PPM}
+    ), per AS (
+      SELECT c.bands,
+        CAST(count(*) AS BIGINT) AS n_candidates,
+        CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_caught
+      FROM cand c LEFT JOIN truth t
+        ON t.id_a = c.id_a AND t.id_b = c.id_b
+      GROUP BY c.bands
+    ), dom AS (
+      SELECT * FROM (VALUES {", ".join(f"({nb})" for nb in _BT_BANDS)})
+        d(bands)
+    ), tt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth
+    )
+    SELECT CAST(dom.bands AS BIGINT) AS bands,
+      CAST(coalesce(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+      CAST(coalesce(p.n_caught, 0) AS BIGINT) AS n_caught,
+      (SELECT n_true FROM tt) AS n_true_pairs,
+      CAST(CASE WHEN coalesce(p.n_candidates, 0) > 0
+        THEN coalesce(p.n_caught, 0) * 1000000 // p.n_candidates
+        ELSE 0 END AS BIGINT) AS precision_ppm,
+      CAST(CASE WHEN (SELECT n_true FROM tt) > 0
+        THEN coalesce(p.n_caught, 0) * 1000000 // (SELECT n_true FROM tt)
+        ELSE 1000000 END AS BIGINT) AS recall_ppm
+    FROM dom LEFT JOIN per p ON p.bands = dom.bands
+    ORDER BY bands
+"""
+
+
+@_q("dedup_band_tuning_monitor", _bt_sql())
+def dedup_band_tuning_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash band-count tuning table on the deterministic 200-doc
+    slice: for 4/8/16 bands over the 32-perm signature, the
+    candidate-pair volume, how many verified true near-dups (exact
+    Jaccard ≥ 0.5) the banding caught, and precision/recall in exact
+    ppm against the slice's exact pair truth — the third leg of the
+    r8 monitor family (ANN recall, sketch error, band tuning): more
+    bands = higher recall + more candidates to verify, and this op
+    makes that curve a table.  Zero-candidate band counts emit
+    explicit rows (the sim_ann_recall_monitor rule).
+
+    Same engine-portable construction as dedup_minhash_error_monitor
+    (production permutation family over the polynomial shingle
+    hash); band keys are the comma-joined signature slice — a
+    cross-engine-stable string, no second hash to trust.
+
+    Scale shape: everything is bounded by the slice contract; the
+    production-scale version of this measurement is the banded join
+    itself (operators/dedup.py), whose volume this table predicts."""
+    a, b = _mh_coeffs()
+    from ..operators.dedup import with_shingles
+
+    docs = t(spark, sf, "documents").where(
+        f"doc_id < {_BT_SLICE} AND text IS NOT NULL"
+    )
+    poly = (
+        "transform(shingles, s -> aggregate(split(s, ''), 0L,"
+        f" (acc, c) -> (acc * 131 + ascii(c)) % {_MH_POLY_P}))"
+    )
+    a_arr = "array({})".format(",".join(f"{x}L" for x in a))
+    b_arr = "array({})".format(",".join(f"{x}L" for x in b))
+    sig = (
+        "transform(array(" + poly + "), h -> zip_with("
+        + a_arr + ", " + b_arr + ", (a, b) -> "
+        + f"array_min(transform(h, x -> (a * x + b) % {_MH_P}L))))[0]"
+    )
+    sigs = (
+        with_shingles(docs, "text", 3)
+        .select("doc_id", "shingles", F.expr(sig).alias("mh"))
+    )
+    banded = None
+    for nb in _BT_BANDS:
+        r = 32 // nb
+        leg = sigs.select(
+            F.lit(nb).alias("bands"),
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {nb} - 1), bi ->"
+                    " named_struct('band_idx', bi, 'key',"
+                    f" concat_ws(',', slice(mh, bi * {r} + 1, {r}))))"
+                )
+            ).alias("bb"),
+        ).select("bands", "doc_id", "bb.band_idx", "bb.key")
+        banded = leg if banded is None else banded.unionByName(leg)
+    x = banded.select(
+        "bands",
+        "band_idx",
+        "key",
+        F.col("doc_id").alias("id_a"),
+    )
+    y = banded.select(
+        "bands",
+        "band_idx",
+        "key",
+        F.col("doc_id").alias("id_b"),
+    )
+    cand = (
+        x.join(y, ["bands", "band_idx", "key"])
+        .where("id_a < id_b")
+        .select("bands", "id_a", "id_b")
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "shingles")
+    pa = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sa")
+    )
+    pb = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("__sb")
+    )
+    jac = (
+        pa.crossJoin(pb)
+        .where("id_a < id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST(size(array_intersect(__sa, __sb)) AS BIGINT)"
+                " * 1000000 div size(array_union(__sa, __sb))"
+            ).alias("j_ppm"),
+        )
+    )
+    truth = jac.where(f"j_ppm >= {_BT_THRESH_PPM}").select("id_a", "id_b")
+    n_true = truth.count()  # bounded: one long over the 200-doc slice
+    per = (
+        cand.join(truth.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left")
+        .groupBy("bands")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.sum(F.expr("CASE WHEN __t IS NOT NULL THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_caught"),
+        )
+    )
+    dom = spark.createDataFrame(
+        [(nb,) for nb in _BT_BANDS], "bands BIGINT"
+    )
+    return (
+        dom.join(F.broadcast(per), "bands", "left")
+        .select(
+            "bands",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce("n_caught", F.lit(0)).cast("bigint").alias(
+                "n_caught"
+            ),
+            F.lit(n_true).cast("bigint").alias("n_true_pairs"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_candidates, 0) > 0 THEN"
+                " coalesce(n_caught, 0) * 1000000 div n_candidates"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                f"CAST(CASE WHEN {n_true} > 0 THEN"
+                f" coalesce(n_caught, 0) * 1000000 div {n_true}"
+                " ELSE 1000000 END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("bands")
+    )
