@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""x1000 probe of the ten round-12 catalog additions (builder r8) —
+run the round they land so no straggler backlog accumulates.
+
+Same method as perf_x1000_round12.py.  Exclusions recorded in the
+output: dedup_incremental_delta's DuckDB twin is the exact
+increment×corpus shingle self-join (the jaccard pair-counting rule —
+~1e9-row gram index joined to itself at this tier), so it is probed
+Spark-only cold, with the x10 head-to-head where the twin is
+feasible.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_MEM", "32g")
+
+from bench import CPUS, SF_DIR, build_spark, run_noop, synth_scaled_dir, timed  # noqa: E402
+
+TABLES = [
+    "lineitem", "orders", "customer", "supplier", "nation", "region",
+    "events", "documents", "embeddings",
+]
+QUERIES = [
+    "window_macd",
+    "orders_backlog_aging",
+    "orders_pareto_abc",
+    "dedup_minhash_error_monitor",
+    "text_encoding_audit",
+    "events_stickiness_dau_mau",
+    "dq_doc_embedding_coverage",
+    "dedup_band_tuning_monitor",
+    "sim_ann_recall_monitor",
+]
+SPARK_ONLY_COLD = ["dedup_incremental_delta"]
+EXCLUSIONS = {
+    "dedup_incremental_delta": (
+        "DuckDB twin is the exact increment-x-corpus shingle "
+        "self-join (jaccard pair-counting rule; ~1e9-row gram index "
+        "at x1000) — Spark-only cold here, twin head-to-head at x10"
+    ),
+}
+
+
+def main() -> None:
+    import duckdb
+
+    from spark_bi5_datasource_spark import plans, register
+
+    scaled = synth_scaled_dir(SF_DIR, 1000, TABLES)
+    scaled10 = synth_scaled_dir(SF_DIR, 10, ["documents"])
+
+    spark = build_spark()
+    register(spark)
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    qs = {n: fn for n, (fn, _s, _b) in plans.CATALOG.items()}
+    oracles = plans.oracle_sql()
+
+    spark_t: dict[str, float] = {}
+    for q in QUERIES:
+        spark_t[q] = timed(qs[q](spark, scaled), runs=2)
+        print(f"# spark {q}: {spark_t[q]}", file=sys.stderr)
+    cold: dict[str, float] = {}
+    for q in SPARK_ONLY_COLD:
+        t0 = time.perf_counter()
+        run_noop(qs[q](spark, scaled))
+        cold[q] = round(time.perf_counter() - t0, 3)
+        print(f"# spark {q} (cold x1): {cold[q]}", file=sys.stderr)
+    delta_x10 = timed(qs["dedup_incremental_delta"](spark, scaled10), runs=2)
+    print(f"# spark dedup_incremental_delta x10: {delta_x10}", file=sys.stderr)
+    spark.stop()
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={CPUS}")
+    for tb in TABLES:
+        con.execute(f"CREATE VIEW {tb} AS FROM '{scaled}/{tb}.parquet'")
+    duck_t: dict[str, float] = {}
+    for q in QUERIES:
+        con.execute(oracles[q]).fetchall()
+        best = float("inf")
+        for _ in range(2):
+            s = time.perf_counter()
+            con.execute(oracles[q]).fetchall()
+            best = min(best, time.perf_counter() - s)
+        duck_t[q] = round(best, 3)
+        print(f"# duckdb {q}: {duck_t[q]}", file=sys.stderr)
+    con.close()
+
+    con10 = duckdb.connect()
+    con10.execute(f"PRAGMA threads={CPUS}")
+    con10.execute(
+        f"CREATE VIEW documents AS FROM '{scaled10}/documents.parquet'"
+    )
+    sql = oracles["dedup_incremental_delta"]
+    s0 = time.perf_counter()
+    con10.execute(sql).fetchall()
+    delta_duck_x10 = round(time.perf_counter() - s0, 3)
+    print(f"# duckdb dedup_incremental_delta x10: {delta_duck_x10}",
+          file=sys.stderr)
+    con10.close()
+
+    out = {
+        "x": 1000,
+        "spark": spark_t,
+        "spark_cold_single_run": cold,
+        "duckdb": duck_t,
+        "per_query_ratio": {
+            q: (round(spark_t[q] / duck_t[q], 2) if duck_t.get(q) else None)
+            for q in QUERIES
+        },
+        "delta_dedup_x10": {
+            "spark": delta_x10,
+            "duckdb": delta_duck_x10,
+            "ratio": round(delta_x10 / delta_duck_x10, 2),
+        },
+        "exclusions": EXCLUSIONS,
+    }
+    line = json.dumps(out)
+    print(line)
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "BENCH_X1000_R13.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

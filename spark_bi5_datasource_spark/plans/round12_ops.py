@@ -268,8 +268,22 @@ def sim_ann_recall_monitor(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: every leg is a bounded bucket/cell equi-join (the
     8-query side broadcasts; no cross product anywhere); the recall
-    join is |approx|≈6·80 rows against |exact|=80."""
-    from ..operators.similarity import cosine_topk, rp_lsh_topk, with_norm
+    join is |approx|≈6·80 rows against |exact|=80.  The corpus-side
+    features — the 16-plane sign signature and the IVF cell, each a
+    16-dot interpreted-HOF pass over every vector — are computed
+    ONCE into a persisted frame all six legs join against (first cut
+    recomputed them per leg per run: 6 legs × 16 dots × 2M vectors
+    ground the x1000 probe past 25 minutes; one cached pass + six
+    joins is the monitor's honest cost).  The cache is one row per
+    corpus vector (id, vec, norm, bucket, cell) materialized on
+    first use — the documented round6_ops persist class, LRU-evicted
+    under pressure."""
+    from ..operators.similarity import (
+        _DOT,
+        cosine_topk,
+        rp_signature,
+        with_norm,
+    )
 
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < _NQ)
@@ -277,21 +291,9 @@ def sim_ann_recall_monitor(spark: SparkSession, sf: str) -> DataFrame:
         "query_id", "nbr_id"
     )
 
-    legs = []
-    for n_planes in _LSH_TIERS:
-        legs.append(
-            rp_lsh_topk(emb, queries, k=_K, n_planes=n_planes)
-            .select(
-                F.lit("lsh").alias("tier"),
-                F.lit(n_planes).cast("bigint").alias("param"),
-                "query_id",
-                "nbr_id",
-            )
-        )
-
-    # ---- IVF init-only tier: expression-side assignment against the
-    # 16 smallest vec_ids' unit vectors (bounded 16×64 driver state,
-    # the ivf.py centroid-collect class)
+    # ---- shared corpus features: 16-plane bucket + init-only IVF
+    # cell (centroids = unit vectors of the 16 smallest vec_ids —
+    # bounded 16×64 driver state, the ivf.py centroid-collect class)
     nn = (
         with_norm(emb, "embedding")
         .filter(F.col("norm") > 0)
@@ -314,13 +316,60 @@ def sim_ann_recall_monitor(spark: SparkSession, sf: str) -> DataFrame:
     # lexicographic array_max picks (max rdot, max -ci) = ties to the
     # SMALLEST cell index — the twin's (rdot DESC, ci ASC) order
     ranked_cells = f"reverse(array_sort(array({dots})))"
-    c_asg = nn.select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("e").alias("__cv"),
-        F.col("nrm").alias("__cn"),
-        F.expr(f"-element_at({ranked_cells}, 1).ni").alias("cell"),
+    feat = (
+        rp_signature(nn, "e", 64, 16, 42, out_col="bucket16")
+        .select(
+            "vec_id",
+            "e",
+            "nrm",
+            "u",
+            "bucket16",
+            F.expr(f"-element_at({ranked_cells}, 1).ni").alias("cell"),
+        )
+        .persist()
     )
-    q_probe = nn.filter(F.col("vec_id") < _NQ).select(
+
+    legs = []
+    for n_planes in _LSH_TIERS:
+        m = (1 << n_planes) - 1
+        q = feat.filter(F.col("vec_id") < _NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("__qv"),
+            F.col("nrm").alias("__qn"),
+            # the n-plane bucket is the low-bit prefix of bucket16
+            F.explode(
+                F.expr(
+                    f"array_union(array(bucket16 & {m}),"
+                    f" transform(sequence(0, {n_planes} - 1),"
+                    f" i -> (bucket16 & {m}) ^ shiftleft(1L, i)))"
+                )
+            ).alias("probe"),
+        )
+        joined = (
+            feat.withColumn("probe", F.expr(f"bucket16 & {m}"))
+            .join(F.broadcast(q), "probe")
+            .filter(F.col("query_id") != F.col("vec_id"))
+        )
+        scored = joined.withColumn(
+            "cosine",
+            F.expr(_DOT.format(a="e", b="__qv"))
+            / (F.col("nrm") * F.col("__qn")),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+        legs.append(
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _K)
+            .select(
+                F.lit("lsh").alias("tier"),
+                F.lit(n_planes).cast("bigint").alias("param"),
+                "query_id",
+                F.col("vec_id").alias("nbr_id"),
+            )
+        )
+
+    q_probe = feat.filter(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("__qv"),
         F.col("nrm").alias("__qn"),
@@ -328,19 +377,17 @@ def sim_ann_recall_monitor(spark: SparkSession, sf: str) -> DataFrame:
             F.expr(f"transform({ranked_cells}, s -> -s.ni)")
         ).alias("pr0", "cell"),
     )
-    from ..operators.similarity import _DOT
-
     for nprobe in _IVF_TIERS:
-        joined = c_asg.join(
+        joined = feat.join(
             F.broadcast(q_probe.filter(F.col("pr0") < nprobe)), "cell"
-        ).filter(F.col("query_id") != F.col("nbr_id"))
+        ).filter(F.col("query_id") != F.col("vec_id"))
         scored = joined.withColumn(
             "cosine",
-            F.expr(_DOT.format(a="__cv", b="__qv"))
-            / (F.col("__cn") * F.col("__qn")),
+            F.expr(_DOT.format(a="e", b="__qv"))
+            / (F.col("nrm") * F.col("__qn")),
         )
         w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("nbr_id").asc()
+            F.col("cosine").desc(), F.col("vec_id").asc()
         )
         legs.append(
             scored.withColumn("rk", F.row_number().over(w))
@@ -349,7 +396,7 @@ def sim_ann_recall_monitor(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit("ivf").alias("tier"),
                 F.lit(nprobe).cast("bigint").alias("param"),
                 "query_id",
-                "nbr_id",
+                F.col("vec_id").alias("nbr_id"),
             )
         )
 
