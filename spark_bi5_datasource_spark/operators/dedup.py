@@ -481,8 +481,16 @@ def minhash_delta_dedup(
         "band",
         "bucket",
     )
+    # shuffle-hash, building from the increment side: both band
+    # frames carry the TEXT for in-join verification, so Catalyst's
+    # post-explode size estimate undershoots badly and an auto
+    # broadcast of either side collects gigabytes to the driver
+    # (observed: maxResultSize abort at the x1000 tier); the
+    # increment is the |Δ| ≪ |C| side, so it is the correct hash
+    # build side at every scale
     cand = (
-        bi.join(bc, ["band", "bucket"])
+        bi.hint("shuffle_hash")
+        .join(bc, ["band", "bucket"])
         .select("__iid", "__it", "__cid", "__ct")
         .dropDuplicates(["__iid", "__cid"])
     )
