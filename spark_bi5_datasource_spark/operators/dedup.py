@@ -450,6 +450,7 @@ def minhash_delta_dedup(
     num_perm: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental corpus-delta dedup: drop increment docs that are
     verified near-dups (shingle-Jaccard ≥ ``threshold``) of ANY
@@ -462,40 +463,56 @@ def minhash_delta_dedup(
     pairs exist only across the increment×corpus boundary — the
     corpus self-join that dominates a naive full-corpus re-dedup
     (|C|² band collisions vs |Δ|·|C| here, |Δ| ≪ |C|) never happens.
-    Candidates are deduped on (inc, corp) before the
-    shingle-Jaccard verification, mirroring ``_minhash_dedup_once``.
+
+    Band frames carry IDS ONLY — the texts join back by id for the
+    verification step (a first cut carried both texts through the
+    16-way banding explode and shuffled 16× the corpus bytes;
+    observed spilling the x1000 tier off the disk).  Candidates are
+    deduped on (inc, corp) before the text join-back, mirroring
+    ``_minhash_dedup_once``'s verify-last ordering.
+
+    ``max_bucket`` (optional) applies ``minhash_lsh_pairs``'s
+    megabucket rule to the CORPUS index side: (band, bucket) keys
+    holding more than ``max_bucket`` corpus docs are skipped —
+    boilerplate attractors whose pair fan-out is quadratic while
+    their members are near-certain to collide in other bands too.
+    Unset, the index is exact (the oracle-equality configuration).
 
     Returns the surviving increment rows (all columns of
     ``increment``)."""
     sig_c = minhash_signatures(corpus, id_col, text_col, n, num_perm)
     sig_i = minhash_signatures(increment, id_col, text_col, n, num_perm)
-    bc = _banded(sig_c, id_col, num_perm, bands, carry=(text_col,)).select(
-        F.col(id_col).alias("__cid"),
-        F.col(text_col).alias("__ct"),
-        "band",
-        "bucket",
+    bc = _banded(sig_c, id_col, num_perm, bands).select(
+        F.col(id_col).alias("__cid"), "band", "bucket"
     )
-    bi = _banded(sig_i, id_col, num_perm, bands, carry=(text_col,)).select(
-        F.col(id_col).alias("__iid"),
-        F.col(text_col).alias("__it"),
-        "band",
-        "bucket",
+    if max_bucket is not None:
+        sizes = bc.groupBy("band", "bucket").agg(
+            F.count("*").alias("__bsz")
+        )
+        bc = bc.join(
+            sizes.filter(F.col("__bsz") <= max_bucket), ["band", "bucket"]
+        ).drop("__bsz")
+    bi = _banded(sig_i, id_col, num_perm, bands).select(
+        F.col(id_col).alias("__iid"), "band", "bucket"
     )
-    # shuffle-hash, building from the increment side: both band
-    # frames carry the TEXT for in-join verification, so Catalyst's
-    # post-explode size estimate undershoots badly and an auto
-    # broadcast of either side collects gigabytes to the driver
-    # (observed: maxResultSize abort at the x1000 tier); the
-    # increment is the |Δ| ≪ |C| side, so it is the correct hash
-    # build side at every scale
+    # shuffle-hash building from the increment side (|Δ| ≪ |C|):
+    # Catalyst's post-explode size estimates undershoot, and an auto
+    # broadcast here aborted on driver maxResultSize at x1000
     cand = (
         bi.hint("shuffle_hash")
         .join(bc, ["band", "bucket"])
-        .select("__iid", "__it", "__cid", "__ct")
+        .select("__iid", "__cid")
         .dropDuplicates(["__iid", "__cid"])
     )
+    ti = increment.select(
+        F.col(id_col).alias("__iid"), F.col(text_col).alias("__it")
+    )
+    tc = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(text_col).alias("__ct")
+    )
+    pairs = cand.join(ti, "__iid").join(tc, "__cid")
     verified = (
-        with_shingles(cand, "__it", n, "__si")
+        with_shingles(pairs, "__it", n, "__si")
         .transform(lambda d: with_shingles(d, "__ct", n, "__sc"))
         .withColumn(
             "jaccard",
