@@ -240,60 +240,24 @@ _DOT_RAW = (
     "list_sum(list_transform(list_zip(c.e, q.e), x -> x[1] * x[2]))"
 )
 
+# (applicationId, sf) -> (persisted corpus feature frame, ranked-cells
+# expr).  Keyed like daily_bars._CACHE so repeated invocations in one
+# session (bench warm iterations, the x1000 probe) reuse ONE persisted
+# frame instead of stacking a new persist per call and leaning on
+# block-LRU eviction (advisor r8 note).  The frame is deterministic
+# for a given (session, sf): centroids are the 16 smallest vec_ids'
+# unit vectors and the hyperplanes are seed-42 literals.
+_RECALL_FEAT_CACHE: dict[tuple[str, str], tuple[DataFrame, str]] = {}
 
-@_q("sim_ann_recall_monitor", _recall_sql())
-def sim_ann_recall_monitor(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-tier/param ANN recall vs exact cosine on the deterministic
-    8-query slice (vec_id < 8), k=10: LSH at 8/12/16 hyperplanes
-    (hamming-1 multiprobe, the production rp_lsh_topk path) and IVF
-    at nprobe 1/2/4 over 16 init-only cells — emitted as a
-    (tier, param, n_hits, recall_ppm) table.  This is the guardrail
-    a corpus-scale deployment runs per crawl to pick band counts /
-    probe widths: recall decays as buckets shrink (more planes) and
-    grows with probe width, and the monitor makes the trade-off a
-    TABLE instead of folklore.
 
-    The exact leg reuses ``cosine_topk`` (the ≤10-query broadcast
-    contract).  LSH buckets come from the seeded literal hyperplanes
-    — numpy fills row-major, so the 8- and 12-plane tiers are bit
-    prefixes of the 16-plane signature and the DuckDB twin
-    reproduces every bucket from one plane set.  The IVF tier uses
-    init-only centroids (unit vectors of the 16 smallest vec_ids —
-    deterministic and SQL-expressible; Lloyd iterations would put
-    data-dependent floats in the twin).  Cell assignment rounds the
-    centroid dot to 1e-9 before the argmax so both engines rank the
-    same values (absorbs fold-order FP noise); the per-neighbor
-    cosine ranking itself is the established sim_cosine_topk
-    convention.
+def _recall_feat(spark: SparkSession, sf: str) -> tuple[DataFrame, str]:
+    from ..operators.similarity import rp_signature, with_norm
 
-    Scale shape: every leg is a bounded bucket/cell equi-join (the
-    8-query side broadcasts; no cross product anywhere); the recall
-    join is |approx|≈6·80 rows against |exact|=80.  The corpus-side
-    features — the 16-plane sign signature and the IVF cell, each a
-    16-dot interpreted-HOF pass over every vector — are computed
-    ONCE into a persisted frame all six legs join against (first cut
-    recomputed them per leg per run: 6 legs × 16 dots × 2M vectors
-    ground the x1000 probe past 25 minutes; one cached pass + six
-    joins is the monitor's honest cost).  The cache is one row per
-    corpus vector (id, vec, norm, bucket, cell) materialized on
-    first use — the documented round6_ops persist class, LRU-evicted
-    under pressure."""
-    from ..operators.similarity import (
-        _DOT,
-        cosine_topk,
-        rp_signature,
-        with_norm,
-    )
-
+    key = (spark.sparkContext.applicationId, sf)
+    hit = _RECALL_FEAT_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = t(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") < _NQ)
-    exact = cosine_topk(fanout(emb), queries, k=_K).select(
-        "query_id", "nbr_id"
-    )
-
-    # ---- shared corpus features: 16-plane bucket + init-only IVF
-    # cell (centroids = unit vectors of the 16 smallest vec_ids —
-    # bounded 16×64 driver state, the ivf.py centroid-collect class)
     nn = (
         with_norm(emb, "embedding")
         .filter(F.col("norm") > 0)
@@ -328,6 +292,58 @@ def sim_ann_recall_monitor(spark: SparkSession, sf: str) -> DataFrame:
         )
         .persist()
     )
+    _RECALL_FEAT_CACHE[key] = (feat, ranked_cells)
+    return feat, ranked_cells
+
+
+@_q("sim_ann_recall_monitor", _recall_sql())
+def sim_ann_recall_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-tier/param ANN recall vs exact cosine on the deterministic
+    8-query slice (vec_id < 8), k=10: LSH at 8/12/16 hyperplanes
+    (hamming-1 multiprobe, the production rp_lsh_topk path) and IVF
+    at nprobe 1/2/4 over 16 init-only cells — emitted as a
+    (tier, param, n_hits, recall_ppm) table.  This is the guardrail
+    a corpus-scale deployment runs per crawl to pick band counts /
+    probe widths: recall decays as buckets shrink (more planes) and
+    grows with probe width, and the monitor makes the trade-off a
+    TABLE instead of folklore.
+
+    The exact leg reuses ``cosine_topk`` (the ≤10-query broadcast
+    contract).  LSH buckets come from the seeded literal hyperplanes
+    — numpy fills row-major, so the 8- and 12-plane tiers are bit
+    prefixes of the 16-plane signature and the DuckDB twin
+    reproduces every bucket from one plane set.  The IVF tier uses
+    init-only centroids (unit vectors of the 16 smallest vec_ids —
+    deterministic and SQL-expressible; Lloyd iterations would put
+    data-dependent floats in the twin).  Cell assignment rounds the
+    centroid dot to 1e-9 before the argmax so both engines rank the
+    same values (absorbs fold-order FP noise); the per-neighbor
+    cosine ranking itself is the established sim_cosine_topk
+    convention.
+
+    Scale shape: every leg is a bounded bucket/cell equi-join (the
+    8-query side broadcasts; no cross product anywhere); the recall
+    join is |approx|≈6·80 rows against |exact|=80.  The corpus-side
+    features — the 16-plane sign signature and the IVF cell, each a
+    16-dot interpreted-HOF pass over every vector — are computed
+    ONCE into a persisted frame all six legs join against (first cut
+    recomputed them per leg per run: 6 legs × 16 dots × 2M vectors
+    ground the x1000 probe past 25 minutes; one cached pass + six
+    joins is the monitor's honest cost).  The persisted frame is
+    keyed per (applicationId, sf) in ``_RECALL_FEAT_CACHE`` so
+    repeated invocations reuse it instead of stacking persists."""
+    from ..operators.similarity import _DOT, cosine_topk
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    exact = cosine_topk(fanout(emb), queries, k=_K).select(
+        "query_id", "nbr_id"
+    )
+
+    # ---- shared corpus features: 16-plane bucket + init-only IVF
+    # cell (centroids = unit vectors of the 16 smallest vec_ids —
+    # bounded 16×64 driver state, the ivf.py centroid-collect class)
+    feat, ranked_cells = _recall_feat(spark, sf)
 
     legs = []
     for n_planes in _LSH_TIERS:
@@ -648,9 +664,9 @@ _ABC_SQL = """
       SELECT CAST(sum(rev_c) AS BIGINT) AS t FROM pr
     ), cls AS (
       SELECT CASE
-          WHEN (cum / 100000) * 1000000 // (t / 100000) <= 800000
+          WHEN (cum // 100000) * 1000000 // (t // 100000) <= 800000
             THEN 'A'
-          WHEN (cum / 100000) * 1000000 // (t / 100000) <= 950000
+          WHEN (cum // 100000) * 1000000 // (t // 100000) <= 950000
             THEN 'B'
           ELSE 'C' END AS abc_class,
         rev_c
@@ -1030,13 +1046,16 @@ def events_stickiness_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("user_id")
             .agg(F.expr("bit_or(bit)").alias("mask"))
         )
-        # per user, only days whose trailing-28 window sees activity
+        # per user, only days whose trailing-28 window sees activity.
+        # low d+1 bits built as shiftrightunsigned(-1L, 63-d): exact
+        # for every d in [0, 62] — shiftleft(1L, d+1)-1 would overflow
+        # at d = 62 under the ANSI canary (advisor r8 note).
         m28 = (
-            "(shiftleft(1L, d + 1) - 1)"
+            "shiftrightunsigned(-1L, 63 - d)"
             " ^ (shiftleft(1L, greatest(d - 27, 0)) - 1)"
         )
         m7 = (
-            "(shiftleft(1L, d + 1) - 1)"
+            "shiftrightunsigned(-1L, 63 - d)"
             " ^ (shiftleft(1L, greatest(d - 6, 0)) - 1)"
         )
         j = masks.select(
