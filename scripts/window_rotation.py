@@ -52,6 +52,7 @@ def main() -> None:
     from spark_bi5_datasource_spark.plans.round9_ops import ROUND9_OPS
     from spark_bi5_datasource_spark.plans.round10_ops import ROUND10_OPS
     from spark_bi5_datasource_spark.plans.round11_ops import ROUND11_OPS
+    from spark_bi5_datasource_spark.plans.round12_ops import ROUND12_OPS
     from spark_bi5_datasource_spark.plans.tpch_pack import TPCH_PACK
 
     catalog: dict[str, tuple] = {
@@ -68,6 +69,7 @@ def main() -> None:
         **ROUND9_OPS,
         **ROUND10_OPS,
         **ROUND11_OPS,
+        **ROUND12_OPS,
     }
     oracle_backed = [n for n, (_f, sql, _b) in catalog.items() if sql is not None]
     exposed = driver_exposed()

@@ -53,31 +53,30 @@ CATALOG: dict[str, tuple] = {
 # The union of driver-green rows across rounds is the coverage
 # record — see COVERAGE.md.
 DRIVER_WINDOW: list[str] = [
-    # round-8 window (scripts/window_rotation.py over CORRECTNESS_r0{1..7}):
-    # the 33 round-11 additions (plans/round11_ops.py), never yet exposed
+    # round-9 window (scripts/window_rotation.py over CORRECTNESS_r0{1..8}):
+    # the 10 round-12 additions (plans/round12_ops.py), never yet exposed
     # to a driver gate, come first — after this round the driver-green
-    # union covers ALL 234 oracle-backed catalog entries ever written —
-    # then 17 least-recently-exposed (r01) filler.
-    "dedup_semantic_semdedup", "text_contamination_matrix",
-    "dedup_winnowing_fingerprints", "dq_referential_integrity",
-    "dq_null_profile", "basket_association_lift",
-    "graph_degree_distribution", "window_aroon", "window_obv_daily",
-    "events_burst_hours", "text_readability_scores",
-    "corpus_quality_prune_curve", "window_ichimoku",
-    "dq_order_reconciliation", "orders_ship_latency",
-    "dedup_prefix_clusters", "corpus_lang_mix", "sim_norm_histogram",
-    "dedup_shingle_df_profile", "orders_repeat_curve",
-    "dq_event_ordering", "events_user_hhi", "events_kpi_wow_delta",
-    "orders_seasonality_mom", "text_url_email_stats", "window_cci",
-    "dedup_winnow_pairs", "window_vwma", "events_new_vs_returning",
-    "agg_count_min_exact", "text_dedup_survival_by_source",
-    "corpus_langid_confusion", "dq_duplicate_event_audit",
+    # union again covers ALL oracle-backed catalog entries ever written —
+    # then 40 least-recently-exposed (r01) filler.
+    "dedup_incremental_delta", "sim_ann_recall_monitor",
+    "window_macd", "orders_backlog_aging", "orders_pareto_abc",
+    "dedup_minhash_error_monitor", "text_encoding_audit",
+    "events_stickiness_dau_mau", "dq_doc_embedding_coverage",
+    "dedup_band_tuning_monitor",
     "b1_scan_count", "b5_groupby_count", "b6_filter_project",
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
     "join_broadcast_dims", "join_left_outer", "join_range",
     "join_asof_events_orders", "window_topk_per_segment",
     "window_running_total", "agg_rollup", "agg_stats",
     "scalar_string_funcs", "scalar_date_funcs", "scalar_json_funcs",
+    "scalar_math_case", "events_sessionize", "window_rank_kinds",
+    "array_funcs", "join_full_outer", "scalar_map_funcs",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
+    "dedup_embedding", "b2_sort_topk", "join_semi_anti",
+    "join_right_outer", "window_lag_range_daily", "agg_cube_gsets",
+    "agg_percentile_collect", "setop_suite", "events_daily_ohlc",
+    "reshape_pivot_unpivot", "text_chunk_pack", "sim_cosine_topk",
+    "sim_label_centroids", "text_stats",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(
