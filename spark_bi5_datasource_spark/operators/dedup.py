@@ -451,6 +451,7 @@ def minhash_delta_dedup(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental corpus-delta dedup: drop increment docs that are
     verified near-dups (shingle-Jaccard ≥ ``threshold``) of ANY
@@ -478,13 +479,27 @@ def minhash_delta_dedup(
     their members are near-certain to collide in other bands too.
     Unset, the index is exact (the oracle-equality configuration).
 
+    ``corpus_index`` (optional) is a PREBUILT (id, band, bucket) frame
+    — the stored per-crawl artifact from ``band_index.
+    minhash_band_index`` / ``merge_band_index``, typically read back
+    from parquet — used as the build side instead of re-banding
+    ``corpus``.  The caller owns parameter consistency: the index must
+    have been built with the same (n, num_perm, bands) or buckets
+    won't line up.  ``corpus`` is still required for the text
+    join-back at verification.
+
     Returns the surviving increment rows (all columns of
     ``increment``)."""
-    sig_c = minhash_signatures(corpus, id_col, text_col, n, num_perm)
+    if corpus_index is not None:
+        bc = corpus_index.select(
+            F.col(id_col).alias("__cid"), "band", "bucket"
+        )
+    else:
+        sig_c = minhash_signatures(corpus, id_col, text_col, n, num_perm)
+        bc = _banded(sig_c, id_col, num_perm, bands).select(
+            F.col(id_col).alias("__cid"), "band", "bucket"
+        )
     sig_i = minhash_signatures(increment, id_col, text_col, n, num_perm)
-    bc = _banded(sig_c, id_col, num_perm, bands).select(
-        F.col(id_col).alias("__cid"), "band", "bucket"
-    )
     if max_bucket is not None:
         sizes = bc.groupBy("band", "bucket").agg(
             F.count("*").alias("__bsz")

@@ -21,6 +21,7 @@ from .round9_ops import ROUND9_OPS
 from .round10_ops import ROUND10_OPS
 from .round11_ops import ROUND11_OPS
 from .round12_ops import ROUND12_OPS
+from .round13_ops import ROUND13_OPS
 from .tpch_pack import TPCH_PACK
 
 # name -> (fn, oracle_sql | None, in_bench)
@@ -39,6 +40,7 @@ CATALOG: dict[str, tuple] = {
     **ROUND10_OPS,
     **ROUND11_OPS,
     **ROUND12_OPS,
+    **ROUND13_OPS,
 }
 
 # The driver's correctness gate checks the FIRST 50 entries of

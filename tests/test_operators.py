@@ -2578,3 +2578,113 @@ class TestStickinessAndEncoding:
         assert b.docs_replacement_char == 1
         assert b.tab_chars == 1 and b.newline_chars == 2
         assert b.nonascii_docs_ppm == 500_000
+
+
+class TestBandIndexMaintenance:
+    """operators/band_index.py: the stored per-crawl LSH index and its
+    MERGE-style maintenance (plans/round13_ops.py twin)."""
+
+    @pytest.fixture()
+    def corpus_frames(self, spark):
+        texts = [
+            "the quick brown fox jumps over the lazy dog near town",
+            "spark catalyst optimizes declarative plans into stages",
+            "gardening tools and seasonal soil preparation guide",
+            "cooking pasta with garlic butter and fresh basil leaves",
+            "distributed shuffle joins keyed on content derived keys",
+            "rain falls on the quiet town while the fox sleeps",
+        ]
+        keep = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts[:4])],
+            "doc_id int, text string",
+        )
+        retire = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(texts[4:])],
+            "doc_id int, text string",
+        )
+        adds = spark.createDataFrame(
+            [(200, "brand new crawl page about telescope mirrors"),
+             (201, texts[0])],  # re-crawled text, fresh id
+            "doc_id int, text string",
+        )
+        return keep, retire, adds
+
+    def test_merge_equals_fresh_rebuild(self, spark, corpus_frames):
+        """merge(index(K ∪ R), added=A, retired=ids(R)) row-equals
+        minhash_band_index(K ∪ A) — the maintained index is
+        indistinguishable from a fresh rebuild of the live corpus."""
+        from spark_bi5_datasource_spark.operators.band_index import (
+            merge_band_index,
+            minhash_band_index,
+        )
+
+        keep, retire, adds = corpus_frames
+        merged = merge_band_index(
+            minhash_band_index(keep.unionByName(retire), "doc_id", "text"),
+            added=adds,
+            retired=retire.select("doc_id"),
+            id_col="doc_id",
+            text_col="text",
+        )
+        fresh = minhash_band_index(keep.unionByName(adds), "doc_id", "text")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, fresh.collect())
+        )
+
+    def test_merge_is_idempotent_on_replayed_adds(self, spark, corpus_frames):
+        """Replaying a crawl's merge (same adds again) must not
+        duplicate index rows."""
+        from spark_bi5_datasource_spark.operators.band_index import (
+            merge_band_index,
+            minhash_band_index,
+        )
+
+        keep, _retire, adds = corpus_frames
+        once = merge_band_index(
+            minhash_band_index(keep, "doc_id", "text"),
+            added=adds,
+            id_col="doc_id",
+            text_col="text",
+        )
+        twice = merge_band_index(
+            once, added=adds, id_col="doc_id", text_col="text"
+        )
+        assert sorted(map(tuple, twice.collect())) == sorted(
+            map(tuple, once.collect())
+        )
+
+    def test_stored_index_probe_equals_inline(
+        self, spark, corpus_frames, tmp_path
+    ):
+        """Delta dedup probing the written-then-read index returns the
+        same survivors as the inline-derived index."""
+        from spark_bi5_datasource_spark.operators.band_index import (
+            minhash_band_index,
+            read_band_index,
+            write_band_index,
+        )
+        from spark_bi5_datasource_spark.operators.dedup import (
+            minhash_delta_dedup,
+        )
+
+        keep, retire, _adds = corpus_frames
+        corpus = keep.unionByName(retire)
+        increment = spark.createDataFrame(
+            [(300, "the quick brown fox jumps over the lazy dog near city"),
+             (301, "entirely novel increment page about sailing knots")],
+            "doc_id int, text string",
+        )
+        path = str(tmp_path / "band_index")
+        write_band_index(
+            minhash_band_index(corpus, "doc_id", "text"), path
+        )
+        via_store = minhash_delta_dedup(
+            corpus, increment, "doc_id", "text", threshold=0.4,
+            corpus_index=read_band_index(spark, path),
+        )
+        inline = minhash_delta_dedup(
+            corpus, increment, "doc_id", "text", threshold=0.4,
+        )
+        got = sorted(r.doc_id for r in via_store.collect())
+        assert got == sorted(r.doc_id for r in inline.collect())
+        assert got == [301]  # 300 is a near-dup of corpus doc 0
