@@ -63,6 +63,7 @@ ARROW_KERNELS = {
     "tok_fertility_by_lang": "token-count partial kernel (functions/text.py token_count_partials)",
     "dedup_winnowing_fingerprints": "per-doc rolling-hash winnow kernel (operators/winnowing.py)",
     "dedup_winnow_pairs": "per-doc rolling-hash winnow kernel (operators/winnowing.py)",
+    "dedup_media_phash": "image synth + decode/dHash kernels (functions/multimodal.py)",
 }
 
 # queries allowed an Exchange SinglePartition, with the bound

@@ -47,6 +47,9 @@ __all__ = [
     "extract_media_features",
     "extract_audio_features",
     "documents_as_media",
+    "documents_as_ppm_media",
+    "dhash64",
+    "extract_phash",
 ]
 
 # Canonical media-table schema: payload is opaque binary; metadata is
@@ -856,3 +859,111 @@ def sample_media_frames(media: DataFrame, every_n: int = 10, fake_decode: bool =
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return media.mapInPandas(batches, schema=out_schema)
+
+
+# ------------------------------------------------- perceptual hashing
+
+_DHASH_W, _DHASH_H = 9, 8  # the classic 9×8 dHash grid → 64 bits
+
+
+def dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash of a decoded pixel array: grayscale,
+    nearest-neighbor downsample to the 9×8 dHash grid, then one bit
+    per horizontal neighbor pair (bit r*8+c set iff
+    gray[r,c] > gray[r,c+1]).  Returned as SIGNED int64 (bit 63 =
+    the sign bit) so the value round-trips a Spark LongType column
+    and xor/bit_count hamming arithmetic exactly.
+
+    Deterministic: integer pixels, pixel-center NN sampling
+    (``_nn_index``), float grayscale mean only as an exact mean of
+    ≤4 uint8 values — no library-dependent resamplers."""
+    if px.ndim == 3:
+        gray = px.astype(np.float64).mean(axis=2)
+    else:
+        gray = px.astype(np.float64)
+    h, w = gray.shape
+    if (w, h) != (_DHASH_W, _DHASH_H):
+        gray = gray[np.ix_(_nn_index(_DHASH_H, h), _nn_index(_DHASH_W, w))]
+    bits = gray[:, :-1] > gray[:, 1:]
+    val = 0
+    for idx in np.flatnonzero(bits.ravel()):
+        val |= 1 << int(idx)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def extract_phash(media: DataFrame) -> DataFrame:
+    """binary payload → 64-bit perceptual dHash via Arrow-batched
+    mapInPandas, through the REAL pure-Python decoders
+    (``_decode_pixels``: PPM/PGM/BMP/PNG/baseline-JPEG/GIF).  Dirty
+    or unsupported payloads yield a null hash (the bi5 scan's
+    silent-skip discipline) so one bad image never kills the task."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs: list[int | None] = []
+            for p in pdf["payload"]:
+                try:
+                    px, _ = _decode_pixels(bytes(p or b""))
+                    hs.append(dhash64(px))
+                except (ValueError, NotImplementedError):
+                    hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def documents_as_ppm_media(documents: DataFrame) -> DataFrame:
+    """Adapter used by tests/queries: synthesize a REAL 9×8 P6 (PPM)
+    image per document, gray pixel (r, c) =
+    ``(len(token[(r*9 + c) % n_tokens]) * 7) % 128`` over the doc's
+    space-split tokens — deterministic, decoder-decodable, and
+    SQL-reproducible (the dedup_media_phash oracle recomputes every
+    pixel from ``string_split``), while preserving the property that
+    similar TEXTS yield similar IMAGES (near-dup docs share token
+    structure ⇒ small hamming distance) so perceptual dedup has real
+    work to do on the fixture tables."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+    header = b"P6\n%d %d\n255\n" % (_DHASH_W, _DHASH_H)
+    npx = _DHASH_W * _DHASH_H
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                tk = (text or "").split(" ")
+                n = len(tk)
+                raster = bytearray(npx * 3)
+                for i in range(npx):
+                    g = (len(tk[i % n]) * 7) % 128
+                    raster[3 * i : 3 * i + 3] = (g, g, g)
+                payloads.append(header + bytes(raster))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=out_schema
+    )

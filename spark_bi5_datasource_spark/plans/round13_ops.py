@@ -163,3 +163,87 @@ def dedup_band_index_merge(spark: SparkSession, sf: str) -> DataFrame:
         corpus_index=stored,
     )
     return kept.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+# ----------------------------------- perceptual-hash multimodal dedup
+
+# bit r*8+c of the dHash compares gray(r,c) > gray(r,c+1) on the 9×8
+# grid; pixel index i = r*9+c; gray = (len(token[(i % n_tokens)+1])*7)
+# % 128 — exactly what documents_as_ppm_media bakes into the P6
+# payload the Spark side DECODES back.  Bit 63 (i=70) is the sign bit
+# of the BIGINT: materialized as the signed constant (DuckDB's `<< 63`
+# raises on overflow; the signed sum equals the two's-complement
+# pattern the kernel emits).
+_PHASH_SQL = """
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT doc_id, i, (len(tk[(i % len(tk)) + 1]) * 7) % 128 AS g
+      FROM tk, UNNEST(generate_series(0, 71)) u(i)
+    ), bits AS (
+      SELECT a.doc_id,
+        CAST(coalesce(sum(CASE WHEN a.g > b.g THEN
+          CASE WHEN (a.i // 9) * 8 + (a.i % 9) = 63
+            THEN -9223372036854775807 - 1
+            ELSE 1::BIGINT << ((a.i // 9) * 8 + (a.i % 9)) END
+          ELSE 0 END), 0) AS BIGINT) AS phash
+      FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.i % 9 < 8
+      GROUP BY a.doc_id
+    ), chunks AS (
+      SELECT doc_id, phash, u.b AS band, (phash >> (u.b * 16)) & 65535 AS chunk
+      FROM bits, UNNEST(generate_series(0, 3)) u(b)
+    ), losers AS (
+      SELECT DISTINCT b.doc_id AS id
+      FROM chunks a JOIN chunks b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    )
+    SELECT doc_id AS media_id, phash FROM bits
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    ORDER BY media_id
+"""
+
+
+@_q("dedup_media_phash", _PHASH_SQL)
+def dedup_media_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash near-dup dedup over the multimodal binary
+    column: every document becomes a REAL 9×8 P6 image
+    (functions/multimodal.documents_as_ppm_media — pixels derived
+    from token lengths, so near-dup texts yield near-dup images), the
+    payload is DECODED back through the pure-Python decoder stack and
+    dHashed in one Arrow mapInPandas kernel (extract_phash →
+    dhash64), and near-dups are dropped min-id-survivor style via the
+    established simhash machinery: 4×16-bit banding + bit_count(xor)
+    hamming verify (operators/dedup.simhash_pairs — pigeonhole makes
+    hamming ≤ 3 banding EXACT, no recall luck).  The media column
+    becomes a dedup PARTICIPANT, not just a feature source — the
+    "dedup × multimodal" cross.
+
+    Oracle = the same dHash recomputed arithmetically from
+    string_split token lengths (the decode leg is an identity over
+    the raster the synth kernel wrote — any decoder, hash, banding or
+    survivor error breaks value equality), with the identical banded
+    chunk join.  A planted near-dup pytest additionally pins the
+    kernel on images the synthesizer did NOT produce
+    (tests/test_operators.py).
+
+    Scale shape: one Arrow pass per payload (decode+hash, no Python
+    per-row UDF), then the simhash_pairs shape — identical-hash
+    collapse to representatives, 4-chunk bucket join (content-derived
+    keys), hamming verify on candidates only; survivors via one
+    left_anti.  No all-pairs anywhere; payload bytes never shuffle
+    past the hash kernel."""
+    from ..functions.multimodal import documents_as_ppm_media, extract_phash
+    from ..operators.dedup import simhash_pairs
+
+    docs = t(spark, sf, "documents").where("text IS NOT NULL")
+    hashed = extract_phash(documents_as_ppm_media(docs))
+    pairs = simhash_pairs(hashed, "media_id", max_hamming=3, hash_col="phash")
+    losers = pairs.select(F.col("id_b").alias("media_id")).distinct()
+    return (
+        hashed.join(losers, "media_id", "left_anti")
+        .select("media_id", "phash")
+        .orderBy("media_id")
+    )

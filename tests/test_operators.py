@@ -2688,3 +2688,67 @@ class TestBandIndexMaintenance:
         got = sorted(r.doc_id for r in via_store.collect())
         assert got == sorted(r.doc_id for r in inline.collect())
         assert got == [301]  # 300 is a near-dup of corpus doc 0
+
+
+class TestMediaPhashDedup:
+    """Perceptual-hash dedup over binary media (plans/round13_ops.py
+    twin): dHash kernel + simhash-band reuse, pinned on images the
+    catalog synthesizer did NOT produce."""
+
+    @staticmethod
+    def _ppm(gray_rows):
+        import numpy as np
+
+        h, w = len(gray_rows), len(gray_rows[0])
+        head = b"P6\n%d %d\n255\n" % (w, h)
+        px = bytearray()
+        for row in gray_rows:
+            for g in row:
+                px += bytes((g, g, g))
+        return head + bytes(px)
+
+    def test_dhash_downsample_and_bits(self):
+        """A horizontal gradient has every comparison bit set; the
+        18×16 upscale of the same gradient downsamples (pixel-center
+        NN) to the identical hash."""
+        import numpy as np
+
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            _decode_pixels,
+            dhash64,
+        )
+
+        grad = [[120 - 10 * c for c in range(9)] for _ in range(8)]
+        px, _ = _decode_pixels(self._ppm(grad))
+        assert dhash64(px) == -1  # all 64 bits set = signed -1
+        big = [[120 - 10 * (c // 2) for c in range(18)] for _ in range(16)]
+        px_big, _ = _decode_pixels(self._ppm(big))
+        assert dhash64(px_big) == -1
+
+    def test_planted_near_dup_pair_and_survivor(self, spark):
+        """Two gradients differing in ONE grid cell (hamming ≤ 2) must
+        pair; a flat image (hash 0) must survive; min-id wins."""
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            extract_phash,
+        )
+        from spark_bi5_datasource_spark.operators.dedup import simhash_pairs
+
+        grad = [[120 - 10 * c for c in range(9)] for _ in range(8)]
+        tweak = [row[:] for row in grad]
+        tweak[3][4] = 0  # flips at most 2 neighbor comparisons
+        flat = [[77] * 9 for _ in range(8)]
+        media = spark.createDataFrame(
+            [(1, self._ppm(grad)), (2, self._ppm(tweak)),
+             (3, self._ppm(flat)), (4, b"\xff\xd8 not really a jpeg")],
+            "media_id long, payload binary",
+        )
+        hashed = extract_phash(media)
+        rows = {r.media_id: r.phash for r in hashed.collect()}
+        assert rows[4] is None  # dirty payload → null hash, task alive
+        pairs = simhash_pairs(
+            hashed.where("phash IS NOT NULL"), "media_id",
+            max_hamming=3, hash_col="phash",
+        ).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+        losers = {p.id_b for p in pairs}
+        assert losers == {2} and 3 not in losers
