@@ -2583,40 +2583,62 @@ def dq_duplicate_event_audit(spark: SparkSession, sf: str) -> DataFrame:
     before any counting metric downstream is believed (a clean feed
     audits to zero surplus, which is the assertion on the fixture).
 
-    Scale shape: ONE raw exchange on the natural event identity into
-    a complete aggregate (explicit repartition — on a clean feed
-    nearly every group is unique, so a partial+final plan re-hashes
-    100M rows/wave for no row reduction; measured 8.1 → 6.7 s at
-    x1000, the events_new_vs_returning r8 lesson), then a
-    |types|-row rollup.  The residual ~3.7× vs DuckDB is the
-    100M-unique-group hash-agg constant (the SRM/WAU hash-distinct
-    class, SCALE_NOTES): a narrow xxhash64 prefilter pass measured
-    5.7 s — within noise of the full-tuple aggregate — and was
-    rejected."""
+    Scale shape (hash-first two-pass, r9): pass 1 exchanges ONLY the
+    8-byte xxhash64 of the tuple into a complete count (explicit
+    repartition — on a clean feed every group is unique, so a
+    partial+final plan re-hashes 100M rows/wave for no reduction),
+    pass 2 re-groups EXACTLY the rows whose hash is duplicated (hash
+    collisions are resolved here, so the result is exact; the dup
+    hash set broadcasts — it is bounded by the surplus row count,
+    ~0 on a clean feed), plus a |types|-row totals pass.  Measured
+    x1000: 6.6 → 4.74 s (ratio 3.28×, from 4.6×).  The remaining gap
+    is the 100M-unique-key complete-agg engine constant: pass 1
+    ALONE measures 4.5 s, and every alternative measured worse —
+    full-tuple two-pass 5.7 s (r8), partial+final hash pass 5.9 s,
+    sortWithinPartitions + vectorized Arrow dup-scan 4.2 s
+    (scripts/exp_dupaudit_twopass.py; SCALE_NOTES)."""
+    ev = t(spark, sf, "events").select(
+        "event_type", "user_id", "ts", "value"
+    )
     n = spark.sparkContext.defaultParallelism
-    g = (
-        t(spark, sf, "events")
-        .select("event_type", "user_id", "ts", "value")
-        .repartition(n, "event_type", "user_id", "ts", "value")
+    h = F.xxhash64("event_type", "user_id", "ts", "value")
+    dup_h = (
+        ev.select(h.alias("__h"))
+        .repartition(n, "__h")
+        .groupBy("__h")
+        .agg(F.count("*").alias("__hc"))
+        .filter("__hc > 1")
+        .select("__h")
+    )
+    dups = (
+        ev.withColumn("__h", h)
+        .join(F.broadcast(dup_h), "__h")
         .groupBy("event_type", "user_id", "ts", "value")
         .agg(F.count("*").cast("bigint").alias("c"))
-    )
-    return (
-        g.groupBy("event_type")
+        .filter("c > 1")
+        .groupBy("event_type")
         .agg(
-            F.sum("c").cast("bigint").alias("n_events"),
-            F.sum(F.expr("CASE WHEN c > 1 THEN 1 ELSE 0 END"))
-            .cast("bigint")
-            .alias("n_dup_groups"),
+            F.count("*").cast("bigint").alias("n_dup_groups"),
             F.sum(F.expr("c - 1")).cast("bigint").alias("n_extra_rows"),
         )
+    )
+    totals = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    return (
+        totals.join(dups, "event_type", "left")
         .select(
             "event_type",
             "n_events",
-            "n_dup_groups",
-            "n_extra_rows",
+            F.coalesce("n_dup_groups", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_groups"),
+            F.coalesce("n_extra_rows", F.lit(0))
+            .cast("bigint")
+            .alias("n_extra_rows"),
             F.expr(
-                "CAST(n_extra_rows * 1000000 div n_events AS BIGINT)"
+                "CAST(coalesce(n_extra_rows, 0) * 1000000 div n_events"
+                " AS BIGINT)"
             ).alias("extra_ppm"),
         )
         .orderBy("event_type")
