@@ -1855,15 +1855,17 @@ def text_url_email_stats(spark: SparkSession, sf: str) -> DataFrame:
     gated over 5M docs at x1000.
 
     Scale shape: pure per-row regexp counts over one scan feeding a
-    |sources|-row rollup.  Measured floor (r8, x1000 = 5M docs /
-    1.5 GB text): with the NVMe openCostInBytes split fix the query
-    is 1.25 s; Spark's parquet string DECODE alone
-    (sum(length(text))) is 0.80 s vs DuckDB's 0.036 s — so any
-    Spark plan touching the text column is bounded below ~2.4× the
-    DuckDB twin on this fixture, an engine string-materialization
-    constant, not a plan defect (alternatives measured and rejected:
-    exact instr/HOF rewrite of both regexes 3.1 s, Arrow-RE2
-    mapInArrow kernel 1.53 s — both above the gated-JVM-regex plan;
+    |sources|-row rollup.  Measured floor, extended end-to-end in r9
+    (scripts/exp_urlmail_floor.py, x1000 = 5M docs / 1.5 GB text):
+    full query 1.17 s = string-decode floor 0.57 s + the two instr()
+    gate scans 0.60 s + 0.00 s for everything else — the fixture
+    contains zero 'http'/'@' hits, so the regex branches never
+    execute and the entire residual is the irreducible
+    touch-every-byte literal scan.  DuckDB's 0.33 s is RE2's SIMD
+    literal-prefix primitive vs the JVM's byte-loop indexOf — engine
+    string primitives, not plan shape (alternatives measured and
+    rejected: ungated regex 11.9 s, exact instr/HOF rewrite 3.1 s,
+    Arrow-RE2 mapInArrow kernel 1.53 s;
     scripts/exp_urlmail_strops.py)."""
     f = (
         t(spark, sf, "documents")
