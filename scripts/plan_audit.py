@@ -64,6 +64,7 @@ ARROW_KERNELS = {
     "dedup_winnowing_fingerprints": "per-doc rolling-hash winnow kernel (operators/winnowing.py)",
     "dedup_winnow_pairs": "per-doc rolling-hash winnow kernel (operators/winnowing.py)",
     "dedup_media_phash": "image synth + decode/dHash kernels (functions/multimodal.py)",
+    "dedup_audio_fingerprint": "WAV synth + decode/fingerprint kernels (functions/multimodal.py)",
 }
 
 # queries allowed an Exchange SinglePartition, with the bound

@@ -50,6 +50,9 @@ __all__ = [
     "documents_as_ppm_media",
     "dhash64",
     "extract_phash",
+    "documents_as_wav_media",
+    "afingerprint64",
+    "extract_audio_fingerprint",
 ]
 
 # Canonical media-table schema: payload is opaque binary; metadata is
@@ -960,6 +963,117 @@ def documents_as_ppm_media(documents: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["doc_id"],
                     "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+# ------------------------------------------- audio fingerprinting
+
+_AFP_N = 65  # 65 frames → 64 consecutive-frame comparisons → 64 bits
+
+
+def afingerprint64(samples: np.ndarray) -> int:
+    """64-bit audio difference fingerprint: channel-mean mono,
+    nearest-neighbor downsample to 65 frames, one bit per consecutive
+    frame pair (bit i set iff mono[i] > mono[i+1]) — the audio
+    analogue of ``dhash64``, robust to amplitude scaling (any
+    monotone gain preserves every comparison) and, via the NN
+    resample, to fixed-rate stretching.  Returned as SIGNED int64
+    (bit 63 = the sign bit), LongType/xor/bit_count-compatible."""
+    mono = samples.astype(np.float64).mean(axis=1)
+    if mono.shape[0] == 0:
+        return 0
+    if mono.shape[0] != _AFP_N:
+        mono = mono[_nn_index(_AFP_N, mono.shape[0])]
+    bits = mono[:-1] > mono[1:]
+    val = 0
+    for idx in np.flatnonzero(bits):
+        val |= 1 << int(idx)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("afp", LongType(), True),
+    ]
+)
+
+
+def extract_audio_fingerprint(media: DataFrame) -> DataFrame:
+    """WAV payload → 64-bit audio fingerprint via Arrow-batched
+    mapInPandas through the REAL decoder stack (``_audio_samples``:
+    8/16-bit PCM, G.711 A-law/μ-law, IMA ADPCM).  Dirty or
+    unsupported payloads yield a null fingerprint (the bi5
+    silent-skip discipline)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs: list[int | None] = []
+            for p in pdf["payload"]:
+                try:
+                    x, _rate = _audio_samples(bytes(p or b""))
+                    hs.append(afingerprint64(x))
+                except (ValueError, NotImplementedError):
+                    hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+
+
+def documents_as_wav_media(documents: DataFrame) -> DataFrame:
+    """Adapter used by tests/queries: synthesize a REAL 16-bit PCM
+    mono WAV per document with 65 samples,
+    ``s(i) = ((len(token[(i % n_tokens)+1]) * 13) % 256 - 128) · 256``
+    — deterministic, decoder-decodable, SQL-reproducible (the
+    dedup_audio_fingerprint oracle recomputes every sample from
+    ``string_split``; the ·256 gain cancels in the comparison-only
+    fingerprint), and similarity-preserving: near-dup texts share
+    token structure ⇒ near-identical waveforms ⇒ small hamming."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+    rate = 8000
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + _AFP_N * 2)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", _AFP_N * 2)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                tk = (text or "").split(" ")
+                n = len(tk)
+                vals = [
+                    ((len(tk[i % n]) * 13) % 256 - 128) * 256
+                    for i in range(_AFP_N)
+                ]
+                payloads.append(
+                    header + struct.pack(f"<{_AFP_N}h", *vals)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
                     "payload": payloads,
                 }
             )

@@ -39,6 +39,8 @@ __all__ = [
     "merge_band_index",
     "write_band_index",
     "read_band_index",
+    "minhash_band_index_portable",
+    "band_index_stats",
 ]
 
 
@@ -118,3 +120,104 @@ def read_band_index(spark: SparkSession, path: str) -> DataFrame:
     """Read a stored band index back for probing (the
     ``corpus_index=`` argument of ``minhash_delta_dedup``)."""
     return spark.read.parquet(path)
+
+
+# ------------------------------------------------ index health stats
+
+_P = (1 << 61) - 1
+_POLY_P = 1_000_000_007
+
+
+def minhash_band_index_portable(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Engine-portable band index: the PRODUCTION permutation family
+    (minhash_signatures' seeded a/b coefficients) over the portable
+    polynomial shingle hash (fold (h·131 + code) mod 1e9+7 — the
+    dedup_minhash_error_monitor portability policy), with the bucket
+    key as the PLAIN comma-joined band values instead of an xxhash64
+    compaction.  Bit-for-bit reproducible in ANSI SQL, so
+    index-health statistics can be oracle-verified; the production
+    ``minhash_band_index`` keeps xxhash64 (one hash per shingle
+    instead of a per-char fold) for the hot path — bucket
+    POPULATIONS are identical between the two up to xxhash
+    collisions (~|C|²·bands / 2⁶⁴)."""
+    import random
+
+    from .dedup import with_shingles
+
+    rng = random.Random(0x5EED + num_perm)
+    a = [rng.randrange(1, 1 << 30) for _ in range(num_perm)]
+    b = [rng.randrange(0, _P) for _ in range(num_perm)]
+    a_arr = "array({})".format(",".join(f"{x}L" for x in a))
+    b_arr = "array({})".format(",".join(f"{x}L" for x in b))
+    rpb = num_perm // bands
+    poly = (
+        "transform(shingles, s -> aggregate(split(s, ''), 0L,"
+        f" (acc, c) -> (acc * 131 + ascii(c)) % {_POLY_P}))"
+    )
+    sig = (
+        f"transform(array({poly}), hs -> zip_with({a_arr}, {b_arr},"
+        f" (a, b) -> array_min(transform(hs, h -> (a * h + b) % {_P}L))))[0]"
+    )
+    return (
+        with_shingles(corpus, text_col, n)
+        .withColumn("__sig", F.expr(sig))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands} - 1), b ->"
+                    " named_struct('band', b, 'bucket',"
+                    f" concat_ws(',', slice(__sig, b * {rpb} + 1, {rpb}))))"
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, "bb.band", "bb.bucket")
+    )
+
+
+def band_index_stats(index: DataFrame, cap: int = 200) -> DataFrame:
+    """Per-band health statistics of a band index — the tuning table
+    behind the megabucket rule and the delta-dedup ``max_bucket``
+    knob: bucket count, max bucket size, megabuckets above ``cap``
+    (boilerplate attractors whose pair fan-out goes quadratic), and
+    the singleton share in exact ppm (buckets that can never produce
+    a candidate).  Works on any (id, band, bucket) frame — stored,
+    merged, or freshly built.
+
+    Scale shape: one exchange on (band, bucket) into the size
+    aggregate, then a |bands|-row rollup."""
+    sizes = index.groupBy("band", "bucket").agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.sum("sz").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(F.expr(f"CASE WHEN sz > {cap} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("megabuckets"),
+            F.sum(F.expr("CASE WHEN sz = 1 THEN 1 ELSE 0 END")).alias(
+                "__singl"
+            ),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_rows",
+            "n_buckets",
+            "max_bucket",
+            "megabuckets",
+            F.expr(
+                "CAST(__singl * 1000000 div n_buckets AS BIGINT)"
+            ).alias("singleton_ppm"),
+        )
+        .orderBy("band")
+    )

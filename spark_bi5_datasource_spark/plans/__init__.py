@@ -56,15 +56,19 @@ CATALOG: dict[str, tuple] = {
 # record — see COVERAGE.md.
 DRIVER_WINDOW: list[str] = [
     # round-9 window (scripts/window_rotation.py over CORRECTNESS_r0{1..8}):
-    # the 10 round-12 additions (plans/round12_ops.py), never yet exposed
-    # to a driver gate, come first — after this round the driver-green
-    # union again covers ALL oracle-backed catalog entries ever written —
-    # then 40 least-recently-exposed (r01) filler.
+    # the 10 round-12 additions (plans/round12_ops.py) plus the 4
+    # round-13 additions landed this round (plans/round13_ops.py) —
+    # everything never yet exposed to a driver gate comes first, so
+    # after this round the driver-green union again covers ALL
+    # oracle-backed catalog entries ever written — then 36
+    # least-recently-exposed (r01) filler.
     "dedup_incremental_delta", "sim_ann_recall_monitor",
     "window_macd", "orders_backlog_aging", "orders_pareto_abc",
     "dedup_minhash_error_monitor", "text_encoding_audit",
     "events_stickiness_dau_mau", "dq_doc_embedding_coverage",
     "dedup_band_tuning_monitor",
+    "dedup_band_index_merge", "dedup_media_phash",
+    "dedup_audio_fingerprint", "dedup_band_index_health",
     "b1_scan_count", "b5_groupby_count", "b6_filter_project",
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
     "join_broadcast_dims", "join_left_outer", "join_range",
@@ -77,8 +81,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_embedding", "b2_sort_topk", "join_semi_anti",
     "join_right_outer", "window_lag_range_daily", "agg_cube_gsets",
     "agg_percentile_collect", "setop_suite", "events_daily_ohlc",
-    "reshape_pivot_unpivot", "text_chunk_pack", "sim_cosine_topk",
-    "sim_label_centroids", "text_stats",
+    "reshape_pivot_unpivot",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

@@ -247,3 +247,188 @@ def dedup_media_phash(spark: SparkSession, sf: str) -> DataFrame:
         .select("media_id", "phash")
         .orderBy("media_id")
     )
+
+
+# ------------------------------------- audio-fingerprint media dedup
+
+# bit i of the fingerprint compares sample s(i) > s(i+1) over the 65
+# synthesized samples; s(i) = (len(token[(i % n_tokens)+1]) * 13) %
+# 256 - 128 (the ·256 PCM gain in the payload cancels — comparisons
+# only).  Bit 63 as the signed constant, same as _PHASH_SQL.
+_AFP_SQL = """
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), s AS (
+      SELECT doc_id, i,
+        (len(tk[(i % len(tk)) + 1]) * 13) % 256 - 128 AS v
+      FROM tk, UNNEST(generate_series(0, 64)) u(i)
+    ), bits AS (
+      SELECT a.doc_id,
+        CAST(coalesce(sum(CASE WHEN a.v > b.v THEN
+          CASE WHEN a.i = 63 THEN -9223372036854775807 - 1
+            ELSE 1::BIGINT << a.i END
+          ELSE 0 END), 0) AS BIGINT) AS afp
+      FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.i < 64
+      GROUP BY a.doc_id
+    ), chunks AS (
+      SELECT doc_id, afp, u.b AS band, (afp >> (u.b * 16)) & 65535 AS chunk
+      FROM bits, UNNEST(generate_series(0, 3)) u(b)
+    ), losers AS (
+      SELECT DISTINCT b.doc_id AS id
+      FROM chunks a JOIN chunks b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    )
+    SELECT doc_id AS media_id, afp FROM bits
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    ORDER BY media_id
+"""
+
+
+@_q("dedup_audio_fingerprint", _AFP_SQL)
+def dedup_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup dedup over the multimodal binary column — the
+    audio leg of the dedup × multimodal cross (dedup_media_phash is
+    the image leg): every document becomes a REAL 16-bit PCM WAV
+    (functions/multimodal.documents_as_wav_media — 65 samples from
+    token lengths, so near-dup texts yield near-identical waveforms),
+    the payload is decoded back through the real WAV stack
+    (_audio_samples) and difference-fingerprinted in one Arrow
+    mapInPandas kernel (extract_audio_fingerprint → afingerprint64 —
+    gain-invariant consecutive-frame comparisons), then near-dups are
+    dropped min-id-survivor style via the simhash machinery (4×16-bit
+    banding + hamming ≤ 3, exact by pigeonhole).
+
+    Oracle = the same fingerprint recomputed arithmetically from
+    string_split token lengths (the WAV encode→decode legs are an
+    exact round-trip over the synthesized samples; the PCM gain
+    cancels in comparisons), identical banded chunk join.  A planted
+    near-dup pytest pins the kernel on real multi-rate / multi-codec
+    WAVs the synthesizer did NOT produce.
+
+    Scale shape: identical to dedup_media_phash — one Arrow pass per
+    payload, identical-hash collapse, 4-chunk bucket join, hamming
+    verify, one left_anti; payload bytes never shuffle past the
+    fingerprint kernel."""
+    from ..functions.multimodal import (
+        documents_as_wav_media,
+        extract_audio_fingerprint,
+    )
+    from ..operators.dedup import simhash_pairs
+
+    docs = t(spark, sf, "documents").where("text IS NOT NULL")
+    hashed = extract_audio_fingerprint(documents_as_wav_media(docs))
+    pairs = simhash_pairs(hashed, "media_id", max_hamming=3, hash_col="afp")
+    losers = pairs.select(F.col("id_b").alias("media_id")).distinct()
+    return (
+        hashed.join(losers, "media_id", "left_anti")
+        .select("media_id", "afp")
+        .orderBy("media_id")
+    )
+
+
+# -------------------------------------------- band-index health stats
+
+_BI_P = (1 << 61) - 1
+_BI_POLY_P = 1_000_000_007
+_BI_NPERM = 32
+_BI_BANDS = 16
+_BI_CAP = 200
+
+
+def _bi_health_sql() -> str:
+    import random
+
+    rng = random.Random(0x5EED + _BI_NPERM)
+    a = [rng.randrange(1, 1 << 30) for _ in range(_BI_NPERM)]
+    b = [rng.randrange(0, _BI_P) for _ in range(_BI_NPERM)]
+    perms = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(_BI_NPERM))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+      FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)
+      WHERE len(tk) >= 3
+      UNION
+      SELECT doc_id, array_to_string(tk, ' ') AS shingle
+      FROM toks WHERE len(tk) < 3
+    ), hs AS (
+      SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        list_transform(string_split(shingle, ''),
+          c -> CAST(ascii(c) AS BIGINT))),
+        (acc, c) -> (acc * 131 + c) % {_BI_POLY_P}) AS h
+      FROM sh
+    ), mh AS (
+      SELECT doc_id, p.i, min((p.a * h + p.b) % {_BI_P}) AS mv
+      FROM hs CROSS JOIN (VALUES {perms}) p(i, a, b)
+      GROUP BY doc_id, p.i
+    ), sigs AS (
+      SELECT doc_id, list(mv ORDER BY i) AS sig FROM mh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, u.b AS band,
+        CAST(sig[2 * u.b + 1] AS VARCHAR) || ',' ||
+        CAST(sig[2 * u.b + 2] AS VARCHAR) AS bucket
+      FROM sigs, UNNEST(generate_series(0, {_BI_BANDS} - 1)) u(b)
+    ), sizes AS (
+      SELECT band, bucket, count(*) AS sz
+      FROM bands GROUP BY band, bucket
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+      CAST(sum(sz) AS BIGINT) AS n_rows,
+      CAST(count(*) AS BIGINT) AS n_buckets,
+      CAST(max(sz) AS BIGINT) AS max_bucket,
+      CAST(sum(CASE WHEN sz > {_BI_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+        AS megabuckets,
+      CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) * 1000000
+        // count(*) AS BIGINT) AS singleton_ppm
+    FROM sizes GROUP BY band ORDER BY band
+"""
+
+
+@_q("dedup_band_index_health", _bi_health_sql())
+def dedup_band_index_health(spark: SparkSession, sf: str) -> DataFrame:
+    """Band-index health monitor — the tuning table behind the
+    megabucket rule and delta-dedup's ``max_bucket`` knob: per band,
+    the bucket count, max bucket size, megabucket count (> 200
+    members — boilerplate attractors with quadratic pair fan-out)
+    and singleton share in exact ppm (operators/band_index.
+    band_index_stats).  Run per crawl next to the recall/error/
+    band-tuning monitors; a rising megabucket count is the early
+    signal to lower ``max_bucket`` or raise bands.
+
+    The monitored index is built with the PRODUCTION permutation
+    family over the engine-portable polynomial shingle hash
+    (minhash_band_index_portable — the dedup_minhash_error_monitor
+    portability policy) so the DuckDB twin reproduces every bucket
+    key bit-for-bit.  Two deltas vs the production index, stated
+    precisely: the xxhash64 bucket COMPACTION only renames buckets
+    (identical per-band size multisets given the same signatures —
+    pinned by pytest), while the shingle-hash FAMILY shifts which
+    near-threshold pairs collide in which band — populations are
+    statistically, not bitwise, equivalent, which is exactly the
+    fidelity a health monitor needs (and the same trade
+    dedup_minhash_error_monitor documents).
+
+    Scale shape: per-doc signature work is narrow HOF expressions on
+    one scan, then one exchange on (band, bucket) into the size
+    aggregate and a 16-row rollup."""
+    from ..operators.band_index import (
+        band_index_stats,
+        minhash_band_index_portable,
+    )
+
+    docs = t(spark, sf, "documents").where("text IS NOT NULL")
+    idx = minhash_band_index_portable(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_perm=_BI_NPERM,
+        bands=_BI_BANDS,
+    )
+    return band_index_stats(idx, cap=_BI_CAP)

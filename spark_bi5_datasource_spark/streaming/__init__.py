@@ -9,6 +9,7 @@ from .events import (
     windowed_counts,
 )
 from .bi5_stream import stream_bi5_writer
+from .crawl import stream_crawl_dedup_writer
 from .upsert_sink import latest_per_key, stream_upsert_writer
 
 __all__ = [
@@ -18,6 +19,7 @@ __all__ = [
     "session_windows",
     "sliding_value_sums",
     "stream_bi5_writer",
+    "stream_crawl_dedup_writer",
     "stream_static_enrich",
     "stream_stream_join",
     "stream_upsert_writer",

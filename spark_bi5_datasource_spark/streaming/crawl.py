@@ -1,0 +1,102 @@
+"""Streaming recurring-crawl dedup: the Structured-Streaming leg of
+the band-index loop (operators/band_index.py + dedup.
+minhash_delta_dedup).
+
+A crawl in production is not a batch — increments arrive continuously.
+``stream_crawl_dedup_writer`` consumes a stream of candidate documents
+and maintains BOTH per-crawl artifacts incrementally:
+
+* the kept-corpus parquet (texts of every surviving doc so far), and
+* the stored band index (one append of the survivors' band rows per
+  batch — ``merge_band_index`` with ``assume_new`` semantics: no
+  retire, fresh ids, so the merge is a pure append and parquet
+  ``append`` mode IS the merge).
+
+Each micro-batch is deduped against everything kept before it
+(``minhash_delta_dedup`` probing the STORED index — candidates only
+cross the batch×corpus boundary, the corpus never self-pairs), so the
+loop is |Δ|·|C| per batch forever, and a replayed batch converges via
+the ``_applied_batch`` marker (the upsert_sink exactly-once
+discipline).
+
+Correctness is pinned by tests/test_streaming.py: an availableNow
+replay over N increment files (maxFilesPerTrigger=1) must leave
+exactly the corpus the batch-mode fold of ``minhash_delta_dedup``
+produces over the same files in the same order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..operators.band_index import minhash_band_index
+from ..operators.dedup import minhash_delta_dedup
+
+__all__ = ["stream_crawl_dedup_writer"]
+
+
+def stream_crawl_dedup_writer(
+    increments: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+):
+    """Wire a streaming document frame into the crawl-dedup loop;
+    returns the started ``StreamingQuery``.
+
+    ``corpus_dir``/``index_dir`` may start empty (the first batch
+    seeds both) or pre-seeded by a batch build
+    (``write_band_index`` + a text parquet).  Batch-internal
+    duplicates both survive — the delta contract: dedup is against
+    the standing corpus, not within the increment (an in-batch exact
+    pass can be composed upstream with ``exact_dedup``)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(corpus_dir, f"_applied_batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        batch_df = batch_df.select(id_col, text_col)
+        have_corpus = any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(corpus_dir)
+            for f in fs
+        )
+        if have_corpus:
+            corpus = spark.read.parquet(os.path.join(corpus_dir, "docs"))
+            stored = spark.read.parquet(os.path.join(index_dir, "bands"))
+            kept = minhash_delta_dedup(
+                corpus,
+                batch_df,
+                id_col,
+                text_col,
+                n=n,
+                num_perm=num_perm,
+                bands=bands,
+                threshold=threshold,
+                corpus_index=stored,
+            )
+        else:
+            kept = batch_df
+        # localCheckpoint: cut the lineage so the two writes below
+        # compute the dedup exactly once (and don't re-read the
+        # corpus dirs they are about to append to)
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(os.path.join(corpus_dir, "docs"))
+        minhash_band_index(
+            kept, id_col, text_col, n, num_perm, bands
+        ).write.mode("append").parquet(os.path.join(index_dir, "bands"))
+        open(marker, "w").close()
+
+    writer = increments.writeStream.foreachBatch(apply)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

@@ -2752,3 +2752,136 @@ class TestMediaPhashDedup:
         assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
         losers = {p.id_b for p in pairs}
         assert losers == {2} and 3 not in losers
+
+
+class TestAudioFingerprintDedup:
+    """Audio-fingerprint dedup (plans/round13_ops.py twin): real WAV
+    payloads the catalog synthesizer did NOT produce — different
+    sample rates, lengths, and codecs collapsing to one fingerprint."""
+
+    @staticmethod
+    def _wav(vals, bits=16, rate=8000):
+        import struct
+
+        n = len(vals)
+        step = bits // 8
+        head = (
+            b"RIFF" + struct.pack("<I", 36 + n * step) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * step, step, bits)
+            + b"data" + struct.pack("<I", n * step)
+        )
+        if bits == 16:
+            return head + struct.pack(f"<{n}h", *vals)
+        return head + bytes(vals)  # 8-bit PCM is unsigned
+
+    def test_rate_length_and_bitdepth_invariance(self, spark):
+        """A strictly-descending ramp fingerprints to all-ones (-1);
+        its 2× NN-stretch and its 8-bit recode share the hash (rate,
+        length and gain invariance); a flat tone (hash 0) survives;
+        dirty bytes yield null."""
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            extract_audio_fingerprint,
+        )
+        from spark_bi5_datasource_spark.operators.dedup import simhash_pairs
+
+        ramp16 = [32000 - 500 * i for i in range(65)]
+        ramp16_stretch = [32000 - 500 * (i // 2) for i in range(130)]
+        ramp8 = [200 - 3 * i for i in range(65)]  # same ordering, uint8
+        flat = [1000] * 65
+        media = spark.createDataFrame(
+            [
+                (1, self._wav(ramp16)),
+                (2, self._wav(ramp16_stretch, rate=16000)),
+                (3, self._wav(ramp8, bits=8)),
+                (4, self._wav(flat)),
+                (5, b"RIFFjunk not a wave"),
+            ],
+            "media_id long, payload binary",
+        )
+        rows = {
+            r.media_id: r.afp
+            for r in extract_audio_fingerprint(media).collect()
+        }
+        assert rows[1] == -1  # all 64 comparison bits set
+        assert rows[2] == -1 and rows[3] == -1
+        assert rows[4] == 0
+        assert rows[5] is None
+        pairs = simhash_pairs(
+            extract_audio_fingerprint(media).where("afp IS NOT NULL"),
+            "media_id", max_hamming=3, hash_col="afp",
+        ).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2), (1, 3), (2, 3)}
+        losers = {p.id_b for p in pairs}
+        assert losers == {2, 3} and 4 not in losers
+
+
+class TestBandIndexHealth:
+    """band_index_stats + the portable index twin
+    (plans/round13_ops.py dedup_band_index_health)."""
+
+    def test_stats_exact_on_planted_index(self, spark):
+        rows = [(i, 0, "a") for i in range(3)] + [
+            (3, 0, "b"), (4, 0, "c"),
+            (0, 1, "x"), (1, 1, "x"),
+        ]
+        idx = spark.createDataFrame(
+            rows, "doc_id int, band int, bucket string"
+        )
+        from spark_bi5_datasource_spark.operators.band_index import (
+            band_index_stats,
+        )
+
+        out = {r.band: r for r in band_index_stats(idx, cap=2).collect()}
+        b0, b1 = out[0], out[1]
+        assert (b0.n_rows, b0.n_buckets, b0.max_bucket) == (5, 3, 3)
+        assert b0.megabuckets == 1  # the size-3 'a' bucket
+        assert b0.singleton_ppm == 666_666  # 2 of 3 buckets
+        assert (b1.n_rows, b1.n_buckets, b1.max_bucket) == (2, 1, 2)
+        assert b1.megabuckets == 0 and b1.singleton_ppm == 0
+
+    def test_bucket_compaction_only_renames(self, spark):
+        """Given the SAME signatures, the production xxhash64 bucket
+        compaction and the plain concat bucket key yield identical
+        per-band bucket-size multisets — the compaction layer only
+        renames buckets (the dedup_band_index_health docstring
+        claim; the shingle-hash FAMILY, by contrast, legitimately
+        shifts which near-dups collide per band)."""
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.operators.dedup import (
+            _banded,
+            minhash_signatures,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog near town",
+            "the quick brown fox jumps over the lazy dog near city",
+            "spark catalyst optimizes declarative plans into stages",
+            "cooking pasta with garlic butter and fresh basil leaves",
+            "the quick brown fox jumps over the lazy dog near town",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id int, text string",
+        )
+        sigs = minhash_signatures(df, "doc_id", "text")
+        prod_idx = _banded(sigs, "doc_id", 32, 16)
+        concat_idx = sigs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 15), b -> named_struct("
+                    "'band', b, 'bucket',"
+                    " concat_ws(',', slice(signature, b * 2 + 1, 2))))"
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+        def pops(idx):
+            rows = idx.groupBy("band", "bucket").count().collect()
+            by_band: dict = {}
+            for r in rows:
+                by_band.setdefault(r.band, []).append(r["count"])
+            return {b: sorted(v) for b, v in by_band.items()}
+
+        assert pops(prod_idx) == pops(concat_idx)

@@ -802,3 +802,107 @@ def test_stream_bi5_sink_reproduces_reference_tree(spark, tmp_path):
     assert got.count() == batch.count() == 27521
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+class TestStreamCrawlDedup:
+    """Streaming recurring-crawl dedup (streaming/crawl.py): an
+    availableNow replay over N increment files must leave exactly the
+    corpus and band index a batch-mode fold of minhash_delta_dedup
+    produces over the same files in the same order."""
+
+    BASE = "the quick brown fox jumps over the lazy dog near town"
+    OTHER = "spark catalyst optimizes declarative query plans into stages"
+
+    def _batches(self):
+        return [
+            [(1, self.BASE), (2, self.OTHER)],
+            [(10, self.BASE.replace("town", "city")),
+             (11, "fresh page about gardening tools and soil preparation")],
+            [(20, self.OTHER),  # exact dup of kept doc 2
+             (21, "completely new cooking pasta with garlic butter page")],
+        ]
+
+    def test_stream_equals_batch_fold(self, spark, tmp_path):
+        import time as _time
+
+        from spark_bi5_datasource_spark.operators.band_index import (
+            minhash_band_index,
+        )
+        from spark_bi5_datasource_spark.operators.dedup import (
+            minhash_delta_dedup,
+        )
+        from spark_bi5_datasource_spark.streaming import (
+            stream_crawl_dedup_writer,
+        )
+
+        sdir = str(tmp_path / "inc")
+        os.makedirs(sdir)
+        t0 = _time.time()
+        for k, rows in enumerate(self._batches()):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            df.coalesce(1).write.mode("append").parquet(sdir)
+            # pin discovery order: one file per batch, mtime-ascending
+            parts = sorted(
+                f for f in os.listdir(sdir) if f.endswith(".parquet")
+            )
+            for f in parts:
+                p = os.path.join(sdir, f)
+                if os.path.getmtime(p) > t0 + k:
+                    os.utime(p, (t0 + k, t0 + k))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        cdir, idir = str(tmp_path / "corpus"), str(tmp_path / "index")
+        q = stream_crawl_dedup_writer(
+            stream, cdir, idir, threshold=0.4,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+
+        got = sorted(
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(cdir, "docs")).collect()
+        )
+        # batch fold twin
+        corpus = None
+        for rows in self._batches():
+            inc = spark.createDataFrame(rows, "doc_id long, text string")
+            if corpus is None:
+                kept = inc
+            else:
+                kept = minhash_delta_dedup(
+                    corpus, inc, "doc_id", "text", threshold=0.4
+                )
+            corpus = kept if corpus is None else corpus.unionByName(kept)
+        want = sorted(r.doc_id for r in corpus.collect())
+        assert got == want == [1, 2, 11, 21]
+
+        # the maintained index equals a fresh rebuild of the corpus
+        idx = spark.read.parquet(os.path.join(idir, "bands"))
+        fresh = minhash_band_index(
+            spark.read.parquet(os.path.join(cdir, "docs")),
+            "doc_id", "text",
+        )
+        assert sorted(map(tuple, idx.collect())) == sorted(
+            map(tuple, fresh.collect())
+        )
+
+        # replaying every batch (fresh checkpoint, same markers) is a
+        # no-op: the corpus does not grow
+        stream2 = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        q2 = stream_crawl_dedup_writer(
+            stream2, cdir, idir, threshold=0.4,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+        q2.awaitTermination()
+        again = sorted(
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(cdir, "docs")).collect()
+        )
+        assert again == want
