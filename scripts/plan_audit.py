@@ -65,6 +65,8 @@ ARROW_KERNELS = {
     "dedup_winnow_pairs": "per-doc rolling-hash winnow kernel (operators/winnowing.py)",
     "dedup_media_phash": "image synth + decode/dHash kernels (functions/multimodal.py)",
     "dedup_audio_fingerprint": "WAV synth + decode/fingerprint kernels (functions/multimodal.py)",
+    "dedup_video_fingerprint": "AVI synth + frame-sample/dHash/majority kernels (functions/multimodal.py)",
+    "sim_ivf_index_merge": "IVF training collect + GEMM assignment/probe kernels (operators/ann_index.py)",
 }
 
 # queries allowed an Exchange SinglePartition, with the bound

@@ -53,6 +53,9 @@ __all__ = [
     "documents_as_wav_media",
     "afingerprint64",
     "extract_audio_fingerprint",
+    "documents_as_avi_media",
+    "vhash64",
+    "extract_video_fingerprint",
 ]
 
 # Canonical media-table schema: payload is opaque binary; metadata is
@@ -1074,6 +1077,145 @@ def documents_as_wav_media(documents: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["doc_id"],
                     "kind": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+# ------------------------------------------- video fingerprinting
+
+_VFP_FRAMES = 6   # synthesized frames per video
+_VFP_EVERY = 2    # fingerprint samples frames 0, 2, 4
+
+
+def vhash64(frame_hashes: list[int]) -> int | None:
+    """64-bit temporal video hash: per-bit MAJORITY vote over the
+    sampled frames' dHashes (bit j of the video hash is set iff
+    strictly more than half the frames set bit j of their frame
+    dHash) — the frame-median fingerprint production video-dedup
+    stacks use, robust to a minority of edited/corrupted frames where
+    a plain XOR or concat is not.  Returned as SIGNED int64 (bit 63 =
+    the sign bit), LongType/xor/bit_count-compatible."""
+    if not frame_hashes:
+        return None
+    n = len(frame_hashes)
+    val = 0
+    for j in range(64):
+        cnt = sum((h >> j) & 1 for h in frame_hashes)
+        if 2 * cnt > n:
+            val |= 1 << j
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+VIDEO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("vhash", LongType(), True),
+    ]
+)
+
+
+def extract_video_fingerprint(
+    media: DataFrame, every_n: int = _VFP_EVERY
+) -> DataFrame:
+    """video payload → 64-bit temporal fingerprint via Arrow-batched
+    mapInPandas through the REAL container/codec stack: frames are
+    sampled with ``sample_frames`` (AVI walk; DIB frames gain a BMP
+    header, MJPEG frames decode through the JPEG codec), each sampled
+    frame is dHashed (``dhash64``), and the per-frame hashes combine
+    by per-bit majority (``vhash64``).  Dirty or unsupported payloads
+    yield a null hash (the bi5 silent-skip discipline); payload bytes
+    never travel past this kernel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs: list[int | None] = []
+            for p in pdf["payload"]:
+                try:
+                    frames = sample_frames(bytes(p or b""), every_n)
+                    fh = []
+                    for fr in frames:
+                        px, _ = _decode_pixels(fr)
+                        fh.append(dhash64(px))
+                    hs.append(vhash64(fh))
+                except (ValueError, NotImplementedError):
+                    hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "vhash": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=VIDEO_FP_SCHEMA)
+
+
+def documents_as_avi_media(documents: DataFrame) -> DataFrame:
+    """Adapter used by tests/queries: synthesize a REAL AVI container
+    per document — ``_VFP_FRAMES`` uncompressed 24-bit bottom-up DIB
+    frames on the 9×8 dHash grid, gray pixel (f, r, c) =
+    ``(len(token[(f*72 + r*9 + c) % n_tokens]) * 11) % 128`` over the
+    doc's space-split tokens.  Deterministic, decodable by the real
+    AVI walk (``_avi_frames`` → BMP → ``_decode_pixels``), and
+    SQL-reproducible (the dedup_video_fingerprint oracle recomputes
+    every sampled pixel from ``string_split``), while preserving the
+    property that similar TEXTS yield similar VIDEOS (near-dup docs
+    share token structure ⇒ near-identical frames ⇒ small hamming)
+    so temporal dedup has real work to do on the fixture tables."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+    w, h = _DHASH_W, _DHASH_H
+    stride = (w * 3 + 3) // 4 * 4  # 4-byte DIB row alignment
+    npx = w * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    # BITMAPINFOHEADER: uncompressed (biCompression=0) 24-bit
+    strf_body = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+    )
+    # minimal-but-real stream headers: 56-byte strh ('vids'), strf
+    strh_body = b"vids" + b"DIB " + b"\x00" * 48
+    strl = chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh_body) + chunk(b"strf", strf_body)
+    )
+    avih_body = struct.pack("<14I", 40000, 0, 0, 0, _VFP_FRAMES, 0, 1, 0,
+                            w, h, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih_body) + strl)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                tk = (text or "").split(" ")
+                n = len(tk)
+                movi = b"movi"
+                for f in range(_VFP_FRAMES):
+                    raster = bytearray(stride * h)
+                    for r in range(h):  # logical top-down row r
+                        off = (h - 1 - r) * stride  # stored bottom-up
+                        for c in range(w):
+                            g = (len(tk[(f * npx + r * w + c) % n]) * 11) % 128
+                            raster[off + 3 * c : off + 3 * c + 3] = (g, g, g)
+                    movi += chunk(b"00db", bytes(raster))
+                body = b"AVI " + hdrl + chunk(b"LIST", movi)
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
                     "payload": payloads,
                 }
             )

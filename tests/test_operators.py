@@ -2885,3 +2885,240 @@ class TestBandIndexHealth:
             return {b: sorted(v) for b, v in by_band.items()}
 
         assert pops(prod_idx) == pops(concat_idx)
+
+
+class TestVideoFingerprintDedup:
+    """Temporal video dedup (plans/round14_ops.py twin): AVI synth →
+    real container walk → per-frame dHash → per-bit majority, pinned
+    on videos the catalog synthesizer did NOT produce."""
+
+    @staticmethod
+    def _avi(frame_grids):
+        """Uncompressed 24-bit DIB AVI from per-frame gray grids
+        (each h rows × w cols, top-down)."""
+        import struct
+
+        h, w = len(frame_grids[0]), len(frame_grids[0][0])
+        stride = (w * 3 + 3) // 4 * 4
+
+        def chunk(cid, body):
+            return cid + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b""
+            )
+
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+            2835, 2835, 0, 0,
+        )
+        strl = chunk(
+            b"LIST",
+            b"strl"
+            + chunk(b"strh", b"vids" + b"DIB " + b"\x00" * 48)
+            + chunk(b"strf", strf),
+        )
+        avih = struct.pack(
+            "<14I", 40000, 0, 0, 0, len(frame_grids), 0, 1, 0, w, h,
+            0, 0, 0, 0,
+        )
+        hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+        movi = b"movi"
+        for grid in frame_grids:
+            raster = bytearray(stride * h)
+            for r in range(h):
+                off = (h - 1 - r) * stride  # bottom-up storage
+                for c in range(w):
+                    g = grid[r][c]
+                    raster[off + 3 * c : off + 3 * c + 3] = (g, g, g)
+            movi += chunk(b"00db", bytes(raster))
+        body = b"AVI " + hdrl + chunk(b"LIST", movi)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    GRAD = [[120 - 10 * c for c in range(9)] for _ in range(8)]
+    FLAT = [[77] * 9 for _ in range(8)]
+
+    def test_vhash_majority_semantics(self):
+        """Per-bit majority: 2 of 3 frames win each bit; ties (1 of 2)
+        clear the bit; empty input is null."""
+        from spark_bi5_datasource_spark.functions.multimodal import vhash64
+
+        assert vhash64([-1, -1, 0]) == -1
+        assert vhash64([-1, 0, 0]) == 0
+        assert vhash64([-1, 0]) == 0  # strict majority: a 1-1 tie clears
+        assert vhash64([5]) == 5
+        assert vhash64([]) is None
+
+    def test_sampling_skips_odd_frames_and_tolerates_one_bad_frame(
+        self, spark
+    ):
+        """every_n=2 fingerprints frames 0/2/4 only — garbage in odd
+        frames is invisible; one flat frame among the three sampled
+        loses every majority vote to the two gradient frames."""
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            extract_video_fingerprint,
+        )
+
+        clean = self._avi([self.GRAD] * 6)
+        odd_garbage = self._avi(
+            [self.GRAD, self.FLAT, self.GRAD, self.FLAT, self.GRAD,
+             self.FLAT]
+        )
+        one_bad_sampled = self._avi(
+            [self.GRAD, self.GRAD, self.GRAD, self.GRAD, self.FLAT,
+             self.GRAD]
+        )
+        media = spark.createDataFrame(
+            [(1, clean), (2, odd_garbage), (3, one_bad_sampled)],
+            "media_id long, payload binary",
+        )
+        rows = {
+            r.media_id: r.vhash
+            for r in extract_video_fingerprint(media).collect()
+        }
+        assert rows[1] == -1  # full gradient: all 64 bits set
+        assert rows[2] == -1  # odd frames never sampled
+        assert rows[3] == -1  # majority 2/3 absorbs the flat frame
+
+    def test_planted_near_dup_pair_and_dirty_null(self, spark):
+        """Videos differing in one grid cell of every frame pair at
+        hamming ≤ 2; a flat video survives; a truncated container
+        yields a null hash without killing the task."""
+        from spark_bi5_datasource_spark.functions.multimodal import (
+            extract_video_fingerprint,
+        )
+        from spark_bi5_datasource_spark.operators.dedup import simhash_pairs
+
+        tweak = [row[:] for row in self.GRAD]
+        tweak[3][4] = 0  # flips ≤ 2 neighbor comparisons per frame
+        a = self._avi([self.GRAD] * 6)
+        b = self._avi([tweak] * 6)
+        c = self._avi([self.FLAT] * 6)
+        media = spark.createDataFrame(
+            [(1, a), (2, b), (3, c), (4, a[:40])],
+            "media_id long, payload binary",
+        )
+        hashed = extract_video_fingerprint(media)
+        rows = {r.media_id: r.vhash for r in hashed.collect()}
+        assert rows[4] is None
+        pairs = simhash_pairs(
+            hashed.where("vhash IS NOT NULL"), "media_id",
+            max_hamming=3, hash_col="vhash",
+        ).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+class TestIvfIndexMaintenance:
+    """operators/ann_index.py: the stored IVF inverted file and its
+    MERGE-style maintenance (plans/round14_ops.py twin)."""
+
+    @pytest.fixture()
+    def vec_frames(self, spark):
+        import math
+
+        def vec(seed):
+            # deterministic unit-ish vectors on a 4-dim ring
+            return [
+                math.cos(seed * 0.7), math.sin(seed * 0.7),
+                math.cos(seed * 1.3), math.sin(seed * 1.3),
+            ]
+
+        keep = spark.createDataFrame(
+            [(i, vec(i)) for i in range(6)],
+            "vec_id long, embedding array<float>",
+        )
+        retire = spark.createDataFrame(
+            [(100 + i, vec(50 + i)) for i in range(3)],
+            "vec_id long, embedding array<float>",
+        )
+        adds = spark.createDataFrame(
+            [(200 + i, vec(80 + i)) for i in range(3)],
+            "vec_id long, embedding array<float>",
+        )
+        return keep, retire, adds
+
+    def test_merge_equals_fresh_rebuild(self, spark, vec_frames):
+        """merge(build(K ∪ R), added=A, retired=ids(R)) row-equals
+        build(K ∪ A) under the same centroids."""
+        from spark_bi5_datasource_spark.operators.ann_index import (
+            build_ivf_index,
+            merge_ivf_index,
+        )
+        from spark_bi5_datasource_spark.operators.ivf import (
+            kmeans_centroids,
+        )
+
+        keep, retire, adds = vec_frames
+        cents = kmeans_centroids(
+            keep.unionByName(retire), "embedding", k=3, iters=2
+        )
+        merged = merge_ivf_index(
+            build_ivf_index(keep.unionByName(retire), cents),
+            added=adds,
+            retired=retire.select("vec_id"),
+            centroids=cents,
+        )
+        fresh = build_ivf_index(keep.unionByName(adds), cents)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, fresh.collect())
+        )
+
+    def test_merge_is_idempotent_on_replayed_adds(self, spark, vec_frames):
+        from spark_bi5_datasource_spark.operators.ann_index import (
+            build_ivf_index,
+            merge_ivf_index,
+        )
+        from spark_bi5_datasource_spark.operators.ivf import (
+            kmeans_centroids,
+        )
+
+        keep, _retire, adds = vec_frames
+        cents = kmeans_centroids(keep, "embedding", k=2, iters=2)
+        once = merge_ivf_index(
+            build_ivf_index(keep, cents), added=adds, centroids=cents
+        )
+        twice = merge_ivf_index(once, added=adds, centroids=cents)
+        assert sorted(map(tuple, twice.collect())) == sorted(
+            map(tuple, once.collect())
+        )
+
+    def test_stored_probe_exact_equals_brute_force(
+        self, spark, vec_frames, tmp_path
+    ):
+        """Probing the written-then-read index with nprobe = nlist
+        returns exactly the brute-force cosine top-k, and the stored
+        frame row-equals the in-memory one (parquet + partition-column
+        round-trip is lossless)."""
+        from spark_bi5_datasource_spark.operators.ann_index import (
+            build_ivf_index,
+            ivf_probe_index,
+            read_ivf_index,
+            write_ivf_index,
+        )
+        from spark_bi5_datasource_spark.operators.ivf import (
+            kmeans_centroids,
+        )
+        from spark_bi5_datasource_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        keep, retire, _adds = vec_frames
+        corpus = keep.unionByName(retire)
+        queries = spark.createDataFrame(
+            [(900, [1.0, 0.1, -0.2, 0.5]), (901, [-0.4, 0.9, 0.3, -0.1])],
+            "vec_id long, embedding array<float>",
+        )
+        cents = kmeans_centroids(corpus, "embedding", k=3, iters=2)
+        idx = build_ivf_index(corpus, cents)
+        path = str(tmp_path / "ivf_index")
+        write_ivf_index(idx, cents, path)
+        stored, stored_cents = read_ivf_index(spark, path)
+        assert (stored_cents == cents).all()
+        assert sorted(map(tuple, stored.collect())) == sorted(
+            map(tuple, idx.collect())
+        )
+        got = ivf_probe_index(
+            stored, stored_cents, queries, k=3, nprobe=3
+        )
+        brute = cosine_topk(corpus, queries, k=3)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, brute.collect())
+        )
