@@ -222,3 +222,228 @@ def sim_ivf_index_merge(spark: SparkSession, sf: str) -> DataFrame:
     write_ivf_index(merged, cents, path)
     stored, stored_cents = read_ivf_index(spark, path)
     return ivf_probe_index(stored, stored_cents, queries, k=5, nprobe=8)
+
+
+# --------------------------------- cross-modal dedup agreement monitor
+
+# text leg: exact word-3-shingle Jaccard >= 0.5, min-id survivor (the
+# dedup_ngram_jaccard / _BANDIDX_SQL loser rule); media leg: the
+# _PHASH_SQL dHash loser rule.  Every (text IS NOT NULL) doc is
+# classified into the 2x2 contingency; the VALUES domain join emits
+# explicit zero rows (the sim_ann_recall_monitor zero-tier rule).
+_XMODAL_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+      FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)
+      WHERE len(tk) >= 3
+      UNION
+      SELECT doc_id, array_to_string(tk, ' ') AS shingle
+      FROM toks WHERE len(tk) < 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), tl AS (
+      SELECT DISTINCT y.doc_id AS id
+      FROM sh x JOIN sh y ON x.shingle = y.shingle
+        AND x.doc_id < y.doc_id
+      JOIN sizes sa ON sa.doc_id = x.doc_id
+      JOIN sizes sb ON sb.doc_id = y.doc_id
+      GROUP BY x.doc_id, y.doc_id, sa.sz, sb.sz
+      HAVING CAST(count(*) AS DOUBLE) / (sa.sz + sb.sz - count(*)) >= 0.5
+    ), g AS (
+      SELECT doc_id, i, (len(tk[(i % len(tk)) + 1]) * 7) % 128 AS g
+      FROM toks, UNNEST(generate_series(0, 71)) u(i)
+    ), bits AS (
+      SELECT a.doc_id,
+        CAST(coalesce(sum(CASE WHEN a.g > b.g THEN
+          CASE WHEN (a.i // 9) * 8 + (a.i % 9) = 63
+            THEN -9223372036854775807 - 1
+            ELSE 1::BIGINT << ((a.i // 9) * 8 + (a.i % 9)) END
+          ELSE 0 END), 0) AS BIGINT) AS phash
+      FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.i % 9 < 8
+      GROUP BY a.doc_id
+    ), chunks AS (
+      SELECT doc_id, phash, u.b AS band,
+        (phash >> (u.b * 16)) & 65535 AS chunk
+      FROM bits, UNNEST(generate_series(0, 3)) u(b)
+    ), ml AS (
+      SELECT DISTINCT b.doc_id AS id
+      FROM chunks a JOIN chunks b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ), cls AS (
+      SELECT d.doc_id,
+        CASE WHEN tl.id IS NOT NULL THEN 1 ELSE 0 END AS text_dup,
+        CASE WHEN ml.id IS NOT NULL THEN 1 ELSE 0 END AS media_dup
+      FROM toks d
+      LEFT JOIN tl ON tl.id = d.doc_id
+      LEFT JOIN ml ON ml.id = d.doc_id
+    ), cnt AS (
+      SELECT text_dup, media_dup, count(*) AS n
+      FROM cls GROUP BY text_dup, media_dup
+    )
+    SELECT dom.text_dup, dom.media_dup,
+      CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_docs
+    FROM (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) dom(text_dup, media_dup)
+    LEFT JOIN cnt ON cnt.text_dup = dom.text_dup
+      AND cnt.media_dup = dom.media_dup
+    ORDER BY dom.text_dup, dom.media_dup
+"""
+
+
+@_q("dedup_cross_modal_agreement", _XMODAL_SQL)
+def dedup_cross_modal_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal dedup agreement monitor — do the TEXT and IMAGE
+    legs of the dedup stack flag the same documents?  Every document
+    is classified by two independent loser rules: the exact
+    word-3-shingle Jaccard ≥ 0.5 min-id-survivor rule
+    (operators/dedup.ngram_jaccard_pairs — the verification-grade
+    text baseline) and the perceptual-dHash hamming ≤ 3 rule over the
+    synthesized media column (the dedup_media_phash leg), yielding
+    the 2×2 contingency (text_dup, media_dup, n_docs) with explicit
+    zero rows via a domain join.  The off-diagonal cells are the
+    monitor's signal: text-only losers are near-dups the perceptual
+    channel misses (layout-churned rewrites), media-only losers are
+    visually-identical docs with divergent text — each feeds a
+    different pipeline remediation.
+
+    Oracle = both loser CTEs recomputed in exact SQL (the
+    dedup_ngram_jaccard and _PHASH_SQL disciplines composed) over the
+    same classification join.
+
+    Scale shape: the text leg is the exact-baseline inverted shingle
+    index (production swaps in the banded minhash rule — identical
+    classification plumbing); the media leg is one Arrow pass + the
+    4-chunk bucket join; classification is two left joins on doc_id
+    feeding a 4-group aggregate and a 4-row domain join."""
+    from ..functions.multimodal import documents_as_ppm_media, extract_phash
+    from ..operators.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    docs = t(spark, sf, "documents").where("text IS NOT NULL")
+    tpairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    t_losers = tpairs.select(F.col("id_b").alias("doc_id")).distinct()
+    hashed = extract_phash(documents_as_ppm_media(docs))
+    mpairs = simhash_pairs(hashed, "media_id", max_hamming=3,
+                           hash_col="phash")
+    m_losers = mpairs.select(F.col("id_b").alias("doc_id")).distinct()
+    cls = (
+        docs.select("doc_id")
+        .join(t_losers.withColumn("__t", F.lit(1)), "doc_id", "left")
+        .join(m_losers.withColumn("__m", F.lit(1)), "doc_id", "left")
+        .select(
+            F.coalesce("__t", F.lit(0)).alias("text_dup"),
+            F.coalesce("__m", F.lit(0)).alias("media_dup"),
+        )
+        .groupBy("text_dup", "media_dup")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    dom = spark.range(4).select(
+        (F.col("id") / 2).cast("int").alias("text_dup"),
+        (F.col("id") % 2).cast("int").alias("media_dup"),
+    )
+    return (
+        dom.join(cls, ["text_dup", "media_dup"], "left")
+        .select(
+            "text_dup",
+            "media_dup",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("text_dup", "media_dup")
+    )
+
+
+# ----------------------------------------- token-budget sequence packing
+
+_PACK_BUDGET = 2048
+
+# contiguous greedy fill: within each source (the pack shard), docs in
+# doc_id order join sequence floor(exclusive_cumsum_tokens / budget) —
+# a sequence absorbs docs until the budget is crossed, and the doc that
+# crosses it closes the sequence (overflow tracked, never split).
+_PACK_SQL = f"""
+    WITH tok AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ), cum AS (
+      SELECT source, doc_id, n_tok,
+        CAST(coalesce(sum(n_tok) OVER (
+          PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS prior
+      FROM tok
+    )
+    SELECT source, CAST(prior // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tok) AS BIGINT) AS tokens,
+      CAST(greatest(max(prior + n_tok) - ({_PACK_BUDGET} *
+        (prior // {_PACK_BUDGET} + 1)), 0) AS BIGINT) AS overflow
+    FROM cum
+    GROUP BY source, prior // {_PACK_BUDGET}
+    ORDER BY source, seq_id
+"""
+
+
+@_q("corpus_sequence_packing", _PACK_SQL)
+def corpus_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing — the pretraining batch-assembly
+    op: documents are packed contiguously (doc_id order, never split)
+    into fixed-budget training sequences per source shard, each doc
+    joining sequence ``floor(exclusive_cumsum_tokens / budget)`` so a
+    sequence absorbs docs until the budget is crossed and the
+    crossing doc closes it.  Per (source, seq_id): doc count, token
+    sum, and the overflow past the budget (the truncation-or-carry
+    amount the trainer handles).  Whitespace token counts — the
+    catalog's cheap token rule; the BPE tier swaps in via
+    text_bpe_token_count.
+
+    Oracle = the identical integer window/floor-division arithmetic
+    in SQL (exclusive-frame running sum, BIGINT division).
+
+    Scale shape: one window partitioned by source (the pack shard) in
+    doc_id order, then one hash aggregate on (source, seq) — no
+    global ordering anywhere.  At 100 TB the shard key is
+    (source, hash-bucket) so no partition outgrows an executor; the
+    per-shard sequential cumsum is exactly the scan order parquet
+    already provides within a bucket."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents").where("text IS NOT NULL")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = tok.withColumn(
+        "prior", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
+    ).withColumn("seq_id", F.expr(f"prior div {_PACK_BUDGET}"))
+    return (
+        cum.groupBy("source", "seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            F.greatest(
+                F.max(F.col("prior") + F.col("n_tok"))
+                - (F.col("seq_id") + 1) * _PACK_BUDGET,
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("overflow"),
+        )
+        .select(
+            "source",
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            "n_docs",
+            "tokens",
+            "overflow",
+        )
+        .orderBy("source", "seq_id")
+    )
