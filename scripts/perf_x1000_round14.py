@@ -5,11 +5,17 @@ land so no straggler backlog accumulates (the perf_x1000_round12
 method; exclusions recorded in the output).
 
 Tier choices:
-* dedup_band_index_merge — x1000 Spark-only cold (same
-  replica-adversarial rationale as dedup_incremental_delta: every
-  band bucket is a ~1000-doc megabucket by construction, and the
-  DuckDB twin falls to the jaccard pair-counting rule); x10
-  head-to-head where the twin is feasible.
+* dedup_band_index_merge — x100 Spark-only cold (the
+  replica-adversarial rationale of dedup_incremental_delta applies
+  QUADRATICALLY here: at x1000 every increment doc meets ~999
+  byte-identical stride-twins in every probed bucket, so the exact
+  no-cap catalog config must VERIFY ~5e8 candidate pairs by
+  construction — a first x1000 attempt ran >45 min before being
+  cut; at x100 the same pipeline verifies ~5e6 pairs, which is the
+  largest tier where the exact config's quadratic-by-construction
+  candidate stream stays probe-sized.  Production crawls set
+  max_bucket to cap exactly this.  DuckDB twin falls to the jaccard
+  pair-counting rule beyond x10, so x10 is the head-to-head.
 * dedup_media_phash — x1000 Spark warm (the synth+decode+dHash Arrow
   kernels are the honest cost), DuckDB head-to-head at x100 (the
   twin's 72-cell UNNEST join is 3.6 G rows at x1000 — the
@@ -31,12 +37,16 @@ from bench import CPUS, SF_DIR, build_spark, run_noop, synth_scaled_dir, timed  
 
 EXCLUSIONS = {
     "dedup_band_index_merge": (
-        "x1000 head-to-head excluded: replica-adversarial for text "
-        "dedup (every doc has 999 byte-identical stride-twins => "
-        "megabucket band index; DuckDB twin falls to the jaccard "
-        "pair-counting rule).  Spark-only cold x1000 below proves the "
-        "build+merge+write+probe pipeline at 5M docs; x10 is the "
-        "meaningful head-to-head (the dedup_incremental_delta rule)."
+        "x1000 excluded entirely: the exact no-cap catalog config is "
+        "quadratic-by-construction on the stride-replica tier (every "
+        "increment doc meets ~999 byte-identical twins per probed "
+        "bucket => ~5e8 verify pairs; a first x1000 attempt ran >45 "
+        "min before being cut — production crawls cap this with "
+        "max_bucket).  Spark-only cold x100 below proves the "
+        "build+merge+write+probe pipeline at 500K docs (~5e6 verify "
+        "pairs); x10 is the meaningful head-to-head (the "
+        "dedup_incremental_delta rule; the DuckDB twin falls to the "
+        "jaccard pair-counting rule beyond it)."
     ),
     "dedup_media_phash": (
         "DuckDB x1000 twin excluded: the oracle's per-pixel UNNEST "
@@ -67,9 +77,9 @@ def main() -> None:
     out: dict = {"x": 1000, "exclusions": EXCLUSIONS}
 
     t0 = time.perf_counter()
-    run_noop(qs["dedup_band_index_merge"](spark, x1000_docs))
+    run_noop(qs["dedup_band_index_merge"](spark, x100))
     bidx_cold = round(time.perf_counter() - t0, 3)
-    print(f"# spark dedup_band_index_merge x1000 cold: {bidx_cold}",
+    print(f"# spark dedup_band_index_merge x100 cold: {bidx_cold}",
           file=sys.stderr)
     phash_x1000 = timed(qs["dedup_media_phash"](spark, x1000_docs), runs=2)
     print(f"# spark dedup_media_phash x1000: {phash_x1000}", file=sys.stderr)
@@ -110,7 +120,9 @@ def main() -> None:
 
     out.update(
         {
-            "spark_cold_single_run": {"dedup_band_index_merge": bidx_cold},
+            "spark_cold_single_run_x100": {
+                "dedup_band_index_merge": bidx_cold
+            },
             "spark": {
                 "dedup_media_phash": phash_x1000,
                 "dq_duplicate_event_audit": dup_x1000,
