@@ -606,22 +606,37 @@ def orders_backlog_aging(spark: SparkSession, sf: str) -> DataFrame:
     cents and the backlog share in ppm — the fulfilment-ops twin of
     orders_ship_latency (what is still OWED, not how fast we were).
 
-    Scale shape: the per-order max-shipdate aggregate and the orders
-    join both key on the orderkey — exchange-free under the bucketed
-    layout (tables.BUCKET_SPECS), exactly like dq_order_reconciliation;
-    then a ≤13-row rollup with a 1-row total broadcast."""
+    Scale shape (EXISTS split, r9): "order still open" needs no
+    per-order max-shipdate aggregate — it is EXISTS(line with
+    shipdate > snapshot) ∪ NOT EXISTS(any line), two disjoint legs: a
+    left-semi against the shipdate-FILTERED lineitem slice (the
+    predicate reaches the parquet scan, so row-group min/max skips
+    fully-shipped history — 27% of rows survive on the fixture) and a
+    left-anti against the key-only projection for line-less orders.
+    Replacing the r8 max-agg plan, measured x1000
+    (scripts/exp_backlog_variants.py, min-of-2 warm): agg shape
+    84.1 s (its 150M-group date-max aggregate alone is 121 s cold)
+    → shj hint 52.1 → boolean-indicator agg 46.6 → **EXISTS split
+    32.0 s** — 2.6× over shipped while running LAST in the sweep
+    (the within-session degradation documented in SCALE_NOTES biases
+    against it).  Both legs key on the orderkey — exchange-free under
+    the bucketed layout (tables.BUCKET_SPECS) like
+    dq_order_reconciliation; then a ≤13-row rollup with a 1-row total
+    broadcast."""
     d = _BACKLOG_D
-    li = t(spark, sf, "lineitem").groupBy("l_orderkey").agg(
-        F.max(F.expr("CAST(l_shipdate AS DATE)")).alias("mx")
-    )
+    li = t(spark, sf, "lineitem")
     o = t(spark, sf, "orders").select(
         "o_orderkey",
         F.expr("CAST(o_orderdate AS DATE)").alias("od"),
         F.expr(_HA.format(x="o_totalprice", m="100")).alias("cents"),
+    ).where(f"od <= DATE'{d}'")
+    late = li.where(f"CAST(l_shipdate AS DATE) > DATE'{d}'").select(
+        F.col("l_orderkey").alias("k")
     )
+    allk = li.select(F.col("l_orderkey").alias("k"))
     open_o = (
-        o.join(li, o.o_orderkey == li.l_orderkey, "left")
-        .where(f"od <= DATE'{d}' AND (mx IS NULL OR mx > DATE'{d}')")
+        o.join(late, o.o_orderkey == late.k, "left_semi")
+        .unionByName(o.join(allk, o.o_orderkey == allk.k, "left_anti"))
         .select("od", "cents")
     )
     per = open_o.groupBy(
@@ -1167,29 +1182,45 @@ def dq_doc_embedding_coverage(spark: SparkSession, sf: str) -> DataFrame:
     is the assertion on the fixture (the dq_referential_integrity
     discipline extended to the unstructured tier).
 
-    Scale shape: two id-keyed joins (both sides id-partitioned;
-    embeddings side column-pruned to the 8-byte key) feeding a
-    |sources|-row rollup plus one scalar orphan count."""
+    Scale shape (one-pass full-outer, r9): coverage AND orphans come
+    off a SINGLE full-outer id join — orphan vectors are exactly the
+    NULL-document rows, so the per-source aggregate carries them as
+    its NULL-source group and the scalar orphan count is a second
+    aggregate over the ≤|sources|+1 post-agg rows.  The r8 shape ran
+    two separate joins (per-source left + orphan left_anti) — two
+    scans of each table and two id exchanges; measured x1000
+    (scripts/exp_coverage_variants.py): 4.97 → 3.67 s, against a
+    0.36 s two-table scan floor — the residual is the 5M×5M id
+    exchange itself, which DuckDB's single-process in-memory hash
+    join does in 0.11 s (the shuffle-constant class; at broadcast-
+    able embedding-side sizes AQE would elide it, and at 100 TB the
+    id-partitioned exchange is the only shape that holds).  Relies on
+    the documents.source NOT NULL contract (as every per-source
+    rollup in the catalog does): a NULL-source doc would fold into
+    the orphan group's NULL key."""
     d = t(spark, sf, "documents").select("doc_id", "source")
     e = t(spark, sf, "embeddings").select("vec_id")
-    per = (
-        d.join(e, d.doc_id == e.vec_id, "left")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum(
-                F.expr("CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0 END")
+    f = d.join(e, d.doc_id == e.vec_id, "full_outer")
+    per = f.groupBy("source").agg(
+        F.count("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.expr(
+                "CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL"
+                " THEN 1 ELSE 0 END"
             )
-            .cast("bigint")
-            .alias("n_with_vec"),
         )
+        .cast("bigint")
+        .alias("n_with_vec"),
+        F.sum(F.expr("CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("__orph"),
     )
-    orphans = (
-        e.join(d, d.doc_id == e.vec_id, "left_anti")
-        .agg(F.count("*").cast("bigint").alias("orphan_vectors"))
+    orphans = per.agg(
+        F.sum("__orph").cast("bigint").alias("orphan_vectors")
     )
     return (
-        per.crossJoin(F.broadcast(orphans))
+        per.where("source IS NOT NULL")
+        .crossJoin(F.broadcast(orphans))
         .select(
             "source",
             "n_docs",
