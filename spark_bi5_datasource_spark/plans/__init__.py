@@ -59,11 +59,11 @@ CATALOG: dict[str, tuple] = {
 DRIVER_WINDOW: list[str] = [
     # round-9 window (scripts/window_rotation.py over CORRECTNESS_r0{1..8}):
     # the 10 round-12 additions (plans/round12_ops.py) plus the 4
-    # round-13 and 2 round-14 additions landed this round
+    # round-13 and 4 round-14 additions landed this round
     # (plans/round{13,14}_ops.py) — everything never yet exposed to a
     # driver gate comes first, so after this round the driver-green
     # union again covers ALL oracle-backed catalog entries ever
-    # written — then 34 least-recently-exposed (r01) filler.
+    # written — then 32 least-recently-exposed (r01) filler.
     "dedup_incremental_delta", "sim_ann_recall_monitor",
     "window_macd", "orders_backlog_aging", "orders_pareto_abc",
     "dedup_minhash_error_monitor", "text_encoding_audit",
@@ -72,6 +72,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_band_index_merge", "dedup_media_phash",
     "dedup_audio_fingerprint", "dedup_band_index_health",
     "dedup_video_fingerprint", "sim_ivf_index_merge",
+    "dedup_cross_modal_agreement", "corpus_sequence_packing",
     "b1_scan_count", "b5_groupby_count", "b6_filter_project",
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
     "join_broadcast_dims", "join_left_outer", "join_range",
@@ -83,7 +84,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
     "dedup_embedding", "b2_sort_topk", "join_semi_anti",
     "join_right_outer", "window_lag_range_daily", "agg_cube_gsets",
-    "agg_percentile_collect", "setop_suite",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(
