@@ -105,6 +105,7 @@ def merge_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assume_new: bool = False,
+    upsert: bool = False,
 ) -> DataFrame:
     """One crawl cycle of inverted-file maintenance, MERGE-style on
     id: drop every row of ``retired`` ids (a one-column id frame),
@@ -114,7 +115,13 @@ def merge_ivf_index(
 
     Idempotence: ``added`` vectors already present in the post-retire
     index are skipped (anti-join on id) unless ``assume_new=True``
-    (fresh-id pipelines skip the distinct pass).
+    (fresh-id pipelines skip the distinct pass).  NOTE the skip keeps
+    the STORED embedding — a re-embed intent must either list the id
+    in ``retired`` or pass ``upsert=True``, which flips the anti-join
+    direction (stored rows whose id appears in ``added`` are dropped,
+    the fresh assignment wins).  Upsert stays idempotent — replaying
+    the same (added, retired) batch reproduces the same index — and
+    costs the same single id anti-join as skip mode.
 
     Equality contract (pinned by pytest): for any split C = K ∪ R,
     ``merge_ivf_index(build_ivf_index(K ∪ R, cents), added=A,
@@ -130,7 +137,11 @@ def merge_ivf_index(
         out = out.join(rid, "nbr_id", "left_anti")
     if added is not None:
         new_rows = _assigned(added, centroids, id_col, vec_col)
-        if not assume_new:
+        if upsert:
+            out = out.join(
+                new_rows.select("nbr_id").distinct(), "nbr_id", "left_anti"
+            )
+        elif not assume_new:
             new_rows = new_rows.join(
                 out.select("nbr_id").distinct(), "nbr_id", "left_anti"
             )
@@ -146,8 +157,14 @@ def write_ivf_index(
     """Persist the inverted file to ``path`` — cell rows PARTITIONED
     BY cell (probes filter on the probed cells, so partition pruning
     skips every unprobed cell's files at any corpus size) plus the
-    centroid matrix as a k-row side table at ``path``/_centroids
-    (it is part of the index — see the module docstring)."""
+    centroid matrix as a k-row SIBLING table at ``path``.centroids
+    (it is part of the index — see the module docstring).  Sibling,
+    not nested: a nested ``path/_centroids`` only stays invisible to
+    readers that honor Spark's underscore-hidden-path convention; a
+    non-Spark scanner globbing ``path/**`` (duckdb read_parquet, a
+    plain Arrow dataset) would ingest centroid rows as corrupt index
+    rows.  The sibling layout keeps the partitioned dataset pure for
+    ANY parquet reader."""
     spark = index.sparkSession
     index.write.mode("overwrite").partitionBy("cell").parquet(path)
     cents = [
@@ -155,7 +172,7 @@ def write_ivf_index(
     ]
     spark.createDataFrame(cents, "cell INT, centroid ARRAY<DOUBLE>").coalesce(
         1
-    ).write.mode("overwrite").parquet(path + "/_centroids")
+    ).write.mode("overwrite").parquet(path.rstrip("/") + ".centroids")
 
 
 def read_ivf_index(
@@ -165,7 +182,7 @@ def read_ivf_index(
     matrix).  The centroid collect is k × dim doubles — the bounded
     driver-state class ivf.py documents."""
     idx = spark.read.parquet(path).select("cell", "nbr_id", "vec", "norm")
-    rows = spark.read.parquet(path + "/_centroids").collect()
+    rows = spark.read.parquet(path.rstrip("/") + ".centroids").collect()
     cents = np.asarray(
         [r.centroid for r in sorted(rows, key=lambda r: r.cell)],
         dtype=np.float64,

@@ -1162,11 +1162,14 @@ _DOCVEC_SQL = """
       SELECT CAST(count(*) AS BIGINT) AS n
       FROM e LEFT JOIN d ON d.doc_id = e.vec_id
       WHERE d.doc_id IS NULL
+    ), nullsrc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM d WHERE source IS NULL
     )
     SELECT source, n_docs, n_with_vec,
       CAST(n_with_vec * 1000000 // n_docs AS BIGINT) AS coverage_ppm,
-      (SELECT n FROM orphans) AS orphan_vectors
-    FROM per ORDER BY source
+      (SELECT n FROM orphans) AS orphan_vectors,
+      (SELECT n FROM nullsrc) AS null_source_docs
+    FROM per WHERE source IS NOT NULL ORDER BY source
 """
 
 
@@ -1194,10 +1197,12 @@ def dq_doc_embedding_coverage(spark: SparkSession, sf: str) -> DataFrame:
     exchange itself, which DuckDB's single-process in-memory hash
     join does in 0.11 s (the shuffle-constant class; at broadcast-
     able embedding-side sizes AQE would elide it, and at 100 TB the
-    id-partitioned exchange is the only shape that holds).  Relies on
-    the documents.source NOT NULL contract (as every per-source
-    rollup in the catalog does): a NULL-source doc would fold into
-    the orphan group's NULL key."""
+    id-partitioned exchange is the only shape that holds).  The
+    documents.source NOT NULL contract is AUDITED, not assumed: any
+    NULL-source doc lands in the full-outer's NULL group with a
+    non-null doc_id, is counted apart from the orphan vectors
+    (doc_id NULL), and surfaces as a nonzero null_source_docs
+    column."""
     d = t(spark, sf, "documents").select("doc_id", "source")
     e = t(spark, sf, "embeddings").select("vec_id")
     f = d.join(e, d.doc_id == e.vec_id, "full_outer")
@@ -1215,12 +1220,24 @@ def dq_doc_embedding_coverage(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("__orph"),
     )
-    orphans = per.agg(
-        F.sum("__orph").cast("bigint").alias("orphan_vectors")
+    # the NULL-source group holds BOTH orphan vectors (doc_id NULL)
+    # and any contract-violating NULL-source documents (doc_id NOT
+    # NULL, counted by n_docs) — split them so a violation surfaces
+    # as a nonzero null_source_docs column instead of folding away
+    # silently (ADVICE r9)
+    totals = per.agg(
+        F.sum("__orph").cast("bigint").alias("orphan_vectors"),
+        F.sum(
+            F.when(F.col("source").isNull(), F.col("n_docs")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("null_source_docs"),
     )
     return (
         per.where("source IS NOT NULL")
-        .crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(totals))
         .select(
             "source",
             "n_docs",
@@ -1229,6 +1246,7 @@ def dq_doc_embedding_coverage(spark: SparkSession, sf: str) -> DataFrame:
                 "CAST(n_with_vec * 1000000 div n_docs AS BIGINT)"
             ).alias("coverage_ppm"),
             "orphan_vectors",
+            "null_source_docs",
         )
         .orderBy("source")
     )

@@ -121,7 +121,12 @@ def dedup_video_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import simhash_pairs
 
     docs = t(spark, sf, "documents").where("text IS NOT NULL")
-    hashed = extract_video_fingerprint(documents_as_avi_media(docs))
+    # null vhash = decode failure; excluded BEFORE pairing so a decode
+    # regression surfaces as a row-count mismatch vs the oracle (which
+    # never produces nulls) instead of a silent null-hash survivor
+    hashed = extract_video_fingerprint(documents_as_avi_media(docs)).where(
+        "vhash IS NOT NULL"
+    )
     pairs = simhash_pairs(hashed, "media_id", max_hamming=3, hash_col="vhash")
     losers = pairs.select(F.col("id_b").alias("media_id")).distinct()
     return (

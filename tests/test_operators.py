@@ -3080,6 +3080,80 @@ class TestIvfIndexMaintenance:
             map(tuple, once.collect())
         )
 
+    def test_merge_upsert_replaces_stale_embedding(self, spark, vec_frames):
+        """Default (skip) mode keeps the stored embedding for an id
+        that reappears in ``added``; upsert=True makes the fresh
+        embedding win.  Both idempotent on replay."""
+        from spark_bi5_datasource_spark.operators.ann_index import (
+            build_ivf_index,
+            merge_ivf_index,
+        )
+        from spark_bi5_datasource_spark.operators.ivf import (
+            kmeans_centroids,
+        )
+
+        keep, _retire, _adds = vec_frames
+        cents = kmeans_centroids(keep, "embedding", k=2, iters=2)
+        idx = build_ivf_index(keep, cents)
+        some_id = idx.select("nbr_id").first()[0]
+        reembed = spark.createDataFrame(
+            [(some_id, [9.0, 9.0, 9.0, 9.0])],
+            "vec_id long, embedding array<float>",
+        )
+        skipped = merge_ivf_index(idx, added=reembed, centroids=cents)
+        old_vec = [
+            r.vec for r in idx.collect() if r.nbr_id == some_id
+        ][0]
+        got_skip = [
+            r.vec for r in skipped.collect() if r.nbr_id == some_id
+        ]
+        assert got_skip == [old_vec]
+        upserted = merge_ivf_index(
+            idx, added=reembed, centroids=cents, upsert=True
+        )
+        got_up = [
+            r.vec for r in upserted.collect() if r.nbr_id == some_id
+        ]
+        assert got_up == [[9.0, 9.0, 9.0, 9.0]]
+        assert upserted.count() == idx.count()
+        replay = merge_ivf_index(
+            upserted, added=reembed, centroids=cents, upsert=True
+        )
+        assert sorted(map(tuple, replay.collect())) == sorted(
+            map(tuple, upserted.collect())
+        )
+
+    def test_written_index_dir_is_pure_for_any_reader(
+        self, spark, vec_frames, tmp_path
+    ):
+        """The partitioned index directory contains ONLY index rows —
+        centroids live at the sibling ``path.centroids`` — so a
+        non-Spark scanner globbing path/** (duckdb read_parquet)
+        sees a single clean schema."""
+        import duckdb
+
+        from spark_bi5_datasource_spark.operators.ann_index import (
+            build_ivf_index,
+            write_ivf_index,
+        )
+        from spark_bi5_datasource_spark.operators.ivf import (
+            kmeans_centroids,
+        )
+
+        keep, _retire, _adds = vec_frames
+        cents = kmeans_centroids(keep, "embedding", k=2, iters=2)
+        idx = build_ivf_index(keep, cents)
+        path = str(tmp_path / "ivf_pure")
+        write_ivf_index(idx, cents, path)
+        con = duckdb.connect()
+        got = con.sql(
+            f"SELECT count(*) FROM read_parquet('{path}/**/*.parquet')"
+        ).fetchone()[0]
+        assert got == idx.count()
+        import os as _os
+
+        assert _os.path.isdir(path + ".centroids")
+
     def test_stored_probe_exact_equals_brute_force(
         self, spark, vec_frames, tmp_path
     ):
