@@ -1224,20 +1224,29 @@ def dq_doc_embedding_coverage(spark: SparkSession, sf: str) -> DataFrame:
     # and any contract-violating NULL-source documents (doc_id NOT
     # NULL, counted by n_docs) — split them so a violation surfaces
     # as a nonzero null_source_docs column instead of folding away
-    # silently (ADVICE r9)
-    totals = per.agg(
-        F.sum("__orph").cast("bigint").alias("orphan_vectors"),
-        F.sum(
-            F.when(F.col("source").isNull(), F.col("n_docs")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("bigint")
-        .alias("null_source_docs"),
-    )
+    # silently (ADVICE r9).  Totals come off a GLOBAL WINDOW over the
+    # ≤|sources|+1 post-agg rows rather than a crossJoin of a second
+    # aggregate: an aggregate branch re-executes the whole join+agg
+    # subtree (Spark plans each DataFrame reference independently —
+    # observed as a second full scan pair in the executed plan), while
+    # the window is a single-partition shuffle of ~21 rows on the SAME
+    # pipeline — the genuinely one-pass shape.
+    w = Window.partitionBy()
     return (
-        per.where("source IS NOT NULL")
-        .crossJoin(F.broadcast(totals))
+        per.withColumn(
+            "orphan_vectors", F.sum("__orph").over(w).cast("bigint")
+        )
+        .withColumn(
+            "null_source_docs",
+            F.sum(
+                F.when(
+                    F.col("source").isNull(), F.col("n_docs")
+                ).otherwise(F.lit(0))
+            )
+            .over(w)
+            .cast("bigint"),
+        )
+        .where("source IS NOT NULL")
         .select(
             "source",
             "n_docs",

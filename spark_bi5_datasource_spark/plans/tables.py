@@ -31,11 +31,19 @@ TABLES = (
     "embeddings",
 )
 
-# join keys for the co-located layout: the two fact tables meet on the
-# order key; everything else is dim-sized (broadcast) or unjoined
+# join keys for the co-located layout: the two structured fact tables
+# meet on the order key, and the two unstructured-tier tables meet on
+# the document id (doc_id = vec_id is the text↔embedding pipeline
+# contract — every coverage/integrity/ANN-probe join in the catalog
+# keys on it).  Everything else is dim-sized (broadcast) or unjoined.
+# Spark's bucketed join only needs each side bucketed on ITS join key
+# with the same bucket count, so doc_id⋈vec_id runs exchange-free
+# exactly like l_orderkey⋈o_orderkey.
 BUCKET_SPECS: dict[str, str] = {
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
 }
 _BUCKETS = 32
 
@@ -77,6 +85,10 @@ def ensure_bucketed_layout(
         tbl = _bucket_table_name(name, sf_dir)
         path = os.path.join(dest, name)
         if spark.catalog.tableExists(tbl):
+            continue
+        # partially-synthesized scaled dirs (a perf probe replicating
+        # only the tables it measures) simply skip the absent ones
+        if not os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
             continue
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             sch = spark.read.parquet(path).schema
