@@ -387,7 +387,19 @@ def main() -> None:
     timings["bi5_write_480k"] = round(wt_best, 3)
     shutil.rmtree("/tmp/spark_bi5_bench_wtree", ignore_errors=True)
 
+    # Drift countermeasure (r9 finding, SCALE_NOTES "box shuffle-I/O
+    # drift"): identical plans degrade monotonically within one JVM —
+    # blockmgr shuffle dirs accumulate ~1 GB/run and later legs pay
+    # the dirty-page backlog — and a fresh JVM resets the clock.  Each
+    # scaled tier therefore gets its own session (stop() removes the
+    # old app's blockmgr/temp dirs), so the x10 and x100 numbers are
+    # not handicapped by however much shuffle I/O the sf0.1 roster
+    # happened to spill.  Costs two ~5 s restarts per bench run.
+    spark.stop()
+    spark = build_spark()
     scaled = run_scaled(spark)
+    spark.stop()
+    spark = build_spark()
     scaled_x100 = run_scaled(
         spark, x=100, queries=_X100_QUERIES, tables=_X100_TABLES
     )
@@ -405,6 +417,7 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
+        "drift_protocol": "fresh JVM per scaled tier (r9 shuffle-I/O drift finding)",
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",

@@ -53,6 +53,9 @@ def main() -> None:
     from spark_bi5_datasource_spark.plans.round10_ops import ROUND10_OPS
     from spark_bi5_datasource_spark.plans.round11_ops import ROUND11_OPS
     from spark_bi5_datasource_spark.plans.round12_ops import ROUND12_OPS
+    from spark_bi5_datasource_spark.plans.round13_ops import ROUND13_OPS
+    from spark_bi5_datasource_spark.plans.round14_ops import ROUND14_OPS
+    from spark_bi5_datasource_spark.plans.round15_ops import ROUND15_OPS
     from spark_bi5_datasource_spark.plans.tpch_pack import TPCH_PACK
 
     catalog: dict[str, tuple] = {
@@ -70,6 +73,9 @@ def main() -> None:
         **ROUND10_OPS,
         **ROUND11_OPS,
         **ROUND12_OPS,
+        **ROUND13_OPS,
+        **ROUND14_OPS,
+        **ROUND15_OPS,
     }
     oracle_backed = [n for n, (_f, sql, _b) in catalog.items() if sql is not None]
     exposed = driver_exposed()

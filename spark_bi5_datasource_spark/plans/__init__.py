@@ -23,6 +23,7 @@ from .round11_ops import ROUND11_OPS
 from .round12_ops import ROUND12_OPS
 from .round13_ops import ROUND13_OPS
 from .round14_ops import ROUND14_OPS
+from .round15_ops import ROUND15_OPS
 from .tpch_pack import TPCH_PACK
 
 # name -> (fn, oracle_sql | None, in_bench)
@@ -43,6 +44,7 @@ CATALOG: dict[str, tuple] = {
     **ROUND12_OPS,
     **ROUND13_OPS,
     **ROUND14_OPS,
+    **ROUND15_OPS,
 }
 
 # The driver's correctness gate checks the FIRST 50 entries of
@@ -57,22 +59,19 @@ CATALOG: dict[str, tuple] = {
 # The union of driver-green rows across rounds is the coverage
 # record — see COVERAGE.md.
 DRIVER_WINDOW: list[str] = [
-    # round-9 window (scripts/window_rotation.py over CORRECTNESS_r0{1..8}):
-    # the 10 round-12 additions (plans/round12_ops.py) plus the 4
-    # round-13 and 4 round-14 additions landed this round
-    # (plans/round{13,14}_ops.py) — everything never yet exposed to a
-    # driver gate comes first, so after this round the driver-green
-    # union again covers ALL oracle-backed catalog entries ever
-    # written — then 32 least-recently-exposed (r01) filler.
-    "dedup_incremental_delta", "sim_ann_recall_monitor",
-    "window_macd", "orders_backlog_aging", "orders_pareto_abc",
-    "dedup_minhash_error_monitor", "text_encoding_audit",
-    "events_stickiness_dau_mau", "dq_doc_embedding_coverage",
-    "dedup_band_tuning_monitor",
-    "dedup_band_index_merge", "dedup_media_phash",
-    "dedup_audio_fingerprint", "dedup_band_index_health",
-    "dedup_video_fingerprint", "sim_ivf_index_merge",
-    "dedup_cross_modal_agreement", "corpus_sequence_packing",
+    # round-10 window (scripts/window_rotation.py over
+    # CORRECTNESS_r0{1..9}): the rotation invariant hit zero queue in
+    # r9 — every oracle-backed entry has a driver-green row — so this
+    # round is the round-10 addition (corpus_build_snapshot, the
+    # composed pipeline op) first, then pure least-recently-exposed
+    # (r01-vintage anchors) filler.  The r9-window entries that were
+    # MODIFIED this round (dq_doc_embedding_coverage's null-source
+    # column, dedup_band_index_merge's capped probe,
+    # dedup_video_fingerprint's null filter) are re-inserted ahead of
+    # the filler so their changed shapes get a fresh driver row.
+    "corpus_build_snapshot",
+    "dq_doc_embedding_coverage", "dedup_band_index_merge",
+    "dedup_video_fingerprint",
     "b1_scan_count", "b5_groupby_count", "b6_filter_project",
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
     "join_broadcast_dims", "join_left_outer", "join_range",
@@ -84,6 +83,11 @@ DRIVER_WINDOW: list[str] = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
     "dedup_embedding", "b2_sort_topk", "join_semi_anti",
     "join_right_outer", "window_lag_range_daily", "agg_cube_gsets",
+    "agg_percentile_collect", "setop_suite", "events_daily_ohlc",
+    "reshape_pivot_unpivot", "text_chunk_pack", "sim_cosine_topk",
+    "sim_label_centroids", "text_stats", "text_langid",
+    "text_quality_filter", "text_fingerprint", "text_source_rollup",
+    "multimodal_features", "sim_pandas_udf_norm",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

@@ -69,7 +69,10 @@ def is_bucketed(spark: SparkSession, sf_dir: str, name: str) -> bool:
 
 
 def ensure_bucketed_layout(
-    spark: SparkSession, sf_dir: str, dest_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    dest_dir: str | None = None,
+    tables: list[str] | None = None,
 ) -> None:
     """Materialize + register the bucketed twin of ``sf_dir``'s big
     tables (one parquet file per bucket, sorted by the join key).
@@ -82,6 +85,8 @@ def ensure_bucketed_layout(
 
     dest = dest_dir or os.path.join(sf_dir, "_bucketed")
     for name, key in BUCKET_SPECS.items():
+        if tables is not None and name not in tables:
+            continue
         tbl = _bucket_table_name(name, sf_dir)
         path = os.path.join(dest, name)
         if spark.catalog.tableExists(tbl):
