@@ -96,6 +96,7 @@ SINGLE_PARTITION_OK = {
     "corpus_source_gini": "rank/cumsum window over the per-source aggregate (<=|sources| rows)",
     "corpus_quality_prune_curve": "parallel-rank ntile (no corpus-wide SinglePartition); remaining windows ride the 10-row decile frame",
     "orders_seasonality_mom": "lag-1/lag-12 window over the post-agg monthly series (<=|months| rows, ~84 at x1000)",
+    "dq_doc_embedding_coverage": "global totals window over the post-agg per-source frame (<=|sources|+1 rows; replaced the r9 crossJoin'd aggregate branch, which re-executed the whole join subtree)",
 }
 
 BNLJ_OK = {
@@ -138,7 +139,6 @@ BNLJ_OK = {
     ),
     "orders_backlog_aging": "1-row open-total crossJoin broadcast",
     "orders_pareto_abc": "1-row revenue-total crossJoin broadcast",
-    "dq_doc_embedding_coverage": "1-row orphan-count crossJoin broadcast",
     "dedup_band_tuning_monitor": (
         "200-doc slice contract: the exact-truth leg is an "
         "all-pairs cross join over <=200 rows (C(200,2) pairs), "

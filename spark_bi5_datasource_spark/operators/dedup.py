@@ -561,6 +561,26 @@ def simhash(
     return df.withColumn(out_col, F.expr(packed))
 
 
+def reuse_gate(df: DataFrame, col: str) -> DataFrame:
+    """One narrow shuffle on ``col`` between an EXPENSIVE operator
+    (an Arrow media kernel) and its multiple downstream consumers.
+
+    Spark re-executes a shared subtree once per consuming branch
+    unless the branches meet at an identical Exchange (exchange
+    reuse).  ``simhash_pairs`` + the survivor anti-join consume the
+    hash frame through three different shapes (representative agg,
+    member join, anti-join probe), so without a common exchange the
+    kernel runs ~3×.  Repartitioning the narrow (id, hash) output —
+    ~16 bytes/row, a trivially cheap shuffle — gives every branch the
+    SAME exchange to reuse, so the kernel runs once.  Measured x100
+    (500K docs, dedup_media_phash): 21.5 s → 9.4 s, landing at
+    DuckDB parity (9.7 s); the kernel-only floor is 5.7 s
+    (scripts/exp_phash_floor.py).  At cluster scale this is the
+    standard materialize-narrow-before-fanout pattern (persist would
+    also work but pins executor memory; the exchange spills)."""
+    return df.repartition(F.col(col))
+
+
 def simhash_pairs(
     hashed: DataFrame,
     id_col: str,

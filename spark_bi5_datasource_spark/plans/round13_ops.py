@@ -246,10 +246,15 @@ def dedup_media_phash(spark: SparkSession, sf: str) -> DataFrame:
     left_anti.  No all-pairs anywhere; payload bytes never shuffle
     past the hash kernel."""
     from ..functions.multimodal import documents_as_ppm_media, extract_phash
-    from ..operators.dedup import simhash_pairs
+    from ..operators.dedup import reuse_gate, simhash_pairs
 
     docs = t(spark, sf, "documents").where("text IS NOT NULL")
-    hashed = extract_phash(documents_as_ppm_media(docs))
+    # reuse_gate: one narrow exchange so the synth+decode kernel runs
+    # once, not once per consuming branch (21.5 s → 9.4 s at x100 —
+    # see the helper's docstring)
+    hashed = reuse_gate(
+        extract_phash(documents_as_ppm_media(docs)), "phash"
+    )
     pairs = simhash_pairs(hashed, "media_id", max_hamming=3, hash_col="phash")
     losers = pairs.select(F.col("id_b").alias("media_id")).distinct()
     return (
@@ -326,10 +331,12 @@ def dedup_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         documents_as_wav_media,
         extract_audio_fingerprint,
     )
-    from ..operators.dedup import simhash_pairs
+    from ..operators.dedup import reuse_gate, simhash_pairs
 
     docs = t(spark, sf, "documents").where("text IS NOT NULL")
-    hashed = extract_audio_fingerprint(documents_as_wav_media(docs))
+    hashed = reuse_gate(
+        extract_audio_fingerprint(documents_as_wav_media(docs)), "afp"
+    )
     pairs = simhash_pairs(hashed, "media_id", max_hamming=3, hash_col="afp")
     losers = pairs.select(F.col("id_b").alias("media_id")).distinct()
     return (

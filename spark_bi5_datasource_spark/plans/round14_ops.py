@@ -118,14 +118,19 @@ def dedup_video_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         documents_as_avi_media,
         extract_video_fingerprint,
     )
-    from ..operators.dedup import simhash_pairs
+    from ..operators.dedup import reuse_gate, simhash_pairs
 
     docs = t(spark, sf, "documents").where("text IS NOT NULL")
     # null vhash = decode failure; excluded BEFORE pairing so a decode
     # regression surfaces as a row-count mismatch vs the oracle (which
-    # never produces nulls) instead of a silent null-hash survivor
-    hashed = extract_video_fingerprint(documents_as_avi_media(docs)).where(
-        "vhash IS NOT NULL"
+    # never produces nulls) instead of a silent null-hash survivor.
+    # reuse_gate: one narrow exchange so the container-walk kernel
+    # runs once, not once per consuming branch (dedup.reuse_gate).
+    hashed = reuse_gate(
+        extract_video_fingerprint(documents_as_avi_media(docs)).where(
+            "vhash IS NOT NULL"
+        ),
+        "vhash",
     )
     pairs = simhash_pairs(hashed, "media_id", max_hamming=3, hash_col="vhash")
     losers = pairs.select(F.col("id_b").alias("media_id")).distinct()
@@ -326,12 +331,18 @@ def dedup_cross_modal_agreement(spark: SparkSession, sf: str) -> DataFrame:
     4-chunk bucket join; classification is two left joins on doc_id
     feeding a 4-group aggregate and a 4-row domain join."""
     from ..functions.multimodal import documents_as_ppm_media, extract_phash
-    from ..operators.dedup import ngram_jaccard_pairs, simhash_pairs
+    from ..operators.dedup import (
+        ngram_jaccard_pairs,
+        reuse_gate,
+        simhash_pairs,
+    )
 
     docs = t(spark, sf, "documents").where("text IS NOT NULL")
     tpairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     t_losers = tpairs.select(F.col("id_b").alias("doc_id")).distinct()
-    hashed = extract_phash(documents_as_ppm_media(docs))
+    hashed = reuse_gate(
+        extract_phash(documents_as_ppm_media(docs)), "phash"
+    )
     mpairs = simhash_pairs(hashed, "media_id", max_hamming=3,
                            hash_col="phash")
     m_losers = mpairs.select(F.col("id_b").alias("doc_id")).distinct()
