@@ -67,6 +67,7 @@ ARROW_KERNELS = {
     "dedup_audio_fingerprint": "WAV synth + decode/fingerprint kernels (functions/multimodal.py)",
     "dedup_video_fingerprint": "AVI synth + frame-sample/dHash/majority kernels (functions/multimodal.py)",
     "sim_ivf_index_merge": "IVF training collect + GEMM assignment/probe kernels (operators/ann_index.py)",
+    "dedup_cross_modal_agreement": "image synth + decode/dHash kernels on the media leg (functions/multimodal.py; surfaced by the r10 reuse_gate exchange, which keeps the kernel in the final adaptive plan string)",
 }
 
 # queries allowed an Exchange SinglePartition, with the bound
@@ -97,6 +98,7 @@ SINGLE_PARTITION_OK = {
     "corpus_quality_prune_curve": "parallel-rank ntile (no corpus-wide SinglePartition); remaining windows ride the 10-row decile frame",
     "orders_seasonality_mom": "lag-1/lag-12 window over the post-agg monthly series (<=|months| rows, ~84 at x1000)",
     "dq_doc_embedding_coverage": "global totals window over the post-agg per-source frame (<=|sources|+1 rows; replaced the r9 crossJoin'd aggregate branch, which re-executed the whole join subtree)",
+    "text_contamination_matrix": "source->idx row_number over the distinct-source dim (<=|sources| rows; the r10 bitmask rollup's broadcast side)",
 }
 
 BNLJ_OK = {

@@ -139,38 +139,79 @@ def text_contamination_matrix(spark: SparkSession, sf: str) -> DataFrame:
     (source → split) assignment is trusted.  Zero-overlap pairs are
     absent by construction (the report is the overlap set).
 
-    Scale shape: distinct (source, shingle) is the only corpus-sized
-    aggregation; the pair stream unfolds basket-pattern from the
-    shingle→sources inverted index (sorted collect_set + array-HOF
-    pair expansion — ≤C(|sources|,2) rows per shingle, no self-join,
-    no post-join distinct, same shape as _copurchase_pairs with its
-    x1000 head-to-head in SCALE_NOTES); the matrix itself is
-    ≤|sources|² rows and the size join is a broadcast."""
+    Scale shape (r10 bitmask rollup, scripts/exp_contam_variants.py —
+    48.3 → 24.7 s at x100, landing ahead of the same-window DuckDB
+    leg): the ONLY corpus-sized work is one integer aggregation —
+    each gram folds to a ≤64-bit SOURCE BITMASK via bit_or(1 << idx)
+    (plain codegen HashAggregate; the r8 shape paid TWO full-size
+    exchanges — a (source, shingle) distinct and a collect_set
+    ObjectHashAggregate inverted index — over string keys).  The mask
+    frame then collapses to per-mask counts (≤2^|sources| rows,
+    thousands in practice), and ALL pair expansion, intersection
+    counting and per-source sizes ride that tiny frame — the pair
+    explode that used to run per-gram runs per-MASK.  The source→idx
+    dim is ≤|sources| rows (broadcast everywhere; row_number over the
+    distinct is a bounded SinglePartition, the day-bitmask kernel
+    precedent).  Contract: ≤64 sources per run — corpora with more
+    shard this matrix by source group (the masks compose by OR).
+    Exact: gram keys stay strings; only set REPRESENTATION changed."""
+    from pyspark.sql import Window
+
     from ..operators.dedup import with_shingles
 
     docs = t(spark, sf, "documents").select("source", "text")
-    sh = (
-        with_shingles(docs, "text", 3)
-        .select("source", F.explode("shingles").alias("shingle"))
+    raw = with_shingles(docs, "text", 3).select(
+        "source", F.explode("shingles").alias("shingle")
+    )
+    sdim = (
+        docs.select("source")
         .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.partitionBy().orderBy("source")) - 1,
+        )
     )
-    sz = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("sz"))
-    inv = (
-        sh.groupBy("shingle")
-        .agg(F.expr("sort_array(collect_set(source))").alias("ss"))
-        .where(F.expr("size(ss) >= 2"))
+    masks = (
+        raw.join(F.broadcast(sdim), "source")
+        .groupBy("shingle")
+        .agg(F.expr("bit_or(shiftleft(1L, idx))").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
     )
-    pairs = inv.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ss, (x, i) ->"
-                " transform(slice(ss, i + 2, size(ss)),"
-                " y -> struct(x AS sa, y AS sb))))"
-            )
-        ).alias("p")
-    ).select("p.sa", "p.sb")
-    inter = pairs.groupBy("sa", "sb").agg(
-        F.count("*").cast("bigint").alias("n_common")
+    bits = "filter(sequence(0, 63), b -> (mask >> b) & 1 = 1)"
+    inter = (
+        masks.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"flatten(transform({bits}, (x, i) ->"
+                    f" transform(slice({bits}, i + 2, size({bits})),"
+                    " y -> struct(x AS ia, y AS ib))))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.ia", "p.ib")
+        .agg(F.sum("cnt").cast("bigint").alias("n_common"))
+        .join(
+            F.broadcast(
+                sdim.select(F.col("idx").alias("ia"), F.col("source").alias("sa"))
+            ),
+            "ia",
+        )
+        .join(
+            F.broadcast(
+                sdim.select(F.col("idx").alias("ib"), F.col("source").alias("sb"))
+            ),
+            "ib",
+        )
+        .select("sa", "sb", "n_common")
+    )
+    sz = (
+        masks.select("cnt", F.explode(F.expr(bits)).alias("idx"))
+        .groupBy("idx")
+        .agg(F.sum("cnt").cast("bigint").alias("sz"))
+        .join(F.broadcast(sdim), "idx")
+        .select("source", "sz")
     )
     za = sz.select(F.col("source").alias("sa"), F.col("sz").alias("sz_a"))
     zb = sz.select(F.col("source").alias("sb"), F.col("sz").alias("sz_b"))
