@@ -1386,9 +1386,16 @@ def dedup_band_tuning_monitor(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: everything is bounded by the slice contract; the
     production-scale version of this measurement is the banded join
-    itself (operators/dedup.py), whose volume this table predicts."""
+    itself (operators/dedup.py), whose volume this table predicts.
+    Plan shape (r10): the signature frame sits behind a reuse_gate —
+    seven branches consume it (3 band legs × both join sides + the
+    exact-truth legs), and ungated each one re-ran the corpus scan +
+    shingle + 32-perm pipeline (measured 2.4 s of pure re-execution
+    at x1000 against a 0.165 s slice-scan floor); n_true rides a
+    1-row broadcast aggregate instead of the former eager driver
+    count, so building the plan no longer triggers a job."""
     a, b = _mh_coeffs()
-    from ..operators.dedup import with_shingles
+    from ..operators.dedup import reuse_gate, with_shingles
 
     docs = t(spark, sf, "documents").where(
         f"doc_id < {_BT_SLICE} AND text IS NOT NULL"
@@ -1404,9 +1411,11 @@ def dedup_band_tuning_monitor(spark: SparkSession, sf: str) -> DataFrame:
         + a_arr + ", " + b_arr + ", (a, b) -> "
         + f"array_min(transform(h, x -> (a * x + b) % {_MH_P}L))))[0]"
     )
-    sigs = (
-        with_shingles(docs, "text", 3)
-        .select("doc_id", "shingles", F.expr(sig).alias("mh"))
+    sigs = reuse_gate(
+        with_shingles(docs, "text", 3).select(
+            "doc_id", "shingles", F.expr(sig).alias("mh")
+        ),
+        "doc_id",
     )
     banded = None
     for nb in _BT_BANDS:
@@ -1460,8 +1469,11 @@ def dedup_band_tuning_monitor(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("j_ppm"),
         )
     )
-    truth = jac.where(f"j_ppm >= {_BT_THRESH_PPM}").select("id_a", "id_b")
-    n_true = truth.count()  # bounded: one long over the 200-doc slice
+    truth = reuse_gate(
+        jac.where(f"j_ppm >= {_BT_THRESH_PPM}").select("id_a", "id_b"),
+        "id_a",
+    )
+    tt = truth.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
     per = (
         cand.join(truth.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left")
         .groupBy("bands")
@@ -1477,6 +1489,7 @@ def dedup_band_tuning_monitor(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         dom.join(F.broadcast(per), "bands", "left")
+        .crossJoin(F.broadcast(tt))
         .select(
             "bands",
             F.coalesce("n_candidates", F.lit(0))
@@ -1485,15 +1498,15 @@ def dedup_band_tuning_monitor(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("n_caught", F.lit(0)).cast("bigint").alias(
                 "n_caught"
             ),
-            F.lit(n_true).cast("bigint").alias("n_true_pairs"),
+            "n_true_pairs",
             F.expr(
                 "CAST(CASE WHEN coalesce(n_candidates, 0) > 0 THEN"
                 " coalesce(n_caught, 0) * 1000000 div n_candidates"
                 " ELSE 0 END AS BIGINT)"
             ).alias("precision_ppm"),
             F.expr(
-                f"CAST(CASE WHEN {n_true} > 0 THEN"
-                f" coalesce(n_caught, 0) * 1000000 div {n_true}"
+                "CAST(CASE WHEN n_true_pairs > 0 THEN"
+                " coalesce(n_caught, 0) * 1000000 div n_true_pairs"
                 " ELSE 1000000 END AS BIGINT)"
             ).alias("recall_ppm"),
         )
