@@ -9,7 +9,7 @@ from .events import (
     windowed_counts,
 )
 from .bi5_stream import stream_bi5_writer
-from .crawl import stream_crawl_dedup_writer
+from .crawl import stream_corpus_build_writer, stream_crawl_dedup_writer
 from .upsert_sink import latest_per_key, stream_upsert_writer
 
 __all__ = [
@@ -20,6 +20,7 @@ __all__ = [
     "sliding_value_sums",
     "stream_bi5_writer",
     "stream_crawl_dedup_writer",
+    "stream_corpus_build_writer",
     "stream_static_enrich",
     "stream_stream_join",
     "stream_upsert_writer",

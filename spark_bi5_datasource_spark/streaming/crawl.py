@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from ..operators.band_index import minhash_band_index
 from ..operators.dedup import minhash_delta_dedup
 
-__all__ = ["stream_crawl_dedup_writer"]
+__all__ = ["stream_crawl_dedup_writer", "stream_corpus_build_writer"]
 
 
 def stream_crawl_dedup_writer(
@@ -89,6 +89,123 @@ def stream_crawl_dedup_writer(
         # localCheckpoint: cut the lineage so the two writes below
         # compute the dedup exactly once (and don't re-read the
         # corpus dirs they are about to append to)
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(os.path.join(corpus_dir, "docs"))
+        minhash_band_index(
+            kept, id_col, text_col, n, num_perm, bands
+        ).write.mode("append").parquet(os.path.join(index_dir, "bands"))
+        open(marker, "w").close()
+
+    writer = increments.writeStream.foreachBatch(apply)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def stream_corpus_build_writer(
+    increments: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    bench_shingles: DataFrame | None = None,
+    quality_threshold: float | None = None,
+    contam_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+):
+    """The STREAMING twin of ``plans.round15_ops.corpus_build_snapshot``:
+    each micro-batch runs the full corpus-build stage chain —
+
+    1. quality filter (``quality_score_cols`` ≥ ``quality_threshold``,
+       skipped when None),
+    2. benchmark decontamination (per-doc distinct-shingle overlap vs
+       the broadcast ``bench_shingles`` frame — a one-column
+       eval-set-sized ``shingle`` frame, e.g. from ``with_shingles``
+       over the held-out slice — drop at ≥ ``contam_threshold``;
+       skipped when None),
+    3. delta dedup against everything kept so far (the
+       ``stream_crawl_dedup_writer`` loop: stored band index probe,
+       |Δ|·|C| per batch, corpus never self-pairs),
+
+    then appends survivors to the kept-corpus parquet and their band
+    rows to the stored index.  Stage ORDER contract: quality and
+    decontamination run BEFORE dedup — only fully-kept docs enter the
+    corpus, so later batches dedup against the curated corpus, never
+    against docs a filter already rejected (the batch snapshot op, by
+    contrast, dedups its one fixed corpus first; both orders are
+    deterministic and the stream≡batch-fold pytest pins this one).
+    Exactly-once via the ``_applied_batch`` markers, as above.
+
+    Scale shape per batch: two map-side filters (the quality score is
+    a generated column; the decontam membership test is a broadcast
+    join) in front of the |Δ|·|C| banded probe — filters first so the
+    pairing stage sees only docs that can actually be kept."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..functions.text import quality_score_cols
+        from ..operators.dedup import with_shingles
+
+        spark = batch_df.sparkSession
+        marker = os.path.join(corpus_dir, f"_applied_batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        batch_df = batch_df.select(id_col, text_col)
+        if quality_threshold is not None:
+            batch_df = (
+                batch_df.select(
+                    id_col, text_col, quality_score_cols(text_col)
+                )
+                .where(F.col("quality") >= quality_threshold)
+                .drop("quality")
+            )
+        if bench_shingles is not None:
+            bench = F.broadcast(
+                bench_shingles.select(
+                    F.col(bench_shingles.columns[0]).alias("shingle")
+                )
+                .distinct()
+                .withColumn("__hit", F.lit(1))
+            )
+            contam = (
+                with_shingles(batch_df, text_col, n)
+                .select(id_col, F.explode("shingles").alias("shingle"))
+                .join(bench, "shingle", "left")
+                .groupBy(id_col)
+                .agg(
+                    F.count("*").alias("__n"),
+                    F.count("__hit").alias("__h"),
+                )
+                .where(F.col("__h") / F.col("__n") >= contam_threshold)
+                .select(id_col)
+            )
+            batch_df = batch_df.join(contam, id_col, "left_anti")
+        have_corpus = any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(corpus_dir)
+            for f in fs
+        )
+        if have_corpus:
+            corpus = spark.read.parquet(os.path.join(corpus_dir, "docs"))
+            stored = spark.read.parquet(os.path.join(index_dir, "bands"))
+            kept = minhash_delta_dedup(
+                corpus,
+                batch_df,
+                id_col,
+                text_col,
+                n=n,
+                num_perm=num_perm,
+                bands=bands,
+                threshold=threshold,
+                corpus_index=stored,
+            )
+        else:
+            kept = batch_df
         kept = kept.localCheckpoint(eager=True)
         kept.write.mode("append").parquet(os.path.join(corpus_dir, "docs"))
         minhash_band_index(

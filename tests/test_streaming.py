@@ -906,3 +906,153 @@ class TestStreamCrawlDedup:
             for r in spark.read.parquet(os.path.join(cdir, "docs")).collect()
         )
         assert again == want
+
+
+class TestStreamCorpusBuild:
+    """Streaming corpus-build pipeline (streaming/crawl.py
+    stream_corpus_build_writer): quality filter + benchmark
+    decontamination + delta dedup per micro-batch must leave exactly
+    the corpus a batch-mode fold of the same stage chain produces
+    over the same files in the same order, and each stage must have
+    demonstrably fired (a planted low-quality doc, a planted
+    contaminated doc and a planted near-dup all drop)."""
+
+    BASE = "the quick brown fox jumps over the lazy dog near town"
+    BENCH = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    QT = 0.35
+
+    def _batches(self):
+        return [
+            [(1, self.BASE),
+             (2, "!!! ??? !!!")],                       # low quality
+            [(10, self.BASE.replace("town", "city")),   # near-dup of 1
+             (11, "alpha beta gamma delta epsilon zeta eta theta iota mu"),  # contaminated
+             (12, "spark catalyst optimizes the declarative query plans")],
+        ]
+
+    def _stage_fold(self, spark, bench_sh):
+        """Batch-mode twin: the same stages in the same order."""
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.functions.text import (
+            quality_score_cols,
+        )
+        from spark_bi5_datasource_spark.operators.dedup import (
+            minhash_delta_dedup,
+            with_shingles,
+        )
+
+        corpus = None
+        for rows in self._batches():
+            inc = spark.createDataFrame(rows, "doc_id long, text string")
+            inc = (
+                inc.select("doc_id", "text", quality_score_cols("text"))
+                .where(F.col("quality") >= self.QT)
+                .drop("quality")
+            )
+            contam = (
+                with_shingles(inc, "text", 3)
+                .select("doc_id", F.explode("shingles").alias("shingle"))
+                .join(bench_sh, "shingle", "left")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n"), F.count("__hit").alias("h"))
+                .where(F.col("h") / F.col("n") >= 0.5)
+                .select("doc_id")
+            )
+            inc = inc.join(contam, "doc_id", "left_anti")
+            if corpus is None:
+                kept = inc
+            else:
+                kept = minhash_delta_dedup(
+                    corpus, inc, "doc_id", "text", threshold=0.4
+                )
+            corpus = kept if corpus is None else corpus.unionByName(kept)
+        return corpus
+
+    def test_stream_equals_staged_batch_fold(self, spark, tmp_path):
+        import os
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.operators.dedup import (
+            with_shingles,
+        )
+        from spark_bi5_datasource_spark.streaming import (
+            stream_corpus_build_writer,
+        )
+
+        bench_docs = spark.createDataFrame(
+            [(900, self.BENCH)], "doc_id long, text string"
+        )
+        bench_sh = (
+            with_shingles(bench_docs, "text", 3)
+            .select(F.explode("shingles").alias("shingle"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+
+        sdir = str(tmp_path / "inc")
+        os.makedirs(sdir)
+        t0 = _time.time()
+        for k, rows in enumerate(self._batches()):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            df.coalesce(1).write.mode("append").parquet(sdir)
+            parts = sorted(
+                f for f in os.listdir(sdir) if f.endswith(".parquet")
+            )
+            for f in parts:
+                p = os.path.join(sdir, f)
+                if os.path.getmtime(p) > t0 + k:
+                    os.utime(p, (t0 + k, t0 + k))
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        cdir, idir = str(tmp_path / "corpus"), str(tmp_path / "index")
+        q = stream_corpus_build_writer(
+            stream,
+            cdir,
+            idir,
+            bench_shingles=bench_sh.select("shingle"),
+            quality_threshold=self.QT,
+            contam_threshold=0.5,
+            threshold=0.4,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+
+        got = sorted(
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(cdir, "docs")).collect()
+        )
+        want = sorted(
+            r.doc_id for r in self._stage_fold(spark, bench_sh).collect()
+        )
+        # every stage fired: 2 (quality), 10 (near-dup), 11 (contam) gone
+        assert got == want == [1, 12]
+
+        # replay with a fresh checkpoint is a no-op (markers)
+        stream2 = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        q2 = stream_corpus_build_writer(
+            stream2,
+            cdir,
+            idir,
+            bench_shingles=bench_sh.select("shingle"),
+            quality_threshold=self.QT,
+            contam_threshold=0.5,
+            threshold=0.4,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+        q2.awaitTermination()
+        again = sorted(
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(cdir, "docs")).collect()
+        )
+        assert again == want
