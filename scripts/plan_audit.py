@@ -214,6 +214,21 @@ def main() -> None:
             entry["bnlj"] = n_bnlj
             if n_bnlj > ibm_scalar and name not in BNLJ_OK:
                 violations.append(f"{name}: undocumented BroadcastNestedLoopJoin")
+        # scan-multiplicity report (informational, the r10 reuse_gate
+        # class): the same source file scanned many times in one plan
+        # usually means a shared subtree re-executes once per
+        # consuming branch.  Self-joins legitimately scan twice;
+        # >= 4 scans of one table is worth a look.  AQE's plan string
+        # repeats reused-exchange subtrees, so this over-counts —
+        # treat as a pointer, not a measure.
+        import re as _re
+
+        paths = _re.findall(r"FileScan \S+ [^\[]*\[", p)
+        from collections import Counter as _C
+
+        top = _C(paths).most_common(1)
+        if top and top[0][1] >= 4:
+            entry["max_same_scan"] = top[0][1]
         if entry:
             report[name] = entry
 

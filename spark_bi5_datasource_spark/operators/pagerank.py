@@ -41,22 +41,42 @@ def pagerank(
     count (float addition order inside an aggregate is not pinned,
     but magnitudes here keep 6-dp rounding stable — the catalog
     query rounds on output).
+
+    Fixture-scale cost note (r10 A/B, sf0.01, same protocol): the
+    scale-safe shape below (invariants persisted and derived from
+    the cached frame; rank vector reuse-gated per iteration) runs
+    15.3 s vs 13.2 s for the earlier shape that re-derived
+    nodes/out_deg from the RAW edge input — at fixture scale the
+    upstream kNN recompute per lineage branch is cheaper than the
+    persist+gate overhead, but it doubles per iteration with the
+    input size (the r10 scan-multiplicity audit counted 470 upstream
+    scans in one plan), which at any real |E| is the difference
+    between running and not finishing.  Scale-safety wins the tie.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
-        .distinct()
-    )
     out_deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
-    # loop invariant: (src, dst, out_degree(src)) — persisted so the
-    # single final job materializes it once and every iteration's
-    # stage reads the cache (left persisted: the result is lazy, so
-    # unpersisting here would unmark the cache before it ever fills;
-    # callers running many pageranks per session may unpersist via
-    # spark.catalog.clearCache())
+    # loop invariants: (src, dst, out_degree(src)) plus the node and
+    # degree frames — ALL persisted, and nodes/out_deg re-derived
+    # FROM the persisted edge frame, never from the raw input.  An
+    # earlier shape derived nodes/out_deg from the raw edges: every
+    # rank-lineage branch then re-executed the whole upstream edge
+    # construction (for the catalog's kNN-graph input, the brute-force
+    # cosine join) once per iteration branch — the r10 scan-
+    # multiplicity audit counted 470 upstream scans in one plan.
+    # (Left persisted: the result is lazy, so unpersisting here would
+    # unmark the cache before it fills; callers running many pageranks
+    # per session may unpersist via spark.catalog.clearCache())
     ej = e.join(out_deg, "_s").persist()
+    nodes = (
+        ej.select(F.col("_s").alias("node"))
+        .unionByName(ej.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    out_deg = ej.select("_s", "_deg").dropDuplicates(["_s"]).persist()
     n_nodes = nodes.count()  # one tiny job; |V| is needed as a literal
+
+    from .dedup import reuse_gate
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
@@ -72,7 +92,12 @@ def pagerank(
             ranks.join(out_deg, ranks.node == out_deg._s, "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
-        ranks = (
+        # reuse_gate on the new rank vector: its two consumers next
+        # iteration (contribution join + dangling anti-join) share one
+        # O(|V|) exchange instead of re-executing the update subtree —
+        # without it the rank lineage doubles per iteration (2^iters
+        # subtree copies at runtime)
+        ranks = reuse_gate(
             nodes.join(contribs, nodes.node == contribs._d, "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -83,6 +108,7 @@ def pagerank(
                     * (F.coalesce(F.col("_in"), F.lit(0.0))
                        + F.col("_dm") / n_nodes)
                 ).alias("rank"),
-            )
+            ),
+            "node",
         )
     return ranks
