@@ -67,9 +67,21 @@ def connected_components(
 ) -> DataFrame:
     """Label every node appearing in ``edges`` with the minimum node id
     of its connected component.  Returns (node, component)."""
+    # The incoming pair list (typically an expensive verified-
+    # similarity join) feeds BOTH the contraction loop's seed and the
+    # final node-universe frame — and those run in DIFFERENT jobs
+    # (the loop is eager, the labels job runs later), so an exchange
+    # gate cannot be reused across them; a lineage-truncating local
+    # checkpoint materializes the narrow (u, v) list once and both
+    # jobs read the stored blocks (r10 audit: the ungated shape ran
+    # the upstream pair pipeline twice — 30-61 upstream scans in the
+    # dedup_components / cluster_sizes plans).
+    edges = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=False)
+    src, dst = "u", "v"
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        edges.filter(F.col("u") != F.col("v"))
         .distinct()
     )
     for _ in range(max_iterations):
