@@ -44,14 +44,18 @@ def pagerank(
 
     Fixture-scale cost note (r10 A/B, sf0.01, same protocol): the
     scale-safe shape below (invariants persisted and derived from
-    the cached frame; rank vector reuse-gated per iteration) runs
-    15.3 s vs 13.2 s for the earlier shape that re-derived
+    the cached frame; rank vector lineage-truncated per iteration)
+    costs a few 0.1 s over the earlier shape that re-derived
     nodes/out_deg from the RAW edge input — at fixture scale the
-    upstream kNN recompute per lineage branch is cheaper than the
-    persist+gate overhead, but it doubles per iteration with the
-    input size (the r10 scan-multiplicity audit counted 470 upstream
-    scans in one plan), which at any real |E| is the difference
-    between running and not finishing.  Scale-safety wins the tie.
+    upstream kNN recompute per lineage branch is cheap, but it
+    doubles per iteration with the input size (the r10 scan-
+    multiplicity audit counted 470 upstream scans in one plan),
+    which at any real |E| is the difference between running and not
+    finishing.  Scale-safety wins the tie.  An intermediate variant
+    (reuse_gate per iteration) bounded the RUNTIME via exchange
+    reuse but left the plan TREE doubling per iteration (1884-scan
+    plan string); the non-eager localCheckpoint keeps tree, planning
+    and work all linear — the components.py iterative discipline.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     out_deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
@@ -76,8 +80,6 @@ def pagerank(
     out_deg = ej.select("_s", "_deg").dropDuplicates(["_s"]).persist()
     n_nodes = nodes.count()  # one tiny job; |V| is needed as a literal
 
-    from .dedup import reuse_gate
-
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
@@ -92,12 +94,16 @@ def pagerank(
             ranks.join(out_deg, ranks.node == out_deg._s, "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
-        # reuse_gate on the new rank vector: its two consumers next
-        # iteration (contribution join + dangling anti-join) share one
-        # O(|V|) exchange instead of re-executing the update subtree —
-        # without it the rank lineage doubles per iteration (2^iters
-        # subtree copies at runtime)
-        ranks = reuse_gate(
+        # lineage truncation on the new rank vector: its two consumers
+        # next iteration (contribution join + dangling anti-join)
+        # would otherwise each embed the whole update subtree — the
+        # rank lineage doubles per iteration (2^iters tree copies;
+        # exchange reuse dedups the RUNTIME but not the plan tree, and
+        # planning cost grows with it).  A non-eager localCheckpoint
+        # stores the O(|V|) vector once per iteration and keeps both
+        # the tree and the work linear — the components.py iterative
+        # discipline.
+        ranks = (
             nodes.join(contribs, nodes.node == contribs._d, "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -108,7 +114,7 @@ def pagerank(
                     * (F.coalesce(F.col("_in"), F.lit(0.0))
                        + F.col("_dm") / n_nodes)
                 ).alias("rank"),
-            ),
-            "node",
+            )
+            .localCheckpoint(eager=False)
         )
     return ranks
