@@ -33,6 +33,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 5,
     damping: float = 0.85,
+    eager: bool = False,
 ) -> DataFrame:
     """Damped PageRank after ``iters`` synchronous iterations.
 
@@ -41,6 +42,21 @@ def pagerank(
     count (float addition order inside an aggregate is not pinned,
     but magnitudes here keep 6-dp rounding stable — the catalog
     query rounds on output).
+
+    Executor-storage contract: a lazy call leaves three persisted
+    loop-invariant frames (edge⋈degree, nodes, out-degrees) plus one
+    localCheckpoint block set per iteration alive until the session
+    ends, ``spark.catalog.clearCache()`` runs, or Python drops the
+    intermediate refs (ContextCleaner then reclaims the checkpoint
+    blocks).  They CANNOT be unpersisted inside a lazy call — the
+    returned frame's lineage still reads them, and unpersisting
+    before the caller's first action would re-trigger the upstream
+    recompute-per-branch blowup this shape exists to prevent.  A
+    long-lived session running many pageranks should either pass
+    ``eager=True`` — materialize the result once (one extra action
+    at call time, so NOT the posture for lazily-timed catalog
+    entries) and unpersist all three invariants before returning —
+    or call ``spark.catalog.clearCache()`` between runs.
 
     Fixture-scale cost note (r10 A/B, sf0.01, same protocol): the
     scale-safe shape below (invariants persisted and derived from
@@ -117,4 +133,10 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+    if eager:
+        # materialize once, then release every invariant: the result
+        # now reads its own checkpoint blocks, not the caches
+        ranks = ranks.localCheckpoint(eager=True)
+        for frame in (ej, nodes, out_deg):
+            frame.unpersist()
     return ranks

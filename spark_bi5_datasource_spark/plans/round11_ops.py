@@ -170,6 +170,27 @@ def text_contamination_matrix(spark: SparkSession, sf: str) -> DataFrame:
             "idx",
             F.row_number().over(Window.partitionBy().orderBy("source")) - 1,
         )
+        # enforce the ≤64-source contract IN-PLAN: shiftleft takes the
+        # count mod 64 (Java shift semantics), so a 65th source would
+        # silently alias onto bit 0 and corrupt every overlap count.
+        # assert_true rides the live idx column (not a prunable extra
+        # projection) over the ≤|sources|-row dim — essentially free —
+        # and fails the job loudly instead.  Corpora with more
+        # sources shard the matrix by source group (masks OR-compose).
+        .withColumn(
+            "idx",
+            F.when(
+                F.assert_true(
+                    F.col("idx") < F.lit(64),
+                    F.lit(
+                        "text_contamination_matrix: >64 distinct"
+                        " sources — shard by source group (bitmask"
+                        " bits would alias mod 64)"
+                    ),
+                ).isNull(),
+                F.col("idx"),
+            ),
+        )
     )
     masks = (
         raw.join(F.broadcast(sdim), "source")

@@ -127,7 +127,12 @@ def dedup_band_index_merge(spark: SparkSession, sf: str) -> DataFrame:
     BENCH_X1000_R14).  The cap is NON-BINDING at oracle scales
     (measured max bucket: 3 at sf0.01, 5 at sf0.1 — r10), so exact
     SQL equality still gates every driver run; no-cap exactness is
-    separately pinned by the band_index pytest suite."""
+    separately pinned by the band_index pytest suite, and
+    non-bindingness itself is a pytest GATE (tests/test_operators.
+    TestBandIndexMaintenance.test_merge_entry_cap_nonbinding_at_
+    oracle_scales rebuilds this merged index at every oracle fixture
+    scale and fails loudly if any bucket exceeds the cap — a fixture
+    regeneration can't silently detach the entry from its oracle)."""
     from ..operators.band_index import (
         merge_band_index,
         minhash_band_index,

@@ -90,10 +90,11 @@ def stream_crawl_dedup_writer(
         # compute the dedup exactly once (and don't re-read the
         # corpus dirs they are about to append to)
         kept = kept.localCheckpoint(eager=True)
-        kept.write.mode("append").parquet(os.path.join(corpus_dir, "docs"))
+        # index-before-docs crash ordering — see stream_corpus_build_writer
         minhash_band_index(
             kept, id_col, text_col, n, num_perm, bands
         ).write.mode("append").parquet(os.path.join(index_dir, "bands"))
+        kept.write.mode("append").parquet(os.path.join(corpus_dir, "docs"))
         open(marker, "w").close()
 
     writer = increments.writeStream.foreachBatch(apply)
@@ -138,7 +139,11 @@ def stream_corpus_build_writer(
     against docs a filter already rejected (the batch snapshot op, by
     contrast, dedups its one fixed corpus first; both orders are
     deterministic and the stream≡batch-fold pytest pins this one).
-    Exactly-once via the ``_applied_batch`` markers, as above.
+    Effectively-once via the ``_applied_batch`` markers plus the
+    index-before-docs append order: any crash point replays to the
+    same corpus (orphan/duplicate index rows are absorbed by the
+    verify join-back and candidate dedup; no crash point can leave a
+    corpus doc without band rows).
 
     Scale shape per batch: two map-side filters (the quality score is
     a generated column; the decontam membership test is a broadcast
@@ -207,10 +212,17 @@ def stream_corpus_build_writer(
         else:
             kept = batch_df
         kept = kept.localCheckpoint(eager=True)
-        kept.write.mode("append").parquet(os.path.join(corpus_dir, "docs"))
+        # Index BEFORE docs: a crash between the appends leaves an
+        # orphan index row (harmless — verification inner-joins back
+        # to the docs parquet, and replay's duplicate band rows are
+        # absorbed by candidate dropDuplicates), never a corpus doc
+        # with no band rows (permanent recall loss).  Docs-first had
+        # the fatal replay: the batch deduped to empty against its
+        # own half-written docs (jaccard 1.0 with itself).
         minhash_band_index(
             kept, id_col, text_col, n, num_perm, bands
         ).write.mode("append").parquet(os.path.join(index_dir, "bands"))
+        kept.write.mode("append").parquet(os.path.join(corpus_dir, "docs"))
         open(marker, "w").close()
 
     writer = increments.writeStream.foreachBatch(apply)

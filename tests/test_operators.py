@@ -5,6 +5,8 @@ recall against the exact baseline, and pin as-of join edge semantics."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -2688,6 +2690,64 @@ class TestBandIndexMaintenance:
         got = sorted(r.doc_id for r in via_store.collect())
         assert got == sorted(r.doc_id for r in inline.collect())
         assert got == [301]  # 300 is a near-dup of corpus doc 0
+
+    @pytest.mark.parametrize(
+        "sf_dir",
+        ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+         "/root/testdata/sf0.1"],
+    )
+    def test_merge_entry_cap_nonbinding_at_oracle_scales(
+        self, spark, sf_dir
+    ):
+        """GATE for plans/round13_ops.dedup_band_index_merge: the
+        shipped entry probes with ``max_bucket=200`` while its oracle
+        SQL is the exact uncapped twin, so Spark-vs-oracle equality
+        holds only while the cap never binds.  The bucket key is an
+        xxhash64 minhash slice — not expressible in DuckDB — so the
+        cap can't be mirrored in the SQL; instead this test rebuilds
+        the entry's EXACT merged index at every fixture scale the
+        oracle ever gates (sf0.001/sf0.01 driver + verify, sf0.1
+        local verify) and fails loudly if any (band, bucket) key
+        exceeds the cap.  Measured max: 3 at sf0.01, 5 at sf0.1
+        (r10) — a future fixture regeneration that saturates a
+        bucket turns silent divergence into this assertion."""
+        if not os.path.isdir(sf_dir):
+            pytest.skip(f"no fixture at {sf_dir}")
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.operators.band_index import (
+            merge_band_index,
+            minhash_band_index,
+        )
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        initial = docs.where("doc_id % 10 NOT IN (0, 9)")
+        merged = merge_band_index(
+            minhash_band_index(
+                initial, "doc_id", "text", n=3, num_perm=32, bands=16
+            ),
+            added=docs.where("doc_id % 10 = 9"),
+            retired=initial.where("doc_id % 7 = 3").select("doc_id"),
+            id_col="doc_id",
+            text_col="text",
+            n=3,
+            num_perm=32,
+            bands=16,
+        )
+        worst = (
+            merged.groupBy("band", "bucket")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]
+        )
+        assert worst.mx is not None and worst.mx <= 200, (
+            f"max_bucket=200 cap BINDS at {sf_dir} (max bucket"
+            f" {worst.mx}): dedup_band_index_merge would silently"
+            " diverge from its uncapped oracle — mirror the fixture"
+            " change in the entry/oracle before trusting the gate"
+        )
 
 
 class TestMediaPhashDedup:
