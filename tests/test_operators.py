@@ -2749,6 +2749,41 @@ class TestBandIndexMaintenance:
             " change in the entry/oracle before trusting the gate"
         )
 
+    def test_delta_entry_stored_posture_equals_inline(self, spark):
+        """POSTURE pin for plans/round12_ops.dedup_incremental_delta
+        (r11 flip): the shipped entry probes the warehouse-persisted
+        fingerprint-keyed corpus index; this re-runs the same split
+        with the inline-derived index and asserts exact row equality,
+        so the storage round-trip (and any stale-fingerprint bug) can
+        never drift the timed entry away from the oracle shape."""
+        from spark_bi5_datasource_spark.operators.dedup import (
+            minhash_delta_dedup,
+        )
+        from spark_bi5_datasource_spark.plans.round12_ops import (
+            dedup_incremental_delta,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        if not os.path.isdir(sf):
+            pytest.skip("no fixture")
+        docs = spark.read.parquet(
+            os.path.join(sf, "documents.parquet")
+        )
+        inline = minhash_delta_dedup(
+            docs.where("doc_id % 10 <> 0"),
+            docs.where("doc_id % 10 = 0"),
+            "doc_id",
+            "text",
+            n=3,
+            num_perm=32,
+            bands=16,
+            threshold=0.5,
+        ).select("doc_id", "lang", "source")
+        got = sorted(
+            map(tuple, dedup_incremental_delta(spark, sf).collect())
+        )
+        assert got == sorted(map(tuple, inline.collect()))
+
 
 class TestMediaPhashDedup:
     """Perceptual-hash dedup over binary media (plans/round13_ops.py
