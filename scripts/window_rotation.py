@@ -56,6 +56,7 @@ def main() -> None:
     from spark_bi5_datasource_spark.plans.round13_ops import ROUND13_OPS
     from spark_bi5_datasource_spark.plans.round14_ops import ROUND14_OPS
     from spark_bi5_datasource_spark.plans.round15_ops import ROUND15_OPS
+    from spark_bi5_datasource_spark.plans.round16_ops import ROUND16_OPS
     from spark_bi5_datasource_spark.plans.tpch_pack import TPCH_PACK
 
     catalog: dict[str, tuple] = {
@@ -76,6 +77,7 @@ def main() -> None:
         **ROUND13_OPS,
         **ROUND14_OPS,
         **ROUND15_OPS,
+        **ROUND16_OPS,
     }
     oracle_backed = [n for n, (_f, sql, _b) in catalog.items() if sql is not None]
     exposed = driver_exposed()

@@ -24,6 +24,7 @@ from .round12_ops import ROUND12_OPS
 from .round13_ops import ROUND13_OPS
 from .round14_ops import ROUND14_OPS
 from .round15_ops import ROUND15_OPS
+from .round16_ops import ROUND16_OPS
 from .tpch_pack import TPCH_PACK
 
 # name -> (fn, oracle_sql | None, in_bench)
@@ -45,6 +46,7 @@ CATALOG: dict[str, tuple] = {
     **ROUND13_OPS,
     **ROUND14_OPS,
     **ROUND15_OPS,
+    **ROUND16_OPS,
 }
 
 # The driver's correctness gate checks the FIRST 50 entries of
@@ -59,35 +61,31 @@ CATALOG: dict[str, tuple] = {
 # The union of driver-green rows across rounds is the coverage
 # record — see COVERAGE.md.
 DRIVER_WINDOW: list[str] = [
-    # round-10 window (scripts/window_rotation.py over
-    # CORRECTNESS_r0{1..9}): the rotation invariant hit zero queue in
-    # r9 — every oracle-backed entry has a driver-green row — so this
-    # round is the round-10 addition (corpus_build_snapshot, the
-    # composed pipeline op) first, then pure least-recently-exposed
-    # (r01-vintage anchors) filler.  The r9-window entries that were
-    # MODIFIED this round (dq_doc_embedding_coverage's null-source
-    # column, dedup_band_index_merge's capped probe,
-    # dedup_video_fingerprint's null filter) are re-inserted ahead of
-    # the filler so their changed shapes get a fresh driver row.
-    "corpus_build_snapshot",
-    "dq_doc_embedding_coverage", "dedup_band_index_merge",
-    "dedup_video_fingerprint",
-    "b1_scan_count", "b5_groupby_count", "b6_filter_project",
-    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
-    "join_broadcast_dims", "join_left_outer", "join_range",
-    "join_asof_events_orders", "window_topk_per_segment",
+    # round-11 window (scripts/window_rotation.py over
+    # CORRECTNESS_r{01..10}): the round-11 addition
+    # (corpus_build_production, the minhash-banded pipeline posture)
+    # first, then the two entries MODIFIED this round re-inserted
+    # ahead of the filler so their changed shapes get a fresh driver
+    # row (dedup_incremental_delta's stored-index probe posture,
+    # text_contamination_matrix's in-plan ≤64-source assert), then
+    # pure least-recently-exposed (r01-vintage anchors) filler.
+    "corpus_build_production", "dedup_incremental_delta",
+    "text_contamination_matrix", "b1_scan_count", "b5_groupby_count",
+    "b6_filter_project", "q1_pricing_summary", "q3_top_revenue_orders",
+    "q5_region_revenue", "join_broadcast_dims", "join_left_outer",
+    "join_range", "join_asof_events_orders", "window_topk_per_segment",
     "window_running_total", "agg_rollup", "agg_stats",
     "scalar_string_funcs", "scalar_date_funcs", "scalar_json_funcs",
     "scalar_math_case", "events_sessionize", "window_rank_kinds",
-    "array_funcs", "join_full_outer", "scalar_map_funcs",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
-    "dedup_embedding", "b2_sort_topk", "join_semi_anti",
-    "join_right_outer", "window_lag_range_daily", "agg_cube_gsets",
-    "agg_percentile_collect", "setop_suite", "events_daily_ohlc",
-    "reshape_pivot_unpivot", "text_chunk_pack", "sim_cosine_topk",
-    "sim_label_centroids", "text_stats", "text_langid",
-    "text_quality_filter", "text_fingerprint", "text_source_rollup",
-    "multimodal_features", "sim_pandas_udf_norm",
+    "array_funcs", "join_full_outer", "scalar_map_funcs", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
+    "b2_sort_topk", "join_semi_anti", "join_right_outer",
+    "window_lag_range_daily", "agg_cube_gsets", "agg_percentile_collect",
+    "setop_suite", "events_daily_ohlc", "reshape_pivot_unpivot",
+    "text_chunk_pack", "sim_cosine_topk", "sim_label_centroids",
+    "text_stats", "text_langid", "text_quality_filter", "text_fingerprint",
+    "text_source_rollup", "multimodal_features", "sim_pandas_udf_norm",
+    "sim_gemm_topk",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

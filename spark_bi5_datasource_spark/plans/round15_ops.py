@@ -156,23 +156,9 @@ def corpus_build_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     Cites reference scope: the reference engine has no curation
     surface at all (README.md:17 — loading only); this is the
     LLM-pipeline extension tier's capstone."""
-    from ..functions.text import quality_score_cols
-    from ..operators.dedup import (
-        ngram_jaccard_pairs,
-        reuse_gate,
-        with_shingles,
-    )
+    from ..operators.dedup import ngram_jaccard_pairs, reuse_gate
 
-    alldocs = t(spark, sf, "documents").where("text IS NOT NULL").select(
-        "doc_id", "source", "text"
-    )
-    bench_sh = (
-        with_shingles(alldocs.where("doc_id % 97 = 0"), "text", 3)
-        .select(F.explode("shingles").alias("shingle"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
-    d0 = alldocs.where("doc_id % 97 <> 0")
+    d0, bench_sh = corpus_inputs(spark, sf)
 
     # stage 1: exact dedup — min-id survivor per identical text.
     # reuse_gate: d1 feeds BOTH the near-dup pair enumeration and the
@@ -195,8 +181,41 @@ def corpus_build_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     near_losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     d2 = d1.join(near_losers, "doc_id", "left_anti")
 
+    return corpus_tail_stages(d2, bench_sh)
+
+
+def corpus_inputs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """Shared head of the corpus-build pipelines: ``(d0, bench_sh)``
+    — the build slice (benchmark docs excluded) and the broadcastable
+    distinct-shingle frame of the held-out benchmark slice
+    (doc_id % 97 = 0)."""
+    from ..operators.dedup import with_shingles
+
+    alldocs = t(spark, sf, "documents").where("text IS NOT NULL").select(
+        "doc_id", "source", "text"
+    )
+    bench_sh = (
+        with_shingles(alldocs.where("doc_id % 97 = 0"), "text", 3)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return alldocs.where("doc_id % 97 <> 0"), bench_sh
+
+
+def corpus_tail_stages(d2: DataFrame, bench_sh: DataFrame) -> DataFrame:
+    """Shared stages 3-5 of the corpus-build pipelines: quality
+    filter → benchmark decontamination → per-source token-budget
+    sequence packing, from the near-dedup survivors ``d2`` to the
+    packing manifest.  Factored so ``corpus_build_snapshot`` (exact
+    near-dedup bar) and ``corpus_build_production`` (minhash banded
+    stage, round16_ops) share every other stage by construction."""
+    from ..functions.text import quality_score_cols
+    from ..operators.dedup import reuse_gate, with_shingles
+
     # stage 3: fixed-threshold quality filter (the score is a
-    # generated column, the filter is map-side); gated — see stage 1
+    # generated column, the filter is map-side); gated — d3 feeds
+    # both decontamination and the final anti-join
     d3 = reuse_gate(
         d2.select(
             "doc_id", "source", "text", quality_score_cols("text")

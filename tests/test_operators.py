@@ -2785,6 +2785,37 @@ class TestBandIndexMaintenance:
         assert got == sorted(map(tuple, inline.collect()))
 
 
+class TestCorpusBuildProduction:
+    """plans/round16_ops.corpus_build_production: the minhash-banded
+    corpus build must equal the exact-bar snapshot at every oracle
+    fixture scale — the dedup_minhash equality discipline applied to
+    the composed pipeline (both entries share stages 3-5 by
+    construction; this pins that the banded stage 1+2 drops exactly
+    the docs the exact self-join drops, i.e. LSH recall catches every
+    fixture loser)."""
+
+    @pytest.mark.parametrize(
+        "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_corpus_production_equals_snapshot(self, spark, sf_dir):
+        if not os.path.isdir(sf_dir):
+            pytest.skip(f"no fixture at {sf_dir}")
+        from spark_bi5_datasource_spark.plans.round15_ops import (
+            corpus_build_snapshot,
+        )
+        from spark_bi5_datasource_spark.plans.round16_ops import (
+            corpus_build_production,
+        )
+
+        exact = sorted(
+            map(tuple, corpus_build_snapshot(spark, sf_dir).collect())
+        )
+        banded = sorted(
+            map(tuple, corpus_build_production(spark, sf_dir).collect())
+        )
+        assert banded == exact
+
+
 class TestMediaPhashDedup:
     """Perceptual-hash dedup over binary media (plans/round13_ops.py
     twin): dHash kernel + simhash-band reuse, pinned on images the
