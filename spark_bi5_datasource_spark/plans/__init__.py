@@ -69,7 +69,8 @@ DRIVER_WINDOW: list[str] = [
     # row (dedup_incremental_delta's stored-index probe posture,
     # text_contamination_matrix's in-plan ≤64-source assert), then
     # pure least-recently-exposed (r01-vintage anchors) filler.
-    "corpus_build_production", "dedup_incremental_delta",
+    "corpus_build_production", "layout_cobucketed_docs_emb",
+    "dedup_incremental_delta",
     "text_contamination_matrix", "b1_scan_count", "b5_groupby_count",
     "b6_filter_project", "q1_pricing_summary", "q3_top_revenue_orders",
     "q5_region_revenue", "join_broadcast_dims", "join_left_outer",
@@ -85,7 +86,6 @@ DRIVER_WINDOW: list[str] = [
     "text_chunk_pack", "sim_cosine_topk", "sim_label_centroids",
     "text_stats", "text_langid", "text_quality_filter", "text_fingerprint",
     "text_source_rollup", "multimodal_features", "sim_pandas_udf_norm",
-    "sim_gemm_topk",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

@@ -14,7 +14,10 @@ corpus-build posture the r10 verdict asked for (ask #5).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .round15_ops import _CBS_SQL, corpus_inputs, corpus_tail_stages
 
@@ -77,3 +80,110 @@ def corpus_build_production(spark: SparkSession, sf: str) -> DataFrame:
         d0, "doc_id", "text", n=3, num_perm=32, bands=16, threshold=0.5
     )
     return corpus_tail_stages(d2, bench_sh)
+
+
+# ---------------------------- co-bucketed doc⋈embedding write path
+
+_COBUCKET_SQL = """
+    SELECT d.source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(e.vec_id) AS BIGINT) AS n_vecs,
+      CAST(sum(len(e.embedding)) AS BIGINT) AS dim_cells,
+      CAST(sum(CASE WHEN e.label IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_labeled
+    FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    WHERE d.source IS NOT NULL
+    GROUP BY d.source ORDER BY d.source
+"""
+
+
+def _cobucketed_tables(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize (once per fixture, fingerprint-keyed) the
+    documents/embeddings pair through the PUBLIC co-bucketed write
+    path — ``sources.layout.write_bucketed``, each table hash-
+    bucketed and sorted on its id with the same bucket count — and
+    return the two registered bucketed frames.  New sessions
+    re-attach the existing directories via ``register_bucketed``
+    (DDL only)."""
+    import hashlib
+
+    from ..sources.layout import register_bucketed, write_bucketed
+    from .round13_ops import _warehouse
+
+    parts: list[str] = []
+    for name in ("documents", "embeddings"):
+        src = os.path.join(os.path.normpath(sf), f"{name}.parquet")
+        if os.path.exists(src):
+            st = os.stat(src)
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    base = os.path.join(_warehouse(sf, "cobucketed_docs_emb"), fp)
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    out = []
+    for name, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        tbl = f"bi5_cobucket_{fp}_{name}"
+        path = os.path.join(base, name)
+        if not spark.catalog.tableExists(tbl):
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                register_bucketed(spark, path, tbl, key, 32)
+            else:
+                write_bucketed(
+                    spark.read.parquet(
+                        os.path.join(sf, f"{name}.parquet")
+                    ),
+                    path,
+                    tbl,
+                    key,
+                    32,
+                )
+        out.append(spark.table(tbl))
+    return out[0], out[1]
+
+
+@_q("layout_cobucketed_docs_emb", _COBUCKET_SQL)
+def layout_cobucketed_docs_emb(spark: SparkSession, sf: str) -> DataFrame:
+    """The unstructured-pair layout keystone made a first-class op:
+    documents and embeddings are WRITTEN through the public
+    co-bucketed path (``sources.layout.write_bucketed`` — 32 hash
+    buckets, sorted, documents on doc_id / embeddings on vec_id) and
+    the audit join runs over the co-located layout: per source, doc
+    count, matched-vector count, total embedding cells and labeled
+    count — the dq_doc_embedding_coverage join family, executed the
+    way a 100-TB corpus stores the pair permanently.
+
+    The plan contract (pinned by tests/test_plan_shapes.py): the
+    doc⋈emb id join is a SortMergeJoin over two ``Bucketed: true``
+    scans with NO exchange and NO sort between them — the layout,
+    not the optimizer, pays the co-location, exactly like the
+    lineitem⋈orders bucket contract.  The same layout transparently
+    serves every other id-keyed consumer (coverage, referential
+    integrity, ANN index probes, retrieval join-backs) via
+    tables.BUCKET_SPECS; this entry exercises the WRITE path that
+    produces it, fingerprint-cached per fixture like the stored band
+    index.
+
+    Scale shape: the write is one hash repartition per table (once
+    per corpus snapshot, amortized across every subsequent join);
+    the audit join is exchange-free by layout; the rollup is a
+    ≤|sources| aggregate.  Oracle = the plain-layout SQL twin — the
+    layout must change the PLAN, never the rows."""
+    docs, emb = _cobucketed_tables(spark, sf)
+    j = docs.where("source IS NOT NULL").join(
+        emb, docs.doc_id == emb.vec_id, "left"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("vec_id").cast("bigint").alias("n_vecs"),
+            F.sum(F.size("embedding")).cast("bigint").alias("dim_cells"),
+            F.sum(
+                F.when(F.col("label").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_labeled"),
+        )
+        .orderBy("source")
+    )

@@ -81,8 +81,6 @@ def ensure_bucketed_layout(
     sessions only re-issue the CREATE TABLE DDL (the default catalog
     is in-memory).  Enables the sorted-scan flag so the per-bucket
     sort order survives into the plan (1 file/bucket makes it free)."""
-    from pyspark.sql import functions as F
-
     dest = dest_dir or os.path.join(sf_dir, "_bucketed")
     for name, key in BUCKET_SPECS.items():
         if tables is not None and name not in tables:
@@ -95,28 +93,19 @@ def ensure_bucketed_layout(
         # only the tables it measures) simply skip the absent ones
         if not os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
             continue
+        from ..sources.layout import register_bucketed, write_bucketed
+
         if os.path.exists(os.path.join(path, "_SUCCESS")):
-            sch = spark.read.parquet(path).schema
-            cols = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
-            )
-            spark.sql(
-                f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
-                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                f"INTO {_BUCKETS} BUCKETS LOCATION '{path}'"
-            )
+            register_bucketed(spark, path, tbl, key, _BUCKETS)
         else:
-            # repartition on the bucket key first: each task then holds
-            # exactly one bucket's rows → one file per bucket, which is
-            # what lets the scan expose the sort order
-            (
-                spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-                .repartition(_BUCKETS, F.col(key))
-                .write.bucketBy(_BUCKETS, key)
-                .sortBy(key)
-                .option("path", path)
-                .mode("overwrite")
-                .saveAsTable(tbl)
+            write_bucketed(
+                spark.read.parquet(
+                    os.path.join(sf_dir, f"{name}.parquet")
+                ),
+                path,
+                tbl,
+                key,
+                _BUCKETS,
             )
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     spark.conf.set("spark.bi5.bucketedDir", sf_dir)

@@ -49,6 +49,68 @@ def write_partitioned(
     w.partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` hash-bucketed (and by default sorted) on ``key``
+    into ``path`` and register it as ``table`` — the co-located-join
+    write path, generalized from the fixture-layout helper
+    (plans/tables.ensure_bucketed_layout) to ANY frame a pipeline
+    materializes.
+
+    Two frames written with the same ``buckets`` count, each on ITS
+    join key, join with NO exchange and (when ``sort``) NO sort: the
+    100-TB contract for recurring fact⋈fact and doc⋈embedding joins.
+    The pre-write ``repartition`` on the key means each task holds
+    exactly one bucket's rows — one file per bucket, which is what
+    lets the scan expose the sort order (enable
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` on the
+    reading session).  Returns ``table``."""
+    from pyspark.sql import functions as F
+
+    w = (
+        df.repartition(buckets, F.col(key))
+        .write.bucketBy(buckets, key)
+    )
+    if sort:
+        w = w.sortBy(key)
+    w.option("path", path).mode(mode).saveAsTable(table)
+    return table
+
+
+def register_bucketed(
+    spark,
+    path: str,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+) -> str:
+    """Re-attach an existing ``write_bucketed`` directory as
+    ``table`` in a NEW session (the default catalog is in-memory, so
+    bucketing metadata does not survive a restart) — DDL only, no
+    data movement.  The caller owns parameter consistency: ``key``/
+    ``buckets`` must match what the directory was written with, or
+    the planner will trust wrong co-location.  Returns ``table``."""
+    sch = spark.read.parquet(path).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
+    )
+    sorted_by = f"SORTED BY ({key}) " if sort else ""
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({key}) {sorted_by}"
+        f"INTO {buckets} BUCKETS LOCATION '{path}'"
+    )
+    return table
+
+
 def observed_write(
     df: DataFrame,
     metrics: dict[str, Column],

@@ -541,3 +541,116 @@ def test_url_email_regex_gated(spark):
     # Catalyst rewrites regexp_count into size(regexp_extract_all(..))
     assert "instr" in p and "regexp_extract_all" in p
     assert p.index("instr") < p.index("regexp_extract_all")
+
+
+# per-entry pinned bounds for the iterative ops' FINAL-plan scan
+# multiplicity (the r10 scan-multiplicity audit class): pagerank once
+# re-executed its upstream kNN join 470× per plan until loop
+# invariants were derived from a persisted frame, and connected
+# components re-ran its pair list across jobs until localCheckpoint.
+# The checkpoint/persist discipline truncates the returned frame's
+# lineage, so the most-scanned source file in the FINAL executed plan
+# stays at the pinned count; a regression (dropping a persist, a
+# localCheckpoint, or a reuse gate) re-inlines the full lineage and
+# blows these bounds by orders of magnitude.  Bounds = measured r11
+# count + 1 slack for planner drift.
+_ITERATIVE_SCAN_BOUNDS = {
+    "graph_pagerank_docs": 1,   # measured 0: result is checkpoint-truncated
+    "graph_bfs_depth": 1,       # measured 0
+    "dedup_components": 1,      # measured 0
+    "text_bpe_train": 1,        # measured 0
+    "sim_ivf_topk": 3,          # measured 2: probe join scans emb twice
+    "sim_knn_graph": 3,         # measured 2: self-join
+    "sim_ivf_index_merge": 4,   # measured 3: build + merge + probe legs
+}
+
+
+@pytest.mark.parametrize("name", sorted(_ITERATIVE_SCAN_BOUNDS))
+def test_iterative_ops_scan_multiplicity_gate(spark, name):
+    """GATE (r10 verdict ask #8): the iterative ops' final plan must
+    not scan any one source file more than the pinned bound."""
+    import re
+    from collections import Counter
+
+    p = plan_of(spark, name)
+    scans = Counter(re.findall(r"FileScan \S+ [^\[]*\[", p))
+    worst = scans.most_common(1)
+    n = worst[0][1] if worst else 0
+    assert n <= _ITERATIVE_SCAN_BOUNDS[name], (
+        f"{name}: most-scanned source appears {n}× in the final plan"
+        f" (pinned ≤ {_ITERATIVE_SCAN_BOUNDS[name]}) — an iterative"
+        " lineage-truncation discipline (persist / localCheckpoint /"
+        " reuse_gate) has regressed; see operators/pagerank.py and"
+        " SCALE_NOTES '470-scan' history before raising the bound"
+    )
+
+
+def test_cobucketed_write_path_exchange_free_join(spark, tmp_path, monkeypatch):
+    """sources/layout.write_bucketed (the public co-located write
+    path) must plan the layout_cobucketed_docs_emb id join as a
+    SortMergeJoin over two Bucketed: true scans with no exchange and
+    no sort between them — the doc⋈emb twin of the lineitem⋈orders
+    bucket contract."""
+    from spark_bi5_datasource_spark import plans
+    from spark_bi5_datasource_spark.plans import round13_ops
+
+    # isolate the warehouse artifact under tmp_path so the test never
+    # reuses (or pollutes) the repo-level cache
+    monkeypatch.setattr(
+        round13_ops, "_warehouse",
+        lambda sf, leaf: str(tmp_path / leaf),
+    )
+    # the fixture-scale embeddings side fits the auto-broadcast
+    # threshold, which would hide the join shape the layout exists
+    # for; disable it so the plan shows the at-scale SMJ path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = plans.CATALOG["layout_cobucketed_docs_emb"][0](
+            spark, TESTDATA_SF
+        )
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2
+    smj_block = p[p.index("SortMergeJoin"):]
+    assert "Exchange hashpartitioning" not in smj_block
+    assert "+- Sort" not in smj_block
+
+
+def test_doc_emb_consumers_exchange_free_under_bucketed_layout(
+    spark, tmp_path
+):
+    """With the documents/embeddings bucketed layout enabled
+    (tables.BUCKET_SPECS via ensure_bucketed_layout), the id-keyed
+    doc⋈emb consumers must join exchange-free: the layout written
+    once serves EVERY consumer through t() transparently."""
+    from spark_bi5_datasource_spark import plans
+    from spark_bi5_datasource_spark.plans.tables import (
+        BUCKET_SPECS,
+        _bucket_table_name,
+        ensure_bucketed_layout,
+        is_bucketed,
+    )
+
+    try:
+        ensure_bucketed_layout(
+            spark, TESTDATA_SF, dest_dir=str(tmp_path / "b"),
+            tables=["documents", "embeddings"],
+        )
+        assert is_bucketed(spark, TESTDATA_SF, "documents")
+        assert is_bucketed(spark, TESTDATA_SF, "embeddings")
+        p = plan_of(spark, "dq_doc_embedding_coverage")
+        assert p.count("Bucketed: true") == 2
+        # the full-outer id join must sit directly on the bucketed
+        # scans: no hash exchange anywhere upstream of the join (the
+        # only exchanges left are the ≤|sources|+1 post-agg rollup)
+        join_block = p[p.index("SortMergeJoin"):]
+        assert "Exchange hashpartitioning" not in join_block
+    finally:
+        for name in BUCKET_SPECS:
+            spark.sql(
+                f"DROP TABLE IF EXISTS {_bucket_table_name(name, TESTDATA_SF)}"
+            )
+        spark.conf.set("spark.bi5.bucketedDir", "")
