@@ -72,6 +72,12 @@ def duck_leg(sql, scaled, tables, runs=2):
     return round(best, 3)
 
 
+def _dump(out: dict) -> None:
+    path = os.path.join(HERE, "..", "BENCH_X1000_R17.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+
 def main() -> None:
     from spark_bi5_datasource_spark import plans
 
@@ -89,6 +95,7 @@ def main() -> None:
         )
         pair["ratio"] = round(pair["entry_sec"] / pair["duckdb_sec"], 2)
         out[f"dq_doc_embedding_coverage@{shuf}"] = pair
+        _dump(out)
 
     # ---- ask #3: the three stragglers at shipped (32) and probe (128)
     for q, tabs in (
@@ -103,20 +110,20 @@ def main() -> None:
         entry["ratio@32"] = round(entry["spark@32"] / entry["duckdb"], 2)
         entry["ratio@128"] = round(entry["spark@128"] / entry["duckdb"], 2)
         out[q] = entry
+        _dump(out)
 
     # encoding decode floor, both engines
     fl = leg17("encoding_floor", x1000, "32")
     fl["duckdb_floor_sec"] = duck_leg(
-        "SELECT sum(octet_length(text)) AS b, sum(length(text)) AS c"
+        # DuckDB: strlen = byte length, length = character count
+        "SELECT sum(strlen(text)) AS b, sum(length(text)) AS c"
         " FROM documents",
         x1000,
         ["documents"],
     )
     out["text_encoding_decode_floor"] = fl
+    _dump(out)
 
-    path = os.path.join(HERE, "..", "BENCH_X1000_R17.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps(out, indent=1, sort_keys=True))
 
 
