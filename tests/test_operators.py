@@ -1680,6 +1680,28 @@ class TestPageRank:
         assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
         assert len(ranks) == 3
 
+    def test_eager_mode_matches_lazy(self, spark):
+        """eager=True (the long-lived-session posture, ADVICE r10):
+        materialize-then-unpersist must return exactly the lazy
+        call's ranks, and the result must stay collectable AFTER its
+        invariant caches were released (it reads its own checkpoint
+        blocks).  The storage accounting itself isn't asserted —
+        checkpoint block registration is reaped asynchronously by
+        ContextCleaner, so a counter assertion would be flaky."""
+        from spark_bi5_datasource_spark.operators.pagerank import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 1)], "src long, dst long"
+        )
+        lazy = {
+            r.node: round(r.rank, 9)
+            for r in pagerank(edges, iters=3).collect()
+        }
+        eager = pagerank(edges, iters=3, eager=True)
+        spark.catalog.clearCache()  # result must survive cache release
+        got = {r.node: round(r.rank, 9) for r in eager.collect()}
+        assert got == lazy
+
 
 class TestGlobalRunningSum:
     def test_matches_single_partition_window(self, spark):
