@@ -3,6 +3,7 @@ from .asof_join import asof_join
 from .bloom import bloom_semi_join
 from .bpe import encode_bpe, train_bpe
 from .components import connected_components, dedup_by_components
+from .contamination import contamination_matrix
 from .dedup import (
     exact_dedup,
     minhash_dedup,
@@ -41,6 +42,7 @@ __all__ = [
     "bloom_semi_join",
     "cdc_apply",
     "connected_components",
+    "contamination_matrix",
     "cosine_pairs",
     "cosine_topk",
     "dedup_by_components",

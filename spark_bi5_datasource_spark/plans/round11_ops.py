@@ -152,8 +152,13 @@ def text_contamination_matrix(spark: SparkSession, sf: str) -> DataFrame:
     explode that used to run per-gram runs per-MASK.  The source→idx
     dim is ≤|sources| rows (broadcast everywhere; row_number over the
     distinct is a bounded SinglePartition, the day-bitmask kernel
-    precedent).  Contract: ≤64 sources per run — corpora with more
-    shard this matrix by source group (the masks compose by OR).
+    precedent).  Contract: ≤64 sources per run, ENFORCED in-plan by
+    the assert on the idx column below (r10 ADVICE) — corpora with
+    more sources use the multi-word generalization
+    ``operators.contamination.contamination_matrix(words=k)``, which
+    widens the mask to k 64-bit bit_or columns in the same single
+    aggregate (words=1 reproduces this entry exactly; pytest-pinned
+    on a 70-source frame vs brute force).
     Exact: gram keys stay strings; only set REPRESENTATION changed."""
     from pyspark.sql import Window
 

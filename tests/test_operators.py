@@ -1703,6 +1703,99 @@ class TestPageRank:
         assert got == lazy
 
 
+class TestContaminationMatrixMultiword:
+    """operators/contamination.contamination_matrix: the multi-word
+    generalization that CURES the catalog entry's ≤64-source
+    contract instead of just asserting it."""
+
+    def test_words1_equals_catalog_entry(self, spark):
+        from spark_bi5_datasource_spark.operators.contamination import (
+            contamination_matrix,
+        )
+        from spark_bi5_datasource_spark.plans.round11_ops import (
+            text_contamination_matrix,
+        )
+        from tests.conftest import TESTDATA_SF, has_testdata
+
+        if not has_testdata():
+            pytest.skip("no fixture")
+        docs = spark.read.parquet(
+            os.path.join(TESTDATA_SF, "documents.parquet")
+        )
+        got = sorted(
+            map(tuple, contamination_matrix(docs, words=1).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                text_contamination_matrix(spark, TESTDATA_SF).collect(),
+            )
+        )
+        assert got == want
+
+    @staticmethod
+    def _synthetic_70_sources(spark):
+        # 70 sources: s_i holds doc "w{i} w{i+1} w{i+2} w{i+3}" so
+        # adjacent sources share exactly one 3-shingle; plus a hub
+        # shingle shared by the multiples of 7
+        rows = []
+        for i in range(70):
+            rows.append((f"s{i:02d}", f"w{i} w{i+1} w{i+2} w{i+3}"))
+            if i % 7 == 0:
+                rows.append((f"s{i:02d}", "hub a b"))
+        return spark.createDataFrame(rows, "source string, text string")
+
+    @staticmethod
+    def _brute_force(rows, n=3):
+        # distinct shingles per source, then all overlapping pairs
+        from collections import defaultdict
+
+        sh = defaultdict(set)
+        for src, text in rows:
+            tk = text.split(" ")
+            if len(tk) < n:
+                sh[src].add(" ".join(tk))
+            else:
+                for i in range(len(tk) - n + 1):
+                    sh[src].add(" ".join(tk[i : i + n]))
+        out = []
+        srcs = sorted(sh)
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1 :]:
+                common = len(sh[a] & sh[b])
+                if common:
+                    out.append(
+                        (a, b, common, len(sh[a]), len(sh[b]),
+                         common * 1_000_000 // len(sh[a]),
+                         common * 1_000_000 // len(sh[b]))
+                    )
+        return sorted(out)
+
+    def test_70_sources_two_words_vs_brute_force(self, spark):
+        from spark_bi5_datasource_spark.operators.contamination import (
+            contamination_matrix,
+        )
+
+        docs = self._synthetic_70_sources(spark)
+        got = sorted(
+            map(tuple, contamination_matrix(docs, words=2).collect())
+        )
+        rows = [(r.source, r.text) for r in docs.collect()]
+        assert got == self._brute_force(rows)
+
+    def test_underprovisioned_words_fails_loudly(self, spark):
+        from spark_bi5_datasource_spark.operators.contamination import (
+            contamination_matrix,
+        )
+
+        docs = self._synthetic_70_sources(spark)
+        # depending on AQE stage materialization the USER_RAISED
+        # assert surfaces as SparkRuntimeException or wrapped in a
+        # multi-failure Py4JJavaError — match the message, not the type
+        with pytest.raises(Exception, match="more than 64"):
+            contamination_matrix(docs, words=1).collect()
+
+
 class TestGlobalRunningSum:
     def test_matches_single_partition_window(self, spark):
         from pyspark.sql import Window
