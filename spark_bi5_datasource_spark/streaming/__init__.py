@@ -9,6 +9,7 @@ from .events import (
     windowed_counts,
 )
 from .bi5_stream import stream_bi5_writer
+from .bucketed_sink import stream_bucketed_append_writer
 from .crawl import stream_corpus_build_writer, stream_crawl_dedup_writer
 from .upsert_sink import latest_per_key, stream_upsert_writer
 
@@ -19,6 +20,7 @@ __all__ = [
     "session_windows",
     "sliding_value_sums",
     "stream_bi5_writer",
+    "stream_bucketed_append_writer",
     "stream_crawl_dedup_writer",
     "stream_corpus_build_writer",
     "stream_static_enrich",

@@ -1,0 +1,83 @@
+"""Streaming append into a co-bucketed table: continuous ingestion
+that PRESERVES the co-located-join layout (sources/layout.
+write_bucketed's contract) instead of degrading it to plain files.
+
+A 100-TB corpus stores its fact/doc/embedding tables hash-bucketed on
+their join ids so recurring joins run exchange-free; a naive
+streaming sink (plain parquet append) silently drops that property —
+every post-ingest join pays the shuffle again.  This sink appends
+each micro-batch THROUGH the bucketed write path: Spark's
+``bucketBy(...).mode("append").saveAsTable`` hashes batch rows into
+the table's existing bucket scheme, so the invariant "bucket b holds
+exactly the keys with hash(key) % n == b" survives every batch and
+the exchange-free plan shape is layout-guaranteed forever.
+
+File-count reality: each batch adds up to ``buckets`` files (one per
+bucket it touches).  That is the same small-files pressure every
+streaming lake sink has; the established cure is the compaction pass
+(operators/sharding.compact_parquet — per bucket, a bucket's files
+compact independently without breaking the hash invariant, since
+bucket membership is a property of the ROW, not the file).
+
+Effectively-once: the ``_applied_batch_<id>`` marker skips replayed
+batches — an append is NOT idempotent, so unlike the upsert sink the
+marker is load-bearing here; it is written only after the append
+commits, and a crash between append and marker re-appends the batch
+(at-least-once).  Exactly-once appends need a table format with
+transactional commits (Delta/Iceberg) — documented, not faked.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["stream_bucketed_append_writer"]
+
+
+def stream_bucketed_append_writer(
+    increments: DataFrame,
+    path: str,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    marker_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Wire a streaming frame into a bucketed table append loop;
+    returns the started ``StreamingQuery``.
+
+    First batch creates the table via the public write path
+    (``sources.layout.write_bucketed``); later batches append with
+    the identical bucket spec.  ``marker_dir`` (default: ``path`` +
+    ``.markers``) holds the replay markers — outside the table
+    directory so the table stays a pure parquet tree for non-Spark
+    readers."""
+    from ..sources.layout import write_bucketed
+
+    markers = marker_dir or f"{path}.markers"
+    os.makedirs(markers, exist_ok=True)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers, f"_applied_batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(table):
+            (
+                batch_df.repartition(buckets, F.col(key))
+                .write.bucketBy(buckets, key)
+                .sortBy(key)
+                .mode("append")
+                .saveAsTable(table)
+            )
+        else:
+            write_bucketed(batch_df, path, table, key, buckets)
+        open(marker, "w").close()
+
+    writer = increments.writeStream.foreachBatch(apply)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

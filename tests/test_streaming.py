@@ -1056,3 +1056,119 @@ class TestStreamCorpusBuild:
             for r in spark.read.parquet(os.path.join(cdir, "docs")).collect()
         )
         assert again == want
+
+
+class TestStreamBucketedAppend:
+    """streaming/bucketed_sink.py: the co-bucketed layout must survive
+    continuous ingestion — after N appended micro-batches the table
+    (a) holds exactly the union of the batches, (b) still plans an
+    exchange-free sort-merge join against a matching bucketed side,
+    and (c) a replayed batch is a no-op via the marker."""
+
+    def _batches(self):
+        return [
+            [(i, f"doc {i}") for i in range(0, 40)],
+            [(i, f"doc {i}") for i in range(40, 80)],
+            [(i, f"doc {i}") for i in range(80, 120)],
+        ]
+
+    def _stream(self, spark, tmp_path):
+        import time as _time
+
+        sdir = str(tmp_path / "inc")
+        os.makedirs(sdir, exist_ok=True)
+        t0 = _time.time()
+        for k, rows in enumerate(self._batches()):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            df.coalesce(1).write.mode("append").parquet(sdir)
+            parts = sorted(
+                f for f in os.listdir(sdir) if f.endswith(".parquet")
+            )
+            for f in parts:
+                p = os.path.join(sdir, f)
+                if os.path.getmtime(p) > t0 + k:
+                    os.utime(p, (t0 + k, t0 + k))
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+
+    def test_appends_preserve_layout_and_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.sources.layout import (
+            write_bucketed,
+        )
+        from spark_bi5_datasource_spark.streaming import (
+            stream_bucketed_append_writer,
+        )
+
+        table = "bi5_test_stream_bucketed"
+        other_t = "bi5_test_stream_bucketed_other"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {other_t}")
+        try:
+            q = stream_bucketed_append_writer(
+                self._stream(spark, tmp_path),
+                str(tmp_path / "tbl"),
+                table,
+                "doc_id",
+                buckets=8,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            )
+            q.awaitTermination()
+
+            got = sorted(r.doc_id for r in spark.table(table).collect())
+            assert got == list(range(120))
+
+            # a matching bucketed side joins with no exchange, no sort
+            write_bucketed(
+                spark.createDataFrame(
+                    [(i, i % 7) for i in range(120)],
+                    "doc_id long, label long",
+                ),
+                str(tmp_path / "other"),
+                other_t,
+                "doc_id",
+                buckets=8,
+            )
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering",
+                "true",
+            )
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                j = spark.table(table).join(
+                    spark.table(other_t), "doc_id"
+                ).groupBy("label").agg(F.count("*").alias("n"))
+                p = j._jdf.queryExecution().executedPlan().toString()
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", prev
+                )
+            assert "SortMergeJoin" in p
+            assert p.count("Bucketed: true") == 2
+            smj = p[p.index("SortMergeJoin"):]
+            # the only exchange below the join tree may be the
+            # post-join groupBy's — never one feeding the SMJ sides
+            pre_agg = smj[: smj.index("Bucketed: true")]
+            assert "Exchange hashpartitioning" not in pre_agg
+            assert "+- Sort" not in pre_agg
+
+            # replayed batch = no-op (marker): re-running the whole
+            # availableNow stream over the same checkpoint adds nothing
+            q2 = stream_bucketed_append_writer(
+                self._stream(spark, tmp_path),
+                str(tmp_path / "tbl"),
+                table,
+                "doc_id",
+                buckets=8,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            )
+            q2.awaitTermination()
+            assert spark.table(table).count() == 120
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            spark.sql(f"DROP TABLE IF EXISTS {other_t}")
