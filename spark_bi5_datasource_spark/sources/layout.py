@@ -24,6 +24,8 @@ write" dashboard, which at 100 TB would double the job cost.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, Observation
@@ -109,6 +111,62 @@ def register_bucketed(
         f"INTO {buckets} BUCKETS LOCATION '{path}'"
     )
     return table
+
+
+def compact_bucketed(
+    spark,
+    table: str,
+    path: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+) -> int:
+    """Compact a bucketed table back to ONE file per bucket after
+    streaming appends have fragmented it (each appended micro-batch
+    adds up to ``buckets`` files).
+
+    A generic directory compactor (operators/sharding.compact_parquet)
+    would merge files ACROSS buckets and silently corrupt the
+    bucket→file mapping the exchange-free join contract depends on —
+    bucketed compaction must re-run the bucketed WRITE path.  This
+    rewrites the table snapshot through ``write_bucketed`` into a
+    staging directory (same key, same bucket count — the rewrite is
+    one hash repartition), then swaps: drop the catalog entries,
+    rename staging over ``path``, re-register.  The swap window is
+    metadata-only; readers holding the old DataFrame keep reading the
+    renamed ``.old`` files until it is removed at the end.  Returns
+    the data-file count after compaction (== buckets touched)."""
+    import shutil
+
+    tmp_table = f"{table}_compacting"
+    staging = f"{path}.compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    # read the DIRECTORY, not the table: the bucketed scan already
+    # reports HashPartitioning(key, buckets), so EnsureRequirements
+    # elides write_bucketed's repartition and every fragment file
+    # passes through as its own task → its own output file (measured:
+    # a 19-file table "compacted" to 19 files).  A plain parquet scan
+    # carries no partitioning, forcing the real one-task-per-bucket
+    # shuffle.
+    write_bucketed(
+        spark.read.parquet(path), staging, tmp_table, key, buckets,
+        sort=sort,
+    )
+    # external tables: DROP removes metadata only, files stay put
+    spark.sql(f"DROP TABLE {tmp_table}")
+    spark.sql(f"DROP TABLE {table}")
+    old = f"{path}.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    register_bucketed(spark, path, table, key, buckets, sort=sort)
+    shutil.rmtree(old, ignore_errors=True)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet") or f.startswith("part-")
+    )
 
 
 def observed_write(

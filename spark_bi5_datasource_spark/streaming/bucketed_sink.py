@@ -14,10 +14,12 @@ the exchange-free plan shape is layout-guaranteed forever.
 
 File-count reality: each batch adds up to ``buckets`` files (one per
 bucket it touches).  That is the same small-files pressure every
-streaming lake sink has; the established cure is the compaction pass
-(operators/sharding.compact_parquet — per bucket, a bucket's files
-compact independently without breaking the hash invariant, since
-bucket membership is a property of the ROW, not the file).
+streaming lake sink has; the cure is the BUCKET-AWARE compaction pass
+(sources/layout.compact_bucketed — rewrites the snapshot through the
+bucketed write path back to one file per bucket and swaps).  A
+generic directory compactor must NOT be used here: merging files
+across buckets corrupts the bucket→file mapping the exchange-free
+join contract depends on.
 
 Effectively-once: the ``_applied_batch_<id>`` marker skips replayed
 batches — an append is NOT idempotent, so unlike the upsert sink the
@@ -73,6 +75,10 @@ def stream_bucketed_append_writer(
                 .mode("append")
                 .saveAsTable(table)
             )
+            # long-lived sessions cache the table's file listing;
+            # without the refresh a reader that touched the table
+            # before this batch silently keeps the pre-append view
+            spark.catalog.refreshTable(table)
         else:
             write_bucketed(batch_df, path, table, key, buckets)
         open(marker, "w").close()

@@ -1076,18 +1076,21 @@ class TestStreamBucketedAppend:
         import time as _time
 
         sdir = str(tmp_path / "inc")
-        os.makedirs(sdir, exist_ok=True)
-        t0 = _time.time()
-        for k, rows in enumerate(self._batches()):
-            df = spark.createDataFrame(rows, "doc_id long, text string")
-            df.coalesce(1).write.mode("append").parquet(sdir)
-            parts = sorted(
-                f for f in os.listdir(sdir) if f.endswith(".parquet")
-            )
-            for f in parts:
-                p = os.path.join(sdir, f)
-                if os.path.getmtime(p) > t0 + k:
-                    os.utime(p, (t0 + k, t0 + k))
+        if not os.path.isdir(sdir):  # build the source files ONCE
+            os.makedirs(sdir)
+            t0 = _time.time()
+            for k, rows in enumerate(self._batches()):
+                df = spark.createDataFrame(
+                    rows, "doc_id long, text string"
+                )
+                df.coalesce(1).write.mode("append").parquet(sdir)
+                parts = sorted(
+                    f for f in os.listdir(sdir) if f.endswith(".parquet")
+                )
+                for f in parts:
+                    p = os.path.join(sdir, f)
+                    if os.path.getmtime(p) > t0 + k:
+                        os.utime(p, (t0 + k, t0 + k))
         return (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -1157,18 +1160,53 @@ class TestStreamBucketedAppend:
             assert "Exchange hashpartitioning" not in pre_agg
             assert "+- Sort" not in pre_agg
 
-            # replayed batch = no-op (marker): re-running the whole
-            # availableNow stream over the same checkpoint adds nothing
+            # replayed batches = no-ops via the markers: a FRESH
+            # checkpoint makes Spark reprocess all three files as
+            # batch ids 0..2 again; the markers from the first run
+            # skip every one, so the table is unchanged
             q2 = stream_bucketed_append_writer(
                 self._stream(spark, tmp_path),
                 str(tmp_path / "tbl"),
                 table,
                 "doc_id",
                 buckets=8,
-                checkpoint_dir=str(tmp_path / "ckpt"),
+                checkpoint_dir=str(tmp_path / "ckpt2"),
             )
             q2.awaitTermination()
             assert spark.table(table).count() == 120
+
+            # bucket-aware compaction: 3 appended batches fragmented
+            # the table to ~3 files/bucket; compact_bucketed must
+            # return to ≤1 file per bucket with rows and the
+            # exchange-free plan shape intact
+            from spark_bi5_datasource_spark.sources.layout import (
+                compact_bucketed,
+            )
+
+            tdir = str(tmp_path / "tbl")
+            n_before = sum(
+                1 for f in os.listdir(tdir) if f.startswith("part-")
+            )
+            assert n_before > 8  # fragmentation actually happened
+            n_after = compact_bucketed(spark, table, tdir, "doc_id", 8)
+            assert n_after <= 8
+            got2 = sorted(r.doc_id for r in spark.table(table).collect())
+            assert got2 == list(range(120))
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                j2 = spark.table(table).join(
+                    spark.table(other_t), "doc_id"
+                )
+                p2 = j2._jdf.queryExecution().executedPlan().toString()
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", prev
+                )
+            assert "SortMergeJoin" in p2
+            assert p2.count("Bucketed: true") == 2
+            assert "Exchange hashpartitioning" not in p2[
+                p2.index("SortMergeJoin"):
+            ]
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
             spark.sql(f"DROP TABLE IF EXISTS {other_t}")
