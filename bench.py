@@ -64,6 +64,11 @@ def build_spark():
         # scheduler overhead (17.3 vs 14.4 s).  At real cluster scale
         # files outnumber cores and this knob is moot.
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # layout contract flag set at SESSION BUILD so every timed
+        # entry sees the same planner config — previously an entry
+        # (layout_cobucketed_docs_emb) flipped it mid-session, making
+        # later bucketed-scan plan shapes depend on execution order
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
@@ -74,6 +79,36 @@ def build_spark():
 
 def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def scan_sentinel(spark, data_dir: str, runs: int = 3) -> float:
+    """Drift sentinel: a fixed NO-SHUFFLE parquet scan leg (2-column
+    projection of lineitem, noop sink) timed with the same warm-up +
+    min-of-N discipline as the real queries.  The box's storage-layer
+    writeback makes identical legs drift 0.16→1.15 s within minutes
+    (SCALE_NOTES r17); emitting this leg at the START and END of every
+    bench window records the box state the window's timings were taken
+    in, so a cross-round delta can be read as drift vs regression from
+    the artifact alone instead of re-pinning by hand."""
+    df = spark.read.parquet(
+        os.path.join(data_dir, "lineitem.parquet")
+    ).select("l_quantity", "l_extendedprice")
+    return timed(df, runs=runs)
+
+
+def duckdb_sentinel(con, runs: int = 3) -> float:
+    """DuckDB twin of ``scan_sentinel`` (same two columns forced
+    through a sum so the scan is real, not metadata-only) — both
+    engines share the drifting storage layer, so ratio conclusions
+    need the box state pinned on both sides."""
+    q = "SELECT sum(l_quantity), sum(l_extendedprice) FROM lineitem"
+    con.execute(q).fetchall()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        con.execute(q).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def timed(df, runs: int = 2) -> float:
@@ -274,11 +309,15 @@ def run_scaled(spark, x: int = SCALE_X, queries=None, tables=None) -> dict:
     qs = {n: fn for n, (fn, _s, _b) in plans.CATALOG.items()}
     oracles = plans.oracle_sql()
 
+    sentinels: dict[str, float] = {
+        "spark_start": scan_sentinel(spark, scaled_dir)
+    }
     spark_t: dict[str, float] = {}
     for name in queries:
         # min-of-3: the scaled runs are long enough that one GC pause
         # or page-cache miss shows up as 2-3x noise on a single run
         spark_t[name] = timed(qs[name](spark, scaled_dir), runs=3)
+    sentinels["spark_end"] = scan_sentinel(spark, scaled_dir)
 
     # join-heavy queries: also time the un-bucketed layout, so every
     # tier shows what the prescribed warehouse layout buys (the
@@ -305,6 +344,7 @@ def run_scaled(spark, x: int = SCALE_X, queries=None, tables=None) -> dict:
         con.execute(
             f"CREATE VIEW {table} AS FROM '{scaled_dir}/{table}.parquet'"
         )
+    sentinels["duckdb_start"] = duckdb_sentinel(con)
     duck_t: dict[str, float] = {}
     for name in queries:
         # same warm-up + best-of-N as the Spark side — asymmetric
@@ -316,12 +356,14 @@ def run_scaled(spark, x: int = SCALE_X, queries=None, tables=None) -> dict:
             con.execute(oracles[name]).fetchall()
             best = min(best, time.perf_counter() - t0)
         duck_t[name] = round(best, 3)
+    sentinels["duckdb_end"] = duckdb_sentinel(con)
     con.close()
 
     s_total = round(sum(spark_t.values()), 3)
     d_total = round(sum(duck_t.values()), 3)
     out = {
         "x": x,
+        "sentinel": sentinels,
         "spark": spark_t,
         "duckdb": duck_t,
         "per_query_ratio": {
@@ -356,9 +398,13 @@ def main() -> None:
     warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
 
+    sf_sentinels: dict[str, float] = {
+        "spark_start": scan_sentinel(spark, SF_DIR)
+    }
     timings: dict[str, float] = {}
     for name, fn in plans.bench_queries().items():
         timings[name] = timed(fn(spark, SF_DIR))
+    sf_sentinels["spark_end"] = scan_sentinel(spark, SF_DIR)
 
     if os.path.isdir(REFERENCE_BI5):
         # like-for-like vs the reference's own fixture tree (BASELINE.md)
@@ -417,7 +463,13 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
-        "drift_protocol": "fresh JVM per scaled tier (r9 shuffle-I/O drift finding)",
+        "drift_protocol": (
+            "fresh JVM per scaled tier (r9 shuffle-I/O drift finding); "
+            "scan-floor sentinel legs bracket every window (r12) — read "
+            "each query against its window's start/end sentinels before "
+            "calling a cross-round delta a regression"
+        ),
+        "sentinel_sf": sf_sentinels,
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",

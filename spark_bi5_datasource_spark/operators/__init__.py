@@ -26,6 +26,7 @@ from .pca import pca_fit, pca_project
 from .pq import pq_topk, pq_train
 from .ranking import global_running_sum, ntile_expr, with_global_rank
 from .scd import scd2_build
+from .scoped import storage_scope
 from .sharding import assign_training_shards, compact_parquet, write_training_shards
 from .similarity import cosine_pairs, cosine_topk, rp_lsh_topk, rp_signature
 from .skew import salted_join
@@ -72,6 +73,7 @@ __all__ = [
     "scd2_build",
     "simhash",
     "simhash_pairs",
+    "storage_scope",
     "top_k",
     "top_k_per_group",
     "top_k_sketch",

@@ -56,7 +56,11 @@ def pagerank(
     ``eager=True`` — materialize the result once (one extra action
     at call time, so NOT the posture for lazily-timed catalog
     entries) and unpersist all three invariants before returning —
-    or call ``spark.catalog.clearCache()`` between runs.
+    or call ``spark.catalog.clearCache()`` between runs — or, the
+    precise scoped form, wrap the call and its consuming actions in
+    ``operators.scoped.storage_scope(spark)``, which unpersists
+    exactly the frames and checkpoint blocks this call created and
+    nothing else (pinned by tests/test_scoped_cleanup.py).
 
     Fixture-scale cost note (r10 A/B, sf0.01, same protocol): the
     scale-safe shape below (invariants persisted and derived from

@@ -126,6 +126,7 @@ def cache_daily_bars(spark: SparkSession, sf: str) -> None:
     window job is a single tiny local stage (measured at x1000:
     persist-based sweep 5.96 s vs collect-based ~3 s for the same
     six indicators)."""
+    _evict_stale()
     for kind, build in (("ohlc", _build_ohlc), ("rev", _build_rev)):
         key = (_skey(spark), sf, kind)
         if key not in _CACHE:
@@ -133,6 +134,27 @@ def cache_daily_bars(spark: SparkSession, sf: str) -> None:
             _CACHE[key] = spark.createDataFrame(
                 built.collect(), schema=built.schema
             )
+    # FIFO cap: one long-lived session sweeping many sf dirs would
+    # otherwise accumulate one bar pair per dir forever; bars are
+    # cheap to rebuild, so evicting the oldest is harmless
+    while len(_CACHE) > _CACHE_MAX:
+        _CACHE.pop(next(iter(_CACHE)))
+
+
+_CACHE_MAX = 8  # 4 sf dirs × 2 kinds
+
+
+def _evict_stale() -> None:
+    """Drop cache entries owned by stopped sessions: their local
+    frames are unusable (the session is gone) and, without this,
+    every stop/start cycle leaked one bar pair per swept sf dir."""
+    for key, df in list(_CACHE.items()):
+        try:
+            stale = df.sparkSession.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            stale = True  # session torn down far enough to throw
+        if stale:
+            _CACHE.pop(key, None)
 
 
 def uncache_daily_bars(spark: SparkSession, sf: str) -> None:

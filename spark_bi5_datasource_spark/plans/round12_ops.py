@@ -163,9 +163,15 @@ def _delta_corpus_index(
     from .round13_ops import _warehouse
 
     src = os.path.join(os.path.normpath(sf), "documents.parquet")
-    parts: list[str] = []
+    # index parameters + corpus split are part of the identity: a
+    # future n/num_perm/bands/predicate change must NOT silently
+    # reuse a stale incompatible index
+    parts: list[str] = ["n=3", "num_perm=32", "bands=16",
+                        "split=doc_id%10<>0"]
     if os.path.isdir(src):
-        for root, _dirs, files in os.walk(src):
+        for root, dirs, files in os.walk(src):
+            dirs.sort()  # os.walk order is fs-dependent; sort for a
+            # deterministic fingerprint across runs/machines
             for f in sorted(files):
                 st = os.stat(os.path.join(root, f))
                 parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")

@@ -109,7 +109,11 @@ def _cobucketed_tables(
     (DDL only)."""
     import hashlib
 
-    from ..sources.layout import register_bucketed, write_bucketed
+    from ..sources.layout import (
+        enable_sorted_bucketed_scans,
+        register_bucketed,
+        write_bucketed,
+    )
     from .round13_ops import _warehouse
 
     parts: list[str] = []
@@ -120,9 +124,10 @@ def _cobucketed_tables(
             parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
     fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
     base = os.path.join(_warehouse(sf, "cobucketed_docs_emb"), fp)
-    spark.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-    )
+    # layout-session flag via the shared setup path (bench.py also
+    # sets it at session build, so timed sessions see ONE uniform
+    # value rather than a mid-run flip ordered by entry execution)
+    enable_sorted_bucketed_scans(spark)
     out = []
     for name, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
         tbl = f"bi5_cobucket_{fp}_{name}"

@@ -107,7 +107,9 @@ def ensure_bucketed_layout(
                 key,
                 _BUCKETS,
             )
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    from ..sources.layout import enable_sorted_bucketed_scans
+
+    enable_sorted_bucketed_scans(spark)
     spark.conf.set("spark.bi5.bucketedDir", sf_dir)
 
 

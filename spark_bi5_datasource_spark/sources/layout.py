@@ -86,6 +86,22 @@ def write_bucketed(
     return table
 
 
+def enable_sorted_bucketed_scans(spark) -> None:
+    """Session-setup switch for the bucketed layout contract: lets a
+    one-file-per-bucket scan report its per-bucket sort order so SMJ
+    plans elide the Sort as well as the Exchange.  Idempotent and
+    row-neutral (it only lets the planner TRUST an ordering the
+    ``write_bucketed`` layout genuinely provides).  Call it once at
+    session setup — NOT from inside individual timed operations — so
+    plan shapes are uniform across a session rather than dependent on
+    which entry ran first (bench.py sets it at session build;
+    ``ensure_bucketed_layout`` and the co-bucketed fixtures route
+    through here)."""
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+
+
 def register_bucketed(
     spark,
     path: str,
@@ -120,6 +136,7 @@ def compact_bucketed(
     key: str,
     buckets: int = 32,
     sort: bool = True,
+    keep_old: bool = False,
 ) -> int:
     """Compact a bucketed table back to ONE file per bucket after
     streaming appends have fragmented it (each appended micro-batch
@@ -131,12 +148,32 @@ def compact_bucketed(
     bucketed compaction must re-run the bucketed WRITE path.  This
     rewrites the table snapshot through ``write_bucketed`` into a
     staging directory (same key, same bucket count — the rewrite is
-    one hash repartition), then swaps: drop the catalog entries,
-    rename staging over ``path``, re-register.  The swap window is
-    metadata-only; readers holding the old DataFrame keep reading the
-    renamed ``.old`` files until it is removed at the end.  Returns
-    the data-file count after compaction (== buckets touched)."""
+    one hash repartition), then swaps directories and re-registers.
+
+    Concurrency contract: compaction assumes NO concurrent readers of
+    the pre-compaction snapshot — an in-flight query holding the old
+    DataFrame will fail with FileNotFoundException once the old files
+    are removed.  Pass ``keep_old=True`` to leave the pre-compaction
+    snapshot at ``<path>.old`` for the caller to purge after draining
+    readers (the caller owns the eventual ``shutil.rmtree``).
+
+    Crash safety: the swap is two directory renames; a crash between
+    them leaves both snapshots intact on disk (``<path>.old`` = full
+    pre-compaction data, ``<path>.compacting`` = full compacted data)
+    and the NEXT ``compact_bucketed`` call on the same path
+    auto-recovers by restoring ``.old`` before starting over.  The
+    catalog entry for ``table`` is dropped only AFTER the data swap
+    completes, so at every crash point either the directory or the
+    prior registration is recoverable.  Returns the data-file count
+    after compaction (== buckets touched)."""
     import shutil
+
+    old = f"{path}.old"
+    # recover from a crash mid-swap in a PRIOR run: path missing but
+    # the pre-compaction snapshot survives at .old — restore it and
+    # redo the compaction from scratch
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
 
     tmp_table = f"{table}_compacting"
     staging = f"{path}.compacting"
@@ -155,13 +192,17 @@ def compact_bucketed(
     )
     # external tables: DROP removes metadata only, files stay put
     spark.sql(f"DROP TABLE {tmp_table}")
-    spark.sql(f"DROP TABLE {table}")
-    old = f"{path}.old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(staging, path)
+    # catalog swap only after the data swap is complete: a crash
+    # before this line leaves the old registration pointing at a
+    # fully-populated ``path`` (now holding the compacted snapshot,
+    # same rows), never at a hole
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     register_bucketed(spark, path, table, key, buckets, sort=sort)
-    shutil.rmtree(old, ignore_errors=True)
+    if not keep_old:
+        shutil.rmtree(old, ignore_errors=True)
     return sum(
         1
         for f in os.listdir(path)

@@ -56,31 +56,58 @@ def stream_bucketed_append_writer(
     the identical bucket spec.  ``marker_dir`` (default: ``path`` +
     ``.markers``) holds the replay markers — outside the table
     directory so the table stays a pure parquet tree for non-Spark
-    readers."""
-    from ..sources.layout import write_bucketed
+    readers.
+
+    Restart safety: the in-memory catalog forgets ``table`` across
+    sessions while ``path`` still holds every previously appended
+    row, so "table not in catalog" must NOT be read as "table does
+    not exist" — a committed directory (``_SUCCESS`` present) is
+    re-attached via ``register_bucketed`` (DDL only) and the batch
+    APPENDS; only a genuinely absent directory takes the create
+    path.  Without this, the first post-restart batch would
+    overwrite-create and silently destroy all prior ingest."""
+    from ..sources.layout import register_bucketed, write_bucketed
 
     markers = marker_dir or f"{path}.markers"
     os.makedirs(markers, exist_ok=True)
+    # foreachBatch runs on a CLONED session whose catalog caches are
+    # separate from the caller's: a refreshTable issued on the clone
+    # does not invalidate the relation the ORIGINATING session cached
+    # the first time it read the table (measured: the owner kept
+    # counting the pre-append snapshot forever).  Capture the owner
+    # here and refresh both after every append.
+    owner = increments.sparkSession
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(markers, f"_applied_batch_{batch_id}")
         if os.path.exists(marker):
             return
         spark = batch_df.sparkSession
-        if spark.catalog.tableExists(table):
-            (
-                batch_df.repartition(buckets, F.col(key))
-                .write.bucketBy(buckets, key)
-                .sortBy(key)
-                .mode("append")
-                .saveAsTable(table)
-            )
-            # long-lived sessions cache the table's file listing;
-            # without the refresh a reader that touched the table
-            # before this batch silently keeps the pre-append view
-            spark.catalog.refreshTable(table)
-        else:
-            write_bucketed(batch_df, path, table, key, buckets)
+        if not spark.catalog.tableExists(table):
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                # restarted session over a live table: re-attach,
+                # never overwrite-create (that would wipe prior
+                # ingest the moment a checkpointed stream resumes)
+                register_bucketed(spark, path, table, key, buckets)
+            else:
+                write_bucketed(batch_df, path, table, key, buckets)
+                open(marker, "w").close()
+                return
+        (
+            batch_df.repartition(buckets, F.col(key))
+            .write.bucketBy(buckets, key)
+            .sortBy(key)
+            .mode("append")
+            .saveAsTable(table)
+        )
+        # long-lived sessions cache the table's file listing;
+        # without the refresh a reader that touched the table
+        # before this batch silently keeps the pre-append view —
+        # on the batch's cloned session AND the owning session
+        # (separate relation caches)
+        spark.catalog.refreshTable(table)
+        if owner is not spark and owner.catalog.tableExists(table):
+            owner.catalog.refreshTable(table)
         open(marker, "w").close()
 
     writer = increments.writeStream.foreachBatch(apply)
