@@ -27,13 +27,21 @@ WINDOW_SIZE = 50
 
 
 def driver_exposed() -> dict[str, int]:
-    """name -> first round it appeared in a CORRECTNESS file."""
+    """name -> LAST round it appeared in a CORRECTNESS file.
+
+    Last, not first: the filler policy is least-RECENTLY-exposed, so
+    an entry re-certified in round N must sort to the back for round
+    N+1.  (The original first-exposure key made the r01-vintage
+    anchors permanently sticky — the same 50 entries would have
+    re-certified every round while the other ~200 never got a second
+    driver row; caught in r12 when the proposal equaled r11's
+    window.)"""
     seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         with open(path) as fh:
             for name in json.load(fh):
-                seen.setdefault(name, rnd)
+                seen[name] = max(rnd, seen.get(name, 0))
     return seen
 
 

@@ -61,31 +61,35 @@ CATALOG: dict[str, tuple] = {
 # The union of driver-green rows across rounds is the coverage
 # record — see COVERAGE.md.
 DRIVER_WINDOW: list[str] = [
-    # round-11 window (scripts/window_rotation.py over
-    # CORRECTNESS_r{01..10}): the round-11 addition
-    # (corpus_build_production, the minhash-banded pipeline posture)
-    # first, then the two entries MODIFIED this round re-inserted
-    # ahead of the filler so their changed shapes get a fresh driver
-    # row (dedup_incremental_delta's stored-index probe posture,
-    # text_contamination_matrix's in-plan ≤64-source assert), then
-    # pure least-recently-exposed (r01-vintage anchors) filler.
-    "corpus_build_production", "layout_cobucketed_docs_emb",
-    "dedup_incremental_delta",
-    "text_contamination_matrix", "b1_scan_count", "b5_groupby_count",
-    "b6_filter_project", "q1_pricing_summary", "q3_top_revenue_orders",
-    "q5_region_revenue", "join_broadcast_dims", "join_left_outer",
-    "join_range", "join_asof_events_orders", "window_topk_per_segment",
-    "window_running_total", "agg_rollup", "agg_stats",
-    "scalar_string_funcs", "scalar_date_funcs", "scalar_json_funcs",
-    "scalar_math_case", "events_sessionize", "window_rank_kinds",
-    "array_funcs", "join_full_outer", "scalar_map_funcs", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
-    "b2_sort_topk", "join_semi_anti", "join_right_outer",
-    "window_lag_range_daily", "agg_cube_gsets", "agg_percentile_collect",
-    "setop_suite", "events_daily_ohlc", "reshape_pivot_unpivot",
-    "text_chunk_pack", "sim_cosine_topk", "sim_label_centroids",
-    "text_stats", "text_langid", "text_quality_filter", "text_fingerprint",
-    "text_source_rollup", "multimodal_features", "sim_pandas_udf_norm",
+    # round-12 window (scripts/window_rotation.py — FIXED this round
+    # to key on LAST exposure; the old first-exposure key made the
+    # r01 anchors permanently sticky and would have re-certified the
+    # same 50 forever).  The two entries whose implementation was
+    # touched this round lead (layout_cobucketed_docs_emb: session-
+    # flag path; dedup_incremental_delta: index fingerprint), then
+    # pure least-recently-exposed filler — r02/r03-vintage entries
+    # getting their first re-certification since landing.
+    "layout_cobucketed_docs_emb", "dedup_incremental_delta",
+    "sim_ivf_exact", "sim_gemm_topk", "dedup_components",
+    "text_bpe_token_count", "sample_stratified",
+    "text_decontaminate", "text_tfidf_topterms",
+    "events_value_histogram", "text_redact_pii", "zorder_values",
+    "merge_upsert_orders", "emb_standardize",
+    "events_cohort_retention", "events_funnel",
+    "scd2_customer_orders", "events_ohlc_rollup",
+    "sample_quality_weighted", "events_decile_stats",
+    "events_gap_report", "window_dist_kinds", "join_fuzzy_parts",
+    "sim_knn_graph", "events_gap_fill", "split_hash_docs",
+    "events_anomaly_mad", "join_salted_skew", "events_transitions",
+    "events_concurrency", "window_rolling_median",
+    "profile_lineitem", "join_bloom_prune", "cdc_apply_orders",
+    "sample_k_per_group", "entity_resolution_parts",
+    "graph_pagerank_docs", "tok_vocab_topk", "tok_vocab_sketch",
+    "text_repetition_stats", "text_inverted_index",
+    "text_pmi_bigrams", "events_active_users",
+    "events_gap_fill_linear", "sim_quantize_int8",
+    "sim_radius_search", "text_lm_perplexity", "text_bm25_topk",
+    "sql_exists_subquery", "sql_scalar_subquery",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert set(DRIVER_WINDOW) <= set(CATALOG), sorted(

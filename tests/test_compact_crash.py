@@ -1,0 +1,99 @@
+"""Crash/concurrency drills for sources/layout.compact_bucketed's
+r12 swap ordering: an interrupted swap must be auto-recoverable, and
+``keep_old`` must preserve the pre-compaction snapshot for callers
+draining concurrent readers.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _bucketed_table(spark, tmp_path, table: str, frags: int = 3):
+    """A bucketed table fragmented by ``frags`` append batches."""
+    from pyspark.sql import functions as F
+
+    from spark_bi5_datasource_spark.sources.layout import write_bucketed
+
+    path = str(tmp_path / "tbl")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_bucketed(
+        spark.createDataFrame(
+            [(i, f"d{i}") for i in range(0, 40)],
+            "doc_id long, text string",
+        ),
+        path, table, "doc_id", buckets=4,
+    )
+    for k in range(1, frags):
+        (
+            spark.createDataFrame(
+                [(i, f"d{i}") for i in range(k * 40, k * 40 + 40)],
+                "doc_id long, text string",
+            )
+            .repartition(4, F.col("doc_id"))
+            .write.bucketBy(4, "doc_id")
+            .sortBy("doc_id")
+            .mode("append")
+            .saveAsTable(table)
+        )
+    spark.catalog.refreshTable(table)
+    return path
+
+
+class TestCompactCrashSafety:
+    def test_interrupted_swap_auto_recovers(self, spark, tmp_path):
+        """Crash point: between ``rename(path, old)`` and
+        ``rename(staging, path)`` — path is momentarily absent.  The
+        next compact_bucketed call must restore from .old and finish
+        normally (the r11-advice manual-recovery scenario made
+        automatic)."""
+        import shutil
+
+        from spark_bi5_datasource_spark.sources.layout import (
+            compact_bucketed,
+        )
+
+        table = "bi5_test_compact_crash"
+        path = _bucketed_table(spark, tmp_path, table)
+        try:
+            # simulate the mid-swap crash state by hand: data moved to
+            # .old, nothing at path, catalog stale
+            spark.sql(f"DROP TABLE {table}")
+            os.rename(path, f"{path}.old")
+            assert not os.path.exists(path)
+
+            n = compact_bucketed(spark, table, path, "doc_id", buckets=4)
+            assert n <= 4
+            got = sorted(r.doc_id for r in spark.table(table).collect())
+            assert got == list(range(120))  # nothing lost
+            assert not os.path.exists(f"{path}.old")  # cleaned up
+            shutil.rmtree(f"{path}.compacting", ignore_errors=True)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_keep_old_preserves_snapshot(self, spark, tmp_path):
+        import shutil
+
+        from spark_bi5_datasource_spark.sources.layout import (
+            compact_bucketed,
+        )
+
+        table = "bi5_test_compact_keepold"
+        path = _bucketed_table(spark, tmp_path, table)
+        try:
+            n_before = sum(
+                1 for f in os.listdir(path) if f.startswith("part-")
+            )
+            assert n_before > 4  # fragmentation is real
+            compact_bucketed(
+                spark, table, path, "doc_id", buckets=4, keep_old=True
+            )
+            old = f"{path}.old"
+            assert os.path.isdir(old)  # caller owns the purge
+            old_rows = spark.read.parquet(old).count()
+            assert old_rows == 120  # full pre-compaction snapshot
+            got = sorted(r.doc_id for r in spark.table(table).collect())
+            assert got == list(range(120))
+            shutil.rmtree(old)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
