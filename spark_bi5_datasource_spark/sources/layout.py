@@ -24,11 +24,42 @@ write" dashboard, which at 100 TB would double the job cost.
 
 from __future__ import annotations
 
+import json
 import os
 
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, Observation
+
+_SPEC_FILE = "_bucket_spec.json"
+
+
+def write_bucket_spec(
+    path: str, key: str, buckets: int, sort: bool
+) -> None:
+    """Persist the bucketing parameters as a sidecar inside the table
+    directory (next to ``_SUCCESS`` — non-Spark readers ignore both).
+    The in-memory catalog forgets bucket DDL across sessions, and a
+    ``register_bucketed`` with the WRONG key/buckets makes the planner
+    trust wrong co-location (silently wrong joins elided of their
+    exchange); the sidecar makes the directory self-describing so
+    re-attachment never depends on the caller remembering."""
+    spec = {"key": key, "buckets": int(buckets), "sort": bool(sort),
+            "version": 1}
+    tmp = os.path.join(path, _SPEC_FILE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(spec, fh)
+    os.replace(tmp, os.path.join(path, _SPEC_FILE))
+
+
+def read_bucket_spec(path: str) -> dict | None:
+    """Read the ``_bucket_spec.json`` sidecar; None if absent (pre-r12
+    directories, or trees written by other tools)."""
+    p = os.path.join(path, _SPEC_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
 
 
 def write_partitioned(
@@ -83,6 +114,7 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.option("path", path).mode(mode).saveAsTable(table)
+    write_bucket_spec(path, key, buckets, sort)
     return table
 
 
@@ -106,16 +138,45 @@ def register_bucketed(
     spark,
     path: str,
     table: str,
-    key: str,
-    buckets: int = 32,
-    sort: bool = True,
+    key: str | None = None,
+    buckets: int | None = None,
+    sort: bool | None = None,
 ) -> str:
     """Re-attach an existing ``write_bucketed`` directory as
     ``table`` in a NEW session (the default catalog is in-memory, so
     bucketing metadata does not survive a restart) — DDL only, no
-    data movement.  The caller owns parameter consistency: ``key``/
-    ``buckets`` must match what the directory was written with, or
-    the planner will trust wrong co-location.  Returns ``table``."""
+    data movement.
+
+    Parameter consistency is ENFORCED, not trusted (r12): directories
+    written by ``write_bucketed`` carry a ``_bucket_spec.json``
+    sidecar; omitted parameters resolve from it, and explicit
+    parameters that CONTRADICT it raise — a wrong key/bucket-count
+    registration would make the planner elide exchanges that are
+    actually needed (silently wrong joins).  Pre-sidecar directories
+    still accept explicit parameters unchecked (the caller owns them,
+    as before; ``validate_bucketed`` can audit the claim).  Returns
+    ``table``."""
+    spec = read_bucket_spec(path)
+    if spec is not None:
+        for name, given in (("key", key), ("buckets", buckets),
+                            ("sort", sort)):
+            if given is not None and given != spec[name]:
+                raise ValueError(
+                    f"register_bucketed: {name}={given!r} contradicts "
+                    f"the directory's _bucket_spec.json ({name}="
+                    f"{spec[name]!r} at {path}) — registering with "
+                    "wrong bucketing corrupts co-located join plans"
+                )
+        key = spec["key"] if key is None else key
+        buckets = spec["buckets"] if buckets is None else buckets
+        sort = spec["sort"] if sort is None else sort
+    else:
+        if key is None or buckets is None:
+            raise ValueError(
+                "register_bucketed: no _bucket_spec.json at "
+                f"{path} — key= and buckets= must be given explicitly"
+            )
+        sort = True if sort is None else sort
     sch = spark.read.parquet(path).schema
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
@@ -127,6 +188,79 @@ def register_bucketed(
         f"INTO {buckets} BUCKETS LOCATION '{path}'"
     )
     return table
+
+
+def validate_bucketed(
+    spark,
+    path: str,
+    key: str | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Audit a bucketed directory's layout INVARIANT: every row in
+    bucket file ``b`` must satisfy ``pmod(murmur3(key), buckets) == b``
+    (the contract the exchange-free join plans trust).  Returns one
+    row per data file: ``file, bucket_id, n_rows, n_misplaced, ok`` —
+    ``ok=false`` marks a file with misplaced rows OR a file whose name
+    carries no bucket id at all (e.g. a plain parquet file appended by
+    a non-bucketed writer, which silently breaks the whole mapping).
+
+    Parameters default from the ``_bucket_spec.json`` sidecar.  One
+    scan of the key column; Spark's bucket id is
+    ``Pmod(Murmur3Hash(key), n)`` which is exactly ``F.pmod(F.hash(
+    key), n)`` (verified empirically against the ``_NNNNN`` file-name
+    suffix).  Run it after manual surgery on a table directory, or on
+    a directory whose spec sidecar is missing and the registration
+    parameters are folklore."""
+    from pyspark.sql import functions as F
+
+    spec = read_bucket_spec(path) or {}
+    key = key or spec.get("key")
+    buckets = buckets or spec.get("buckets")
+    if key is None or buckets is None:
+        raise ValueError(
+            "validate_bucketed: no _bucket_spec.json at "
+            f"{path} — pass key= and buckets= explicitly"
+        )
+    # an audit must see the CURRENT directory, not the session's
+    # cached file listing (the damage being audited — renamed or
+    # injected files — is exactly what the FileStatusCache hides)
+    spark.catalog.refreshByPath(path)
+    df = (
+        spark.read.parquet(path)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1)
+            .alias("file"),
+            F.pmod(F.hash(F.col(key)), F.lit(buckets)).alias("__b"),
+        )
+        .withColumn(
+            # ANSI-safe: regexp_extract yields '' on no match, which
+            # a plain cast rejects — try_cast maps it to null, which
+            # is exactly the "no bucket id in the name" signal
+            "bucket_id",
+            F.expr(
+                r"try_cast(regexp_extract(file, '_(\\d{5})\\.', 1) "
+                "AS INT)"
+            ),
+        )
+    )
+    return (
+        df.groupBy("file", "bucket_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("bucket_id").isNull()
+                    | (F.col("__b") != F.col("bucket_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_misplaced"),
+        )
+        .withColumn(
+            "ok",
+            F.col("bucket_id").isNotNull() & (F.col("n_misplaced") == 0),
+        )
+        .orderBy("file")
+    )
 
 
 def compact_bucketed(
