@@ -263,6 +263,22 @@ def validate_bucketed(
     )
 
 
+def _footer_rows(path: str) -> int:
+    """Exact row count of a parquet tree from file-footer metadata —
+    no Spark job, no data read beyond the footers."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith("."):
+                total += pq.ParquetFile(
+                    os.path.join(root, f)
+                ).metadata.num_rows
+    return total
+
+
 def compact_bucketed(
     spark,
     table: str,
@@ -295,7 +311,11 @@ def compact_bucketed(
     them leaves both snapshots intact on disk (``<path>.old`` = full
     pre-compaction data, ``<path>.compacting`` = full compacted data)
     and the NEXT ``compact_bucketed`` call on the same path
-    auto-recovers by restoring ``.old`` before starting over.  The
+    auto-recovers by restoring ``.old`` before starting over.  A
+    row-count guard (parquet footer metadata, no scan) refuses the
+    swap when the staging rewrite does not hold exactly the
+    snapshot's rows — a partial or corrupt rewrite can never replace
+    good data.  The
     catalog entry for ``table`` is dropped only AFTER the data swap
     completes, so at every crash point either the directory or the
     prior registration is recoverable.  Returns the data-file count
@@ -324,6 +344,18 @@ def compact_bucketed(
         spark.read.parquet(path), staging, tmp_table, key, buckets,
         sort=sort,
     )
+    # pre-swap guard: the rewrite must hold exactly the snapshot's
+    # rows before it may REPLACE the snapshot.  Parquet footer
+    # metadata only (pyarrow num_rows per file) — no scan job, so the
+    # guard is ~free even on a TB-sized table
+    n_src, n_stage = _footer_rows(path), _footer_rows(staging)
+    if n_src != n_stage:
+        spark.sql(f"DROP TABLE {tmp_table}")
+        raise RuntimeError(
+            f"compact_bucketed: staging rewrite holds {n_stage} rows "
+            f"but the table snapshot holds {n_src} — refusing to swap "
+            f"(staging left at {staging} for inspection)"
+        )
     # external tables: DROP removes metadata only, files stay put
     spark.sql(f"DROP TABLE {tmp_table}")
     shutil.rmtree(old, ignore_errors=True)

@@ -71,6 +71,37 @@ class TestCompactCrashSafety:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+    def test_rowcount_guard_refuses_bad_rewrite(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A partial/corrupt staging rewrite must never replace the
+        snapshot: fake a row-count mismatch and assert the swap is
+        refused with the table fully intact."""
+        import pytest
+
+        from spark_bi5_datasource_spark.sources import layout
+
+        table = "bi5_test_compact_guard"
+        path = _bucketed_table(spark, tmp_path, table)
+        real = layout._footer_rows
+
+        def lying(p):
+            n = real(p)
+            return n - 1 if p.endswith(".compacting") else n
+
+        monkeypatch.setattr(layout, "_footer_rows", lying)
+        try:
+            with pytest.raises(RuntimeError, match="refusing to swap"):
+                layout.compact_bucketed(
+                    spark, table, path, "doc_id", buckets=4
+                )
+            # nothing was swapped or dropped
+            got = sorted(r.doc_id for r in spark.table(table).collect())
+            assert got == list(range(120))
+            assert os.path.isdir(path)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
     def test_keep_old_preserves_snapshot(self, spark, tmp_path):
         import shutil
 
