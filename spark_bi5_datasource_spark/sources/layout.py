@@ -376,6 +376,150 @@ def compact_bucketed(
     )
 
 
+def compact_buckets_selective(
+    spark,
+    table: str,
+    path: str,
+    min_files: int = 2,
+    key: str | None = None,
+    buckets: int | None = None,
+    sort: bool | None = None,
+) -> dict[int, int]:
+    """Compact ONLY the buckets fragmented into ``min_files``-or-more
+    files — the incremental counterpart of ``compact_bucketed``.
+
+    A streaming append fragments just the buckets its batch touched;
+    rewriting the WHOLE table per maintenance cycle is O(table) when
+    the damage is O(recent ingest).  This pass inventories the
+    directory by the bucket id encoded in each file name, and for each
+    fragmented bucket rewrites its files into one file (sorted within
+    the bucket when ``sort``) named with the SAME bucket id — the
+    hash→bucket invariant is untouched (same rows, same bucket), which
+    ``validate_bucketed`` can confirm, and a 1-file bucket makes the
+    sorted-scan contract hold again.  Untouched buckets' files are not
+    read, written, or renamed: the cost is O(fragmented data).
+
+    Crash safety is manifest-based (the standard lake-format pattern,
+    scaled down): per bucket, the single rewritten file is staged
+    invisibly (``.``-prefixed), a ``_compact_manifest_<run>.json``
+    records {bucket, retired files, new file} BEFORE anything becomes
+    visible, then new-file rename → retired-file deletes → manifest
+    delete.  ``_recover_selective`` (run automatically at entry) rolls
+    an interrupted cycle forward (new file visible: finish the
+    deletes) or back (not visible: drop the staging) — every crash
+    point lands on exactly-the-old or exactly-the-new bucket contents.
+    Like ``compact_bucketed``, the visible-duplicate window between
+    rename and deletes assumes no concurrent readers.
+
+    Parameters default from the ``_bucket_spec.json`` sidecar.
+    Returns ``{bucket_id: file_count_before}`` for compacted buckets
+    (empty dict = nothing fragmented enough)."""
+    import re
+    import uuid
+
+    spec = read_bucket_spec(path) or {}
+    key = key or spec.get("key")
+    buckets = buckets if buckets is not None else spec.get("buckets")
+    sort = spec.get("sort", True) if sort is None else sort
+    if key is None or buckets is None:
+        raise ValueError(
+            "compact_buckets_selective: no _bucket_spec.json at "
+            f"{path} — pass key= and buckets= explicitly"
+        )
+    _recover_selective(path)
+
+    pat = re.compile(r"_(\d{5})\.")
+    by_bucket: dict[int, list[str]] = {}
+    for f in os.listdir(path):
+        if not (f.startswith("part-") and f.endswith(".parquet")):
+            continue
+        m = pat.search(f)
+        if m:
+            by_bucket.setdefault(int(m.group(1)), []).append(f)
+    targets = {
+        b: sorted(fs) for b, fs in by_bucket.items()
+        if len(fs) >= min_files
+    }
+
+    done: dict[int, int] = {}
+    for bid, fs in sorted(targets.items()):
+        run = uuid.uuid4().hex[:8]
+        newname = (
+            f"part-{bid:05d}-compact{run}_{bid:05d}.c000.snappy.parquet"
+        )
+        stage_dir = os.path.join(path, f".compact_stage_{run}")
+        df = spark.read.parquet(*[os.path.join(path, f) for f in fs])
+        df = df.coalesce(1)
+        if sort:
+            df = df.sortWithinPartitions(key)
+        df.write.mode("overwrite").parquet(stage_dir)
+        part = next(
+            f for f in os.listdir(stage_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        tmp = os.path.join(path, f".{newname}.inprogress")
+        os.replace(os.path.join(stage_dir, part), tmp)
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        # the write-ahead record: once this exists, recovery can
+        # always finish or undo the swap below
+        manifest = os.path.join(path, f"_compact_manifest_{run}.json")
+        mtmp = manifest + ".tmp"
+        with open(mtmp, "w") as fh:
+            json.dump({"bucket": bid, "retired": fs, "new": newname}, fh)
+        os.replace(mtmp, manifest)
+        os.rename(tmp, os.path.join(path, newname))  # becomes visible
+        for f in fs:
+            os.remove(os.path.join(path, f))
+        os.remove(manifest)
+        done[bid] = len(fs)
+
+    if done:
+        spark.catalog.refreshByPath(path)
+        if spark.catalog.tableExists(table):
+            spark.catalog.refreshTable(table)
+    return done
+
+
+def _recover_selective(path: str) -> None:
+    """Finish or undo an interrupted ``compact_buckets_selective``
+    cycle: for each leftover manifest, roll FORWARD when the new file
+    became visible (delete the retired files it replaced) and BACK
+    otherwise (drop the invisible staging file).  Stray staging
+    artifacts without a manifest are rolled back — nothing of theirs
+    was ever visible."""
+    import glob as _glob
+    import shutil
+
+    if not os.path.isdir(path):
+        return
+    for mpath in sorted(
+        _glob.glob(os.path.join(path, "_compact_manifest_*.json"))
+    ):
+        with open(mpath) as fh:
+            m = json.load(fh)
+        new = os.path.join(path, m["new"])
+        if os.path.exists(new):
+            for f in m["retired"]:
+                p = os.path.join(path, f)
+                if os.path.exists(p):
+                    os.remove(p)
+        else:
+            tmp = os.path.join(path, f".{m['new']}.inprogress")
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        os.remove(mpath)
+    for stray in _glob.glob(os.path.join(path, ".compact_stage_*")):
+        shutil.rmtree(stray, ignore_errors=True)
+    for stray in _glob.glob(os.path.join(path, ".part-*.inprogress")):
+        os.remove(stray)
+    for stray in _glob.glob(
+        os.path.join(path, "_compact_manifest_*.json.tmp")
+    ):
+        os.remove(stray)
+
+
 def observed_write(
     df: DataFrame,
     metrics: dict[str, Column],

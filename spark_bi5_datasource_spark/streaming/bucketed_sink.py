@@ -14,12 +14,13 @@ the exchange-free plan shape is layout-guaranteed forever.
 
 File-count reality: each batch adds up to ``buckets`` files (one per
 bucket it touches).  That is the same small-files pressure every
-streaming lake sink has; the cure is the BUCKET-AWARE compaction pass
-(sources/layout.compact_bucketed — rewrites the snapshot through the
-bucketed write path back to one file per bucket and swaps).  A
-generic directory compactor must NOT be used here: merging files
-across buckets corrupts the bucket→file mapping the exchange-free
-join contract depends on.
+streaming lake sink has; the cure is BUCKET-AWARE compaction —
+``sources/layout.compact_buckets_selective`` for steady-state
+maintenance (rewrites only the buckets recent batches fragmented,
+O(recent ingest), manifest-crash-safe) or ``compact_bucketed`` for a
+full one-file-per-bucket rebuild.  A generic directory compactor must
+NOT be used here: merging files across buckets corrupts the
+bucket→file mapping the exchange-free join contract depends on.
 
 Effectively-once: the ``_applied_batch_<id>`` marker skips replayed
 batches — an append is NOT idempotent, so unlike the upsert sink the
