@@ -169,6 +169,80 @@ class TestValidateBucketed:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+    @pytest.mark.parametrize("buckets", [1, 2, 7])
+    def test_degenerate_bucket_counts(self, spark, tmp_path, buckets):
+        """buckets=1 (everything in one file), odd counts — the
+        validator and spec round-trip must hold at the corners."""
+        from spark_bi5_datasource_spark.sources.layout import (
+            read_bucket_spec,
+            validate_bucketed,
+            write_bucketed,
+        )
+
+        p = str(tmp_path / f"t{buckets}")
+        table = f"bi5_test_val_deg_{buckets}"
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            write_bucketed(
+                spark.createDataFrame(
+                    [(i, f"d{i}") for i in range(50)],
+                    "k long, v string",
+                ),
+                p, table, "k", buckets=buckets,
+            )
+            assert read_bucket_spec(p)["buckets"] == buckets
+            rows = validate_bucketed(spark, p).collect()
+            assert rows and all(r.ok for r in rows)
+            assert sum(r.n_rows for r in rows) == 50
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_skewed_single_bucket_layout(self, spark, tmp_path):
+        """Every row carries the SAME key: one bucket holds the whole
+        table, the others have no file at all.  Validation must pass
+        (absent buckets are legal) and selective compaction must
+        handle the lone mega-bucket."""
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.sources.layout import (
+            compact_buckets_selective,
+            validate_bucketed,
+            write_bucketed,
+        )
+
+        p = str(tmp_path / "t")
+        table = "bi5_test_val_skew"
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            write_bucketed(
+                spark.createDataFrame(
+                    [(7, f"d{i}") for i in range(100)],
+                    "k long, v string",
+                ),
+                p, table, "k", buckets=4,
+            )
+            (
+                spark.createDataFrame(
+                    [(7, f"e{i}") for i in range(50)],
+                    "k long, v string",
+                )
+                .repartition(4, F.col("k"))
+                .write.bucketBy(4, "k")
+                .sortBy("k")
+                .mode("append")
+                .saveAsTable(table)
+            )
+            spark.catalog.refreshTable(table)
+            rows = validate_bucketed(spark, p).collect()
+            assert len(rows) == 2 and all(r.ok for r in rows)
+            done = compact_buckets_selective(spark, table, p)
+            assert len(done) == 1  # the one real bucket
+            assert spark.table(table).count() == 150
+            rows2 = validate_bucketed(spark, p).collect()
+            assert len(rows2) == 1 and rows2[0].ok
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
     def test_no_spec_no_params_raises(self, spark, tmp_path):
         from spark_bi5_datasource_spark.sources.layout import (
             validate_bucketed,
