@@ -526,6 +526,45 @@ def _footer_rows_files(path: str, files: list[str]) -> int:
     )
 
 
+def bucket_fragmentation(spark, path: str) -> DataFrame:
+    """Per-bucket maintenance signal for a bucketed directory: file
+    count, total bytes, and footer row count per bucket id — the input
+    to the "compact now or later?" decision that
+    ``compact_buckets_selective`` acts on.  Directory metadata + file
+    footers only: no Spark job, no data read; the returned frame is a
+    tiny local DataFrame (≤ buckets rows).  A bucketed table is
+    healthy at 1 file/bucket; the sorted-scan plan contract degrades
+    the moment any bucket holds 2."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    pat = re.compile(r"_(\d{5})\.")
+    acc: dict[int, list[int]] = {}
+    for f in sorted(os.listdir(path)):
+        if not (f.startswith("part-") and f.endswith(".parquet")):
+            continue
+        m = pat.search(f)
+        if not m:
+            continue
+        bid = int(m.group(1))
+        full = os.path.join(path, f)
+        n_files, n_bytes, n_rows = acc.setdefault(bid, [0, 0, 0])
+        acc[bid] = [
+            n_files + 1,
+            n_bytes + os.path.getsize(full),
+            n_rows + pq.ParquetFile(full).metadata.num_rows,
+        ]
+    rows = [
+        (b, v[0], v[1], v[2], v[0] > 1) for b, v in sorted(acc.items())
+    ]
+    return spark.createDataFrame(
+        rows or [(None, 0, 0, 0, False)][:0],
+        "bucket_id int, n_files int, n_bytes bigint, n_rows bigint, "
+        "fragmented boolean",
+    )
+
+
 def _recover_selective(path: str) -> None:
     """Finish or undo an interrupted ``compact_buckets_selective``
     cycle: for each leftover manifest, roll FORWARD when the new file

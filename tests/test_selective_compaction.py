@@ -188,6 +188,91 @@ class TestSelectiveCompaction:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+    def test_fragmentation_monitor(self, spark, tmp_path):
+        from spark_bi5_datasource_spark.sources.layout import (
+            bucket_fragmentation,
+            compact_buckets_selective,
+        )
+
+        table = "bi5_test_selcomp_mon"
+        path = _fragmented_table(spark, tmp_path, table)
+        try:
+            frag = bucket_fragmentation(spark, path).collect()
+            assert sum(r.n_rows for r in frag) == 120
+            assert any(r.fragmented for r in frag)
+            assert all(r.n_files >= 1 and r.n_bytes > 0 for r in frag)
+            # monitor → act → monitor: the loop the ops story promises
+            compact_buckets_selective(spark, table, path)
+            frag2 = bucket_fragmentation(spark, path).collect()
+            assert not any(r.fragmented for r in frag2)
+            assert sum(r.n_rows for r in frag2) == 120
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_streaming_sink_then_compaction_then_more_batches(
+        self, spark, tmp_path
+    ):
+        """Full maintenance lifecycle under ingest: stream appends →
+        selective compaction mid-stream → stream resumes with NEW
+        batches on the same checkpoint.  Compaction must not disturb
+        the marker dir or the checkpoint, and the final table holds
+        exactly the union."""
+        import time as _time
+
+        from spark_bi5_datasource_spark.sources.layout import (
+            compact_buckets_selective,
+            validate_bucketed,
+        )
+        from spark_bi5_datasource_spark.streaming import (
+            stream_bucketed_append_writer,
+        )
+
+        table = "bi5_test_selcomp_stream"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        sdir = str(tmp_path / "inc")
+        tdir = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(sdir)
+        t0 = _time.time()
+
+        def add_batch(k, rng):
+            df = spark.createDataFrame(
+                [(i, f"d{i}") for i in rng], "doc_id long, text string"
+            )
+            df.coalesce(1).write.mode("append").parquet(sdir)
+            for f in sorted(
+                f for f in os.listdir(sdir) if f.endswith(".parquet")
+            ):
+                p = os.path.join(sdir, f)
+                if os.path.getmtime(p) > t0 + k:
+                    os.utime(p, (t0 + k, t0 + k))
+
+        def run_stream():
+            q = stream_bucketed_append_writer(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(sdir),
+                tdir, table, "doc_id", buckets=4,
+                checkpoint_dir=ckpt,
+            )
+            q.awaitTermination()
+
+        try:
+            add_batch(0, range(0, 40))
+            add_batch(1, range(40, 80))
+            run_stream()
+            done = compact_buckets_selective(spark, table, tdir)
+            assert done  # the two batches fragmented something
+            add_batch(2, range(80, 120))
+            run_stream()  # same checkpoint: only the new file
+            got = sorted(r.doc_id for r in spark.table(table).collect())
+            assert got == list(range(120))
+            assert validate_bucketed(spark, tdir).where(
+                "NOT ok"
+            ).count() == 0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
     def test_recovery_rolls_forward_and_back(self, spark, tmp_path):
         """Construct the two interrupted-cycle disk states by hand and
         assert _recover_selective lands each on a consistent bucket."""
