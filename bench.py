@@ -487,6 +487,10 @@ def main() -> None:
     # stay comfortably under it.  Keep totals + ratios inline; the
     # per-engine per-query timings live in BENCH_DETAIL.json.
     out = dict(detail)
+    # the full protocol prose lives in BENCH_DETAIL.json; the printed
+    # line carries a pointer (the r12 sentinel fields pushed the line
+    # to 1973 chars — one long float from the capture cliff)
+    out["drift_protocol"] = "see BENCH_DETAIL.json (sentinel legs r12)"
     out["scaled_vs_duckdb"] = {
         k: v for k, v in scaled.items() if k not in ("spark", "duckdb")
     }
