@@ -96,19 +96,29 @@ def scan_sentinel(spark, data_dir: str, runs: int = 3) -> float:
     return timed(df, runs=runs)
 
 
+def duck_timed(con, sql: str, runs: int = 3) -> float:
+    """One warm-up + min-of-N for a DuckDB query — the single copy of
+    the timing discipline every probe's DuckDB leg must share with
+    the Spark side (asymmetric sampling would bias every ratio)."""
+    con.execute(sql).fetchall()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def duckdb_sentinel(con, runs: int = 3) -> float:
     """DuckDB twin of ``scan_sentinel`` (same two columns forced
     through a sum so the scan is real, not metadata-only) — both
     engines share the drifting storage layer, so ratio conclusions
     need the box state pinned on both sides."""
-    q = "SELECT sum(l_quantity), sum(l_extendedprice) FROM lineitem"
-    con.execute(q).fetchall()
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        con.execute(q).fetchall()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+    return duck_timed(
+        con,
+        "SELECT sum(l_quantity), sum(l_extendedprice) FROM lineitem",
+        runs,
+    )
 
 
 def timed(df, runs: int = 2) -> float:
@@ -309,15 +319,19 @@ def run_scaled(spark, x: int = SCALE_X, queries=None, tables=None) -> dict:
     qs = {n: fn for n, (fn, _s, _b) in plans.CATALOG.items()}
     oracles = plans.oracle_sql()
 
-    sentinels: dict[str, float] = {
-        "spark_start": scan_sentinel(spark, scaled_dir)
-    }
+    # sentinels need the lineitem scan leg; a partial-table invocation
+    # (tables= without lineitem) skips them rather than crashing
+    has_li = os.path.exists(os.path.join(scaled_dir, "lineitem.parquet"))
+    sentinels: dict[str, float] = {}
+    if has_li:
+        sentinels["spark_start"] = scan_sentinel(spark, scaled_dir)
     spark_t: dict[str, float] = {}
     for name in queries:
         # min-of-3: the scaled runs are long enough that one GC pause
         # or page-cache miss shows up as 2-3x noise on a single run
         spark_t[name] = timed(qs[name](spark, scaled_dir), runs=3)
-    sentinels["spark_end"] = scan_sentinel(spark, scaled_dir)
+    if has_li:
+        sentinels["spark_end"] = scan_sentinel(spark, scaled_dir)
 
     # join-heavy queries: also time the un-bucketed layout, so every
     # tier shows what the prescribed warehouse layout buys (the
@@ -338,25 +352,21 @@ def run_scaled(spark, x: int = SCALE_X, queries=None, tables=None) -> dict:
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={CPUS}")
+    # views for every table present on disk (a cached dir may hold
+    # more than this invocation's `tables` subset; the lineitem view
+    # in particular backs the DuckDB sentinel legs)
     for table in _SHIFT_COLS:
-        if tables is not None and table not in tables:
-            continue
-        con.execute(
-            f"CREATE VIEW {table} AS FROM '{scaled_dir}/{table}.parquet'"
-        )
-    sentinels["duckdb_start"] = duckdb_sentinel(con)
+        if os.path.exists(os.path.join(scaled_dir, f"{table}.parquet")):
+            con.execute(
+                f"CREATE VIEW {table} AS FROM '{scaled_dir}/{table}.parquet'"
+            )
+    if has_li:
+        sentinels["duckdb_start"] = duckdb_sentinel(con)
     duck_t: dict[str, float] = {}
     for name in queries:
-        # same warm-up + best-of-N as the Spark side — asymmetric
-        # sampling would bias the headline ratio
-        con.execute(oracles[name]).fetchall()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        duck_t[name] = round(best, 3)
-    sentinels["duckdb_end"] = duckdb_sentinel(con)
+        duck_t[name] = duck_timed(con, oracles[name])
+    if has_li:
+        sentinels["duckdb_end"] = duckdb_sentinel(con)
     con.close()
 
     s_total = round(sum(spark_t.values()), 3)

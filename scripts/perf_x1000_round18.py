@@ -23,7 +23,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -44,18 +43,15 @@ def leg(mode: str, scaled: str, runs: int = 2, timeout: int = 5400) -> float:
 def duck_leg(sql: str, scaled: str, tables: list[str], runs: int = 2) -> float:
     import duckdb
 
+    from bench import duck_timed
+
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={CPUS}")
     for t in tables:
         con.execute(f"CREATE VIEW {t} AS FROM '{scaled}/{t}.parquet'")
-    con.execute(sql).fetchall()
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        best = min(best, time.perf_counter() - t0)
+    best = duck_timed(con, sql, runs)
     con.close()
-    return round(best, 3)
+    return best
 
 
 def main() -> None:

@@ -13,14 +13,14 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
 
-def duck_leg(sf_dir: str, sql: str, runs: int = 3) -> float:
+def duck_leg(sf_dir: str, sql: str, runs: int = 3) -> tuple[float, float]:
+    """Returns (query best-of-N, post-query DuckDB scan sentinel)."""
     import duckdb
 
     con = duckdb.connect()
@@ -29,15 +29,10 @@ def duck_leg(sf_dir: str, sql: str, runs: int = 3) -> float:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS FROM '{p}'")
-    con.execute(sql).fetchall()
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        best = min(best, time.perf_counter() - t0)
+    best = bench.duck_timed(con, sql, runs)
     sent = bench.duckdb_sentinel(con)
     con.close()
-    return round(best, 3), sent
+    return best, sent
 
 
 def tier(name: str, sf_dir: str, bucketed: bool) -> dict:

@@ -127,8 +127,10 @@ def cache_daily_bars(spark: SparkSession, sf: str) -> None:
     persist-based sweep 5.96 s vs collect-based ~3 s for the same
     six indicators)."""
     _evict_stale()
+    current = set()
     for kind, build in (("ohlc", _build_ohlc), ("rev", _build_rev)):
         key = (_skey(spark), sf, kind)
+        current.add(key)
         if key not in _CACHE:
             built = build(spark, sf)
             _CACHE[key] = spark.createDataFrame(
@@ -136,9 +138,12 @@ def cache_daily_bars(spark: SparkSession, sf: str) -> None:
             )
     # FIFO cap: one long-lived session sweeping many sf dirs would
     # otherwise accumulate one bar pair per dir forever; bars are
-    # cheap to rebuild, so evicting the oldest is harmless
-    while len(_CACHE) > _CACHE_MAX:
-        _CACHE.pop(next(iter(_CACHE)))
+    # cheap to rebuild, so evicting the oldest is harmless — but
+    # never THIS call's entries (a cache-then-immediately-evicted
+    # pair would silently defeat the amortization just promised)
+    evictable = [k for k in _CACHE if k not in current]
+    while len(_CACHE) > _CACHE_MAX and evictable:
+        _CACHE.pop(evictable.pop(0), None)
 
 
 _CACHE_MAX = 8  # 4 sf dirs × 2 kinds

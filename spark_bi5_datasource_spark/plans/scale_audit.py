@@ -98,13 +98,22 @@ def _rows(plan: str) -> list[tuple[str, int, str, str]]:
             f"({ibm_scalar} proven 1-row scalar frames)",
         ))
 
-    # ---- exchanges: the cost centers to count and compare
-    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
-    if keys:
-        cols = sorted({k.split("#")[0].strip() for key in keys
-                       for k in key.split(",")[:-1]})
+    # ---- exchanges: the cost centers to count and compare.
+    # Non-greedy up to the trailing ", <numPartitions>)" so expression
+    # keys with their own parens (cast(x as bigint), coalesce(a, b))
+    # stay intact; a nested ", <int>)" literal can still truncate the
+    # detail early — informational only, the COUNT is always exact
+    keys = re.findall(
+        r"Exchange hashpartitioning\((.*?), \d+\)", plan
+    )
+    n_hash = plan.count("Exchange hashpartitioning")
+    if n_hash:
+        cols = sorted({
+            re.sub(r"#\d+L?", "", k).strip()
+            for key in keys for k in key.split(", ")
+        })
         rows.append((
-            "exchange.hash", len(keys), "ok",
+            "exchange.hash", n_hash, "ok",
             "shuffle keys: " + ", ".join(cols)[:200],
         ))
     n_range = plan.count("Exchange rangepartitioning")

@@ -265,12 +265,18 @@ def validate_bucketed(
 
 def _footer_rows(path: str) -> int:
     """Exact row count of a parquet tree from file-footer metadata —
-    no Spark job, no data read beyond the footers."""
+    no Spark job, no data read beyond the footers.  Dot-prefixed
+    subdirectories are pruned to MATCH Spark's reader (which hides
+    them): counting a leftover ``.compact_stage_*`` dir that Spark
+    ignores would make the compaction row guard disagree with what a
+    scan actually sees."""
     import pyarrow.parquet as pq
 
     total = 0
     for root, dirs, files in os.walk(path):
-        dirs.sort()
+        dirs[:] = sorted(
+            d for d in dirs if not (d.startswith(".") or d.startswith("_"))
+        )
         for f in sorted(files):
             if f.endswith(".parquet") and not f.startswith("."):
                 total += pq.ParquetFile(
@@ -283,9 +289,9 @@ def compact_bucketed(
     spark,
     table: str,
     path: str,
-    key: str,
-    buckets: int = 32,
-    sort: bool = True,
+    key: str | None = None,
+    buckets: int | None = None,
+    sort: bool | None = None,
     keep_old: bool = False,
 ) -> int:
     """Compact a bucketed table back to ONE file per bucket after
@@ -328,6 +334,37 @@ def compact_bucketed(
     # redo the compaction from scratch
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
+    # finish/undo any interrupted SELECTIVE cycle first: a crashed
+    # compact_buckets_selective can leave a bucket holding both its
+    # compacted file and the retired originals — reading that state
+    # here would bake the duplicate rows into the full rewrite (and
+    # pass the row guard, which counts the same duplicates)
+    _recover_selective(path)
+
+    # parameter consistency, same contract as register_bucketed: the
+    # sidecar wins; contradicting explicit params raise rather than
+    # silently re-bucketing the table away from its co-located twins
+    spec = read_bucket_spec(path)
+    if spec is not None:
+        for name, given in (("key", key), ("buckets", buckets),
+                            ("sort", sort)):
+            if given is not None and given != spec[name]:
+                raise ValueError(
+                    f"compact_bucketed: {name}={given!r} contradicts "
+                    f"_bucket_spec.json ({name}={spec[name]!r} at "
+                    f"{path}) — compacting with wrong bucketing would "
+                    "silently change the table's layout"
+                )
+        key = spec["key"] if key is None else key
+        buckets = spec["buckets"] if buckets is None else buckets
+        sort = spec["sort"] if sort is None else sort
+    else:
+        if key is None or buckets is None:
+            raise ValueError(
+                "compact_bucketed: no _bucket_spec.json at "
+                f"{path} — key= and buckets= must be given explicitly"
+            )
+        sort = True if sort is None else sort
 
     tmp_table = f"{table}_compacting"
     staging = f"{path}.compacting"
