@@ -213,9 +213,22 @@ def validate_bucketed(
     parameters are folklore."""
     from pyspark.sql import functions as F
 
-    spec = read_bucket_spec(path) or {}
-    key = key or spec.get("key")
-    buckets = buckets or spec.get("buckets")
+    spec = read_bucket_spec(path)
+    if spec is not None:
+        # mirror register_bucketed: an audit run with a key/buckets
+        # claim that contradicts the directory's own sidecar would
+        # silently audit the CALLER'S wrong parameters — flag it
+        for name, given in (("key", key), ("buckets", buckets)):
+            if given is not None and given != spec[name]:
+                raise ValueError(
+                    f"validate_bucketed: {name}={given!r} contradicts "
+                    f"_bucket_spec.json ({name}={spec[name]!r} at "
+                    f"{path}) — auditing against the wrong layout "
+                    "claim proves nothing; pass no explicit params to "
+                    "audit the sidecar's, or fix the sidecar first"
+                )
+        key = spec["key"] if key is None else key
+        buckets = spec["buckets"] if buckets is None else buckets
     if key is None or buckets is None:
         raise ValueError(
             "validate_bucketed: no _bucket_spec.json at "
@@ -339,7 +352,7 @@ def compact_bucketed(
     # compacted file and the retired originals — reading that state
     # here would bake the duplicate rows into the full rewrite (and
     # pass the row guard, which counts the same duplicates)
-    _recover_selective(path)
+    _recover_selective(path, spark=spark, table=table)
 
     # parameter consistency, same contract as register_bucketed: the
     # sidecar wins; contradicting explicit params raise rather than
@@ -468,16 +481,29 @@ def compact_buckets_selective(
 
     from pyspark.sql import functions as F
 
-    spec = read_bucket_spec(path) or {}
-    key = key or spec.get("key")
-    buckets = buckets if buckets is not None else spec.get("buckets")
-    sort = spec.get("sort", True) if sort is None else sort
+    spec = read_bucket_spec(path)
+    if spec is not None:
+        # same contract as register_bucketed/compact_bucketed: the
+        # sidecar wins; contradicting explicit params raise
+        for name, given in (("key", key), ("buckets", buckets),
+                            ("sort", sort)):
+            if given is not None and given != spec[name]:
+                raise ValueError(
+                    f"compact_buckets_selective: {name}={given!r} "
+                    f"contradicts _bucket_spec.json ({name}="
+                    f"{spec[name]!r} at {path}) — compacting with "
+                    "wrong bucketing would corrupt the layout"
+                )
+        key = spec["key"] if key is None else key
+        buckets = spec["buckets"] if buckets is None else buckets
+        sort = spec["sort"] if sort is None else sort
     if key is None or buckets is None:
         raise ValueError(
             "compact_buckets_selective: no _bucket_spec.json at "
             f"{path} — pass key= and buckets= explicitly"
         )
-    _recover_selective(path)
+    sort = True if sort is None else sort
+    _recover_selective(path, spark=spark, table=table)
 
     pat = re.compile(r"_(\d{5})\.")
     by_bucket: dict[int, list[str]] = {}
@@ -510,38 +536,62 @@ def compact_buckets_selective(
     w.option("path", stage_dir).mode("overwrite").saveAsTable(tmp_table)
     spark.sql(f"DROP TABLE {tmp_table}")  # external: files stay
 
-    staged: dict[int, str] = {}
+    # A bucket may stage MORE than one file (e.g. the session has
+    # spark.sql.files.maxRecordsPerFile set and the bucket's rows
+    # split into c000/c001) — collect per-bucket LISTS; treating the
+    # mapping as one-file-per-bucket here silently dropped the extra
+    # files (r12 data-loss bug, fixed r13)
+    staged: dict[int, list[str]] = {}
     for f in os.listdir(stage_dir):
         if f.startswith("part-") and f.endswith(".parquet"):
             m = pat.search(f)
             if m:
-                staged[int(m.group(1))] = f
-    if set(staged) != set(targets) or _footer_rows(stage_dir) != sum(
-        _footer_rows_files(path, fs) for fs in targets.values()
+                staged.setdefault(int(m.group(1)), []).append(f)
+    staged = {b: sorted(fs) for b, fs in staged.items()}
+    # per-bucket row guard (stronger than the old aggregate total,
+    # which could not see rows migrating between buckets)
+    if set(staged) != set(targets) or any(
+        _footer_rows_files(stage_dir, staged[b])
+        != _footer_rows_files(path, targets[b])
+        for b in targets
     ):
         shutil.rmtree(stage_dir, ignore_errors=True)
         raise RuntimeError(
             "compact_buckets_selective: staging rewrite does not "
             f"match the fragmented buckets (staged {sorted(staged)} "
-            f"vs targets {sorted(targets)}) — refusing to swap"
+            f"vs targets {sorted(targets)}, or per-bucket row counts "
+            "differ) — refusing to swap"
         )
 
     # ---- per-bucket manifest swap (tiny, file-ops only)
     done: dict[int, int] = {}
     for bid, fs in sorted(targets.items()):
-        newname = (
-            f"part-{bid:05d}-compact{run}_{bid:05d}.c000.snappy.parquet"
-        )
-        tmp = os.path.join(path, f".{newname}.inprogress")
-        os.replace(os.path.join(stage_dir, staged[bid]), tmp)
+        newnames = []
+        for i, sf in enumerate(staged[bid]):
+            nn = (
+                f"part-{bid:05d}-compact{run}_{bid:05d}"
+                f".c{i:03d}.snappy.parquet"
+            )
+            # park invisibly BEFORE the manifest exists: a crash here
+            # leaves only dot-prefixed strays (rolled back at next
+            # entry), nothing visible changed
+            os.replace(
+                os.path.join(stage_dir, sf),
+                os.path.join(path, f".{nn}.inprogress"),
+            )
+            newnames.append(nn)
         # the write-ahead record: once this exists, recovery can
         # always finish or undo the swap below
         manifest = os.path.join(path, f"_compact_manifest_{run}_{bid}.json")
         mtmp = manifest + ".tmp"
         with open(mtmp, "w") as fh:
-            json.dump({"bucket": bid, "retired": fs, "new": newname}, fh)
+            json.dump({"bucket": bid, "retired": fs, "new": newnames}, fh)
         os.replace(mtmp, manifest)
-        os.rename(tmp, os.path.join(path, newname))  # becomes visible
+        for nn in newnames:  # become visible
+            os.rename(
+                os.path.join(path, f".{nn}.inprogress"),
+                os.path.join(path, nn),
+            )
         for f in fs:
             os.remove(os.path.join(path, f))
         os.remove(manifest)
@@ -602,16 +652,34 @@ def bucket_fragmentation(spark, path: str) -> DataFrame:
     )
 
 
-def _recover_selective(path: str) -> None:
+def _recover_selective(
+    path: str, spark=None, table: str | None = None
+) -> None:
     """Finish or undo an interrupted ``compact_buckets_selective``
-    cycle: for each leftover manifest, roll FORWARD when the new file
-    became visible (delete the retired files it replaced) and BACK
-    otherwise (drop the invisible staging file).  Stray staging
-    artifacts without a manifest are rolled back — nothing of theirs
-    was ever visible."""
+    cycle.  Per leftover manifest (``new`` may be a list — a bucket
+    can stage several files under ``maxRecordsPerFile`` — or a bare
+    string from a pre-r13 manifest):
+
+    * roll FORWARD when every new file became visible (the retired
+      delete phase only starts after the last rename, so this is
+      exactly the committed states): delete the remaining retired
+      files;
+    * roll BACK otherwise (swap not fully visible ⇒ no retired file
+      was deleted yet): remove the partially-visible new files and
+      their invisible staging twins — the originals carry the data.
+
+    Stray staging artifacts without a manifest are rolled back —
+    nothing of theirs was ever visible.  When ``spark``/``table`` are
+    given, stray ``<table>_selcompact_*`` catalog entries from a crash
+    between ``saveAsTable`` and ``DROP`` are dropped too (files were
+    already recovered above; the catalog name was the one leak)."""
     import glob as _glob
     import shutil
 
+    if spark is not None and table is not None:
+        for t in spark.catalog.listTables():
+            if t.name.startswith(f"{table}_selcompact_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     if not os.path.isdir(path):
         return
     for mpath in sorted(
@@ -619,16 +687,26 @@ def _recover_selective(path: str) -> None:
     ):
         with open(mpath) as fh:
             m = json.load(fh)
-        new = os.path.join(path, m["new"])
-        if os.path.exists(new):
+        news = m["new"] if isinstance(m["new"], list) else [m["new"]]
+        visible = [
+            n for n in news if os.path.exists(os.path.join(path, n))
+        ]
+        if len(visible) == len(news):
+            # FORWARD: the swap committed; clear the retired set
             for f in m["retired"]:
                 p = os.path.join(path, f)
                 if os.path.exists(p):
                     os.remove(p)
         else:
-            tmp = os.path.join(path, f".{m['new']}.inprogress")
-            if os.path.exists(tmp):
-                os.remove(tmp)
+            # BACK: originals all intact; drop whatever of the new
+            # generation leaked into visibility plus the parked rest
+            for n in news:
+                for p in (
+                    os.path.join(path, n),
+                    os.path.join(path, f".{n}.inprogress"),
+                ):
+                    if os.path.exists(p):
+                        os.remove(p)
         os.remove(mpath)
     for stray in _glob.glob(os.path.join(path, ".compact_stage_*")):
         shutil.rmtree(stray, ignore_errors=True)

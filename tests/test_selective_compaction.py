@@ -336,3 +336,173 @@ class TestSelectiveCompaction:
             assert spark.read.parquet(path).count() == 80
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestMultiFileStaging:
+    def test_max_records_per_file_split_loses_nothing(
+        self, spark, tmp_path
+    ):
+        """r13 (ADVICE medium): with spark.sql.files.maxRecordsPerFile
+        set, the staging rewrite splits a bucket's output into
+        c000/c001 — the r12 one-file-per-bucket swap installed one and
+        rmtree'd the other: silent permanent row loss.  All staged
+        files must survive the swap."""
+        from spark_bi5_datasource_spark.sources.layout import (
+            compact_buckets_selective,
+            validate_bucketed,
+        )
+
+        table = "bi5_test_selcomp_split"
+        path = _fragmented_table(spark, tmp_path, table, appends=2)
+        prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "7")
+        try:
+            done = compact_buckets_selective(spark, table, path)
+            assert done
+            spark.catalog.refreshTable(table)
+            got = sorted(r.doc_id for r in spark.table(table).collect())
+            assert got == list(range(120))  # nothing lost
+            # the multi-file bucket names still carry the right id
+            v = validate_bucketed(spark, path)
+            assert v.where("NOT ok").count() == 0
+        finally:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_recovery_multi_file_manifest_both_directions(
+        self, spark, tmp_path
+    ):
+        """List-valued manifests: FORWARD when the delete phase had
+        begun (one retired file already gone), BACK when the swap is
+        only partially visible and every original is intact."""
+        from spark_bi5_datasource_spark.sources.layout import (
+            _recover_selective,
+        )
+
+        table = "bi5_test_selcomp_recmulti"
+        path = _fragmented_table(spark, tmp_path, table, appends=1)
+        try:
+            files = _data_files(path)
+            b0 = [f for f in files if "_00000." in f]
+            assert len(b0) == 2
+
+            import pyarrow.parquet as pq
+
+            t0 = pq.read_table(os.path.join(path, b0[0]))
+            t1 = pq.read_table(os.path.join(path, b0[1]))
+            n_expect = t0.num_rows + t1.num_rows
+            new0 = "part-00000-compactm1_00000.c000.snappy.parquet"
+            new1 = "part-00000-compactm1_00000.c001.snappy.parquet"
+            # FORWARD state: both new files visible, one retired file
+            # already deleted (crash mid-delete-phase)
+            pq.write_table(t0, os.path.join(path, new0))
+            pq.write_table(t1, os.path.join(path, new1))
+            os.remove(os.path.join(path, b0[0]))
+            with open(
+                os.path.join(path, "_compact_manifest_m1.json"), "w"
+            ) as fh:
+                json.dump(
+                    {"bucket": 0, "retired": b0, "new": [new0, new1]},
+                    fh,
+                )
+            _recover_selective(path)
+            after = _data_files(path)
+            assert new0 in after and new1 in after
+            assert b0[1] not in after
+            spark.catalog.refreshByPath(path)
+            assert spark.read.parquet(path).count() == 80
+
+            # BACK state: one of two new files visible, originals all
+            # present (crash mid-visibility-loop) — new generation is
+            # removed, originals win
+            b0_now = [new0, new1]
+            ghost0 = "part-00000-compactm2_00000.c000.snappy.parquet"
+            ghost1 = "part-00000-compactm2_00000.c001.snappy.parquet"
+            pq.write_table(t0, os.path.join(path, ghost0))
+            open(
+                os.path.join(path, f".{ghost1}.inprogress"), "w"
+            ).close()
+            with open(
+                os.path.join(path, "_compact_manifest_m2.json"), "w"
+            ) as fh:
+                json.dump(
+                    {"bucket": 0, "retired": b0_now,
+                     "new": [ghost0, ghost1]},
+                    fh,
+                )
+            _recover_selective(path)
+            after = _data_files(path)
+            assert ghost0 not in after and ghost1 not in after
+            assert new0 in after and new1 in after
+            spark.catalog.refreshByPath(path)
+            assert spark.read.parquet(path).count() == 80
+            del n_expect
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_stray_selcompact_catalog_entry_dropped(
+        self, spark, tmp_path
+    ):
+        """r13 (VERDICT #5): a crash between saveAsTable and DROP used
+        to leak a `<table>_selcompact_<run>` catalog entry forever;
+        recovery at the next maintenance entry drops it."""
+        from spark_bi5_datasource_spark.sources.layout import (
+            compact_buckets_selective,
+        )
+
+        table = "bi5_test_selcomp_leak"
+        path = _fragmented_table(spark, tmp_path, table)
+        leaked = f"{table}_selcompact_deadbeef"
+        try:
+            spark.createDataFrame(
+                [(1, "x")], "doc_id long, text string"
+            ).write.option(
+                "path", str(tmp_path / "leaked")
+            ).saveAsTable(leaked)
+            assert spark.catalog.tableExists(leaked)
+            compact_buckets_selective(spark, table, path)
+            assert not spark.catalog.tableExists(leaked)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {leaked}")
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestParamContradictions:
+    def test_validate_bucketed_rejects_contradicting_claim(
+        self, spark, tmp_path
+    ):
+        from spark_bi5_datasource_spark.sources.layout import (
+            validate_bucketed,
+        )
+
+        table = "bi5_test_val_contra"
+        path = _fragmented_table(spark, tmp_path, table, appends=0)
+        try:
+            with pytest.raises(ValueError, match="contradicts"):
+                validate_bucketed(spark, path, key="text")
+            with pytest.raises(ValueError, match="contradicts"):
+                validate_bucketed(spark, path, buckets=8)
+            # matching explicit params are fine
+            ok = validate_bucketed(
+                spark, path, key="doc_id", buckets=4
+            )
+            assert ok.where("NOT ok").count() == 0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_selective_rejects_contradicting_params(
+        self, spark, tmp_path
+    ):
+        from spark_bi5_datasource_spark.sources.layout import (
+            compact_buckets_selective,
+        )
+
+        table = "bi5_test_sel_contra"
+        path = _fragmented_table(spark, tmp_path, table)
+        try:
+            with pytest.raises(ValueError, match="contradicts"):
+                compact_buckets_selective(
+                    spark, table, path, buckets=16
+                )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
