@@ -57,7 +57,9 @@ def minhash_band_index(
     exactly the build side ``minhash_delta_dedup`` derives inline, as
     a standalone frame a pipeline can persist.  One narrow projection
     + per-row explode; no shuffle."""
-    sigs = minhash_signatures(corpus, id_col, text_col, n, num_perm)
+    sigs = minhash_signatures(
+        corpus.select(id_col, text_col), id_col, text_col, n, num_perm
+    )
     return _banded(sigs, id_col, num_perm, bands)
 
 

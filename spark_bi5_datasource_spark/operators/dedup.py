@@ -72,6 +72,32 @@ def with_shingles(
     return df.withColumn(out_col, F.expr(expr))
 
 
+_MINHASH_P = (1 << 61) - 1
+
+
+def _minhash_coeffs(num_perm: int) -> tuple[list[int], list[int]]:
+    """The fixed seeded universal-hash family ``(a_i·h + b_i) mod p``
+    (p = 2^61−1; a < 2^30 keeps the product inside int64).  One
+    derivation shared by every signature implementation so values can
+    never diverge."""
+    import random
+
+    rng = random.Random(0x5EED + num_perm)  # fixed → plans are deterministic
+    a = [rng.randrange(1, 1 << 30) for _ in range(num_perm)]
+    b = [rng.randrange(0, _MINHASH_P) for _ in range(num_perm)]
+    return a, b
+
+
+def _hashed_shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Per-row array of 32-bit-masked xxhash64 shingle hashes — the
+    JVM keeps the tokenize/shingle/hash steps (engine hash, codegen
+    scan), appended as ``__mh_hs``."""
+    return with_shingles(df, text_col, n).withColumn(
+        "__mh_hs",
+        F.expr("transform(shingles, s -> xxhash64(s) & 4294967295L)"),
+    ).drop("shingles")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -86,23 +112,131 @@ def minhash_signatures(
     seeded coefficients (p = 2^61−1; a < 2^30 keeps the product inside
     int64 under ANSI mode).  1 hash + k multiplies per shingle instead
     of k rehashes — ~1.7× faster at equal quality (standard universal-
-    hash permutation family).  Narrow: per-row array expressions only,
-    with the hashed-shingle array let-bound so nothing re-evaluates
-    per permutation.
-    """
-    import random
+    hash permutation family).
 
-    p = (1 << 61) - 1
-    rng = random.Random(0x5EED + num_perm)  # fixed → plans are deterministic
-    a = [rng.randrange(1, 1 << 30) for _ in range(num_perm)]
-    b = [rng.randrange(0, p) for _ in range(num_perm)]
+    The permutation fold runs as a vectorized NumPy ``mapInArrow``
+    kernel over the JVM-hashed shingle arrays (still zero-shuffle,
+    one Python node): the lambda-per-element Catalyst fold evaluates
+    ``num_perm × |shingles|`` interpreted HOF calls — measured r13 at
+    sf0.1 it was the single most expensive stage of dedup_minhash
+    (~0.85 s of 1.63); the kernel computes identical int64 arithmetic
+    ((a·h+b) % p, min per segment) in ``num_perm`` vectorized passes.
+    Values are bit-identical by construction (same xxhash64 inputs,
+    same coefficient derivation, same nonneg int64 ops) and pinned by
+    a parity test against the pure-expression twin
+    (``_minhash_signatures_expr``)."""
+    import numpy as np  # driver-side availability check  # noqa: F401
+
+    a, b = _minhash_coeffs(num_perm)
+    hashed = _hashed_shingles(df, text_col, n)
+    in_fields = [f for f in hashed.schema.fields if f.name != "__mh_hs"]
+    names = [f.name for f in in_fields]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields]
+        + [f"`{out_col}` array<bigint>"]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        A = np.asarray(a, dtype=np.int64)
+        B = np.asarray(b, dtype=np.int64)
+        k = A.size
+        for batch in batches:
+            lst = batch.column("__mh_hs")
+            nrow = len(lst)
+            valid = (
+                np.ones(nrow, dtype=bool)
+                if lst.null_count == 0
+                else lst.is_valid().to_numpy(zero_copy_only=False)
+            )
+            offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            # .values is the UNSLICED child array; truncate at the last
+            # offset so reduceat's final open-ended segment cannot read
+            # past this batch's rows
+            child = lst.values
+            if child.null_count:
+                import pyarrow.compute as pc
+
+                ev = child.is_valid().to_numpy(zero_copy_only=False)[
+                    : offs[-1]
+                ]
+                child = pc.fill_null(child, 0)
+            else:
+                ev = None
+            vals = child.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )[: offs[-1]]
+            starts, ends = offs[:-1], offs[1:]
+            nonempty = valid & (ends > starts)
+            if ev is not None:
+                # array_min skips null elements: count the usable
+                # elements per row; all-null rows degrade to the
+                # null-signature path below
+                nval = np.add.reduceat(
+                    ev.astype(np.int64),
+                    np.minimum(starts, max(len(ev) - 1, 0)),
+                )
+                nonempty &= np.asarray(nval > 0) & (ends > starts)
+            mat = np.zeros((nrow, k), dtype=np.int64)
+            if nonempty.any():
+                # reduceat needs in-range segment starts; clip
+                # empty/trailing segments and mask them out below
+                seg = np.minimum(starts, max(len(vals) - 1, 0))
+                for i in range(k):
+                    pv = (A[i] * vals + B[i]) % _MINHASH_P
+                    if ev is not None:
+                        # null elements lose every min against real
+                        # values (all values < p)
+                        pv[~ev] = _MINHASH_P
+                    mat[:, i] = np.minimum.reduceat(pv, seg)
+            passthrough = [batch.column(nm) for nm in names]
+            if nonempty.all():
+                flat = pa.array(mat.ravel(), type=pa.int64())
+                sig = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (nrow + 1) * k, k, dtype=np.int32)
+                    ),
+                    flat,
+                )
+            else:
+                # rare degenerate rows mirror the expression semantics:
+                # the zip_with fold runs over the CONSTANT coefficient
+                # arrays, so null/empty/all-null-element hs rows all
+                # yield [null] * k, never a null signature
+                rows = [
+                    mat[j].tolist() if nonempty[j] else [None] * k
+                    for j in range(nrow)
+                ]
+                sig = pa.array(rows, type=pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                passthrough + [sig], names=names + [out_col]
+            )
+
+    return hashed.mapInArrow(kernel, out_schema)
+
+
+def _minhash_signatures_expr(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    out_col: str = "signature",
+) -> DataFrame:
+    """Pure-Catalyst twin of ``minhash_signatures`` (the pre-r13
+    implementation): the parity oracle proving the Arrow kernel's
+    values bit-identical, and a fallback for environments without
+    NumPy on the workers."""
+    a, b = _minhash_coeffs(num_perm)
     a_arr = "array({})".format(",".join(f"{x}L" for x in a))
     b_arr = "array({})".format(",".join(f"{x}L" for x in b))
     with_sh = with_shingles(df, text_col, n)
     sig = F.expr(
         f"transform(array(transform(shingles, s -> xxhash64(s) & 4294967295L)), hs -> "
         f"zip_with({a_arr}, {b_arr}, (a, b) -> "
-        f"  array_min(transform(hs, h -> (a * h + b) % {p}L))))[0]"
+        f"  array_min(transform(hs, h -> (a * h + b) % {_MINHASH_P}L))))[0]"
     )
     return with_sh.withColumn(out_col, sig).drop("shingles")
 
@@ -411,7 +545,12 @@ def _minhash_dedup_once(
     collide in most of the 8 bands (~7× duplication measured), and a
     shingle-Jaccard verification costs far more than shuffling the
     small candidate frame once."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # explicit projection: the signature kernel is an opaque Arrow
+    # stage, so Catalyst cannot prune the frame's other columns below
+    # it — only (id, text) participate until the final anti-join
+    sigs = minhash_signatures(
+        df.select(id_col, text_col), id_col, text_col, n, num_perm
+    )
     banded = _banded(sigs, id_col, num_perm, bands, carry=(text_col,))
     w = Window.partitionBy("band", "bucket")
     cand = (
@@ -495,11 +634,15 @@ def minhash_delta_dedup(
             F.col(id_col).alias("__cid"), "band", "bucket"
         )
     else:
-        sig_c = minhash_signatures(corpus, id_col, text_col, n, num_perm)
+        sig_c = minhash_signatures(
+            corpus.select(id_col, text_col), id_col, text_col, n, num_perm
+        )
         bc = _banded(sig_c, id_col, num_perm, bands).select(
             F.col(id_col).alias("__cid"), "band", "bucket"
         )
-    sig_i = minhash_signatures(increment, id_col, text_col, n, num_perm)
+    sig_i = minhash_signatures(
+        increment.select(id_col, text_col), id_col, text_col, n, num_perm
+    )
     if max_bucket is not None:
         sizes = bc.groupBy("band", "bucket").agg(
             F.count("*").alias("__bsz")

@@ -469,6 +469,50 @@ class TestSaltedJoin:
 
 
 class TestDedupPolish:
+    def test_minhash_arrow_kernel_parity(self, spark):
+        """The r13 vectorized permutation-fold kernel must be
+        bit-identical to the pure-Catalyst expression it replaced —
+        including the degenerate rows (null text, empty text, < n
+        tokens, unicode), where the constant-array zip_with yields
+        [null] * num_perm rather than a null signature."""
+        import random
+
+        from spark_bi5_datasource_spark.operators.dedup import (
+            _minhash_signatures_expr,
+            minhash_signatures,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "a b"),
+            (4, ""),
+            (5, None),
+            (6, "x"),
+            (7, "über straße 中文 テスト apple banana cherry"),
+        ]
+        rng = random.Random(7)
+        words = ["alpha", "beta", "gamma", "delta", "käse", "日本語", "x"]
+        rows += [
+            (10 + i, " ".join(rng.choices(words, k=rng.randrange(0, 9))))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        for num_perm in (32, 16):
+            new = {
+                r.doc_id: r.signature
+                for r in minhash_signatures(
+                    docs, "doc_id", "text", num_perm=num_perm
+                ).collect()
+            }
+            old = {
+                r.doc_id: r.signature
+                for r in _minhash_signatures_expr(
+                    docs, "doc_id", "text", num_perm=num_perm
+                ).collect()
+            }
+            assert new == old
+
     def test_minhash_multi_round_converges(self, spark):
         # chain: A≈B, B≈C but A,C meet only through B — 2 rounds collapse all
         base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
