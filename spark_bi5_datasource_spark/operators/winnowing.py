@@ -59,6 +59,74 @@ def winnow_py(
     return sorted({min(hs[p : p + w]) for p in range(n - w + 1)})
 
 
+def _batch_winnow(texts, k: int, w: int, base: int, mod: int):
+    """Vectorized whole-batch winnowing (r13): one UTF-32 encode of
+    the concatenated batch replaces the per-document per-character
+    ``map(ord, ...)`` loop, and the k-step rolling-hash fold runs once
+    over the concatenated codepoint array with document boundaries
+    masked out — identical int64 arithmetic to ``winnow_py``, so the
+    selected fingerprints are bit-identical (pinned by
+    test_kernel_matches_reference).
+
+    Input: an iterable of ``str | None`` (one element per document).
+    Returns ``(n_grams, fp_doc, fps)``: per-document gram counts
+    (int64, len = #docs), and the distinct winnowed fingerprints as
+    parallel arrays sorted by (document position in batch, fp)."""
+    import numpy as np
+
+    tl = [t if isinstance(t, str) else "" for t in texts]
+    m = np.fromiter((len(t) for t in tl), np.int64, count=len(tl))
+    n = np.maximum(m - k + 1, 0)  # grams per doc
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if not n.any():
+        return n, *empty
+    # lone surrogates (impossible via Arrow, possible via
+    # createDataFrame) keep their codepoint, matching ord()
+    codes = np.frombuffer(
+        "".join(tl).encode("utf-32-le", "surrogatepass"), dtype="<u4"
+    ).astype(np.int64)
+    total_pos = codes.size - k + 1  # >= 1 since some n > 0
+    h = np.zeros(total_pos, np.int64)
+    for j in range(k):
+        h = (h * base + codes[j : j + total_pos]) % mod
+    # per-doc gram hashes, concatenated in batch order: doc d's grams
+    # start at its char offset and there are n[d] of them
+    sel = np.flatnonzero(n)
+    ns = n[sel]
+    char_off = np.concatenate(([0], np.cumsum(m)))[:-1]
+    gram_off = np.concatenate(([0], np.cumsum(ns)))
+    intra = np.arange(gram_off[-1]) - np.repeat(gram_off[:-1], ns)
+    g = h[np.repeat(char_off[sel], ns) + intra]
+    gdoc = np.repeat(sel, ns)  # original doc index per gram
+    # window minima: every in-doc window of w grams, plus the single
+    # whole-doc window for docs with 0 < n < w
+    parts_d, parts_f = [], []
+    if g.size >= w:
+        wm = np.lib.stride_tricks.sliding_window_view(g, w).min(axis=1)
+        ok = gdoc[: g.size - w + 1] == gdoc[w - 1 :]
+        parts_d.append(gdoc[: g.size - w + 1][ok])
+        parts_f.append(wm[ok])
+    small = ns < w
+    if small.any():
+        # reduceat over ALL segment starts (consecutive starts bound
+        # each doc's grams; the last runs to the end), then keep the
+        # small docs' whole-segment minima
+        mins = np.minimum.reduceat(g, gram_off[:-1])
+        parts_d.append(sel[small])
+        parts_f.append(mins[small])
+    fp_doc = np.concatenate(parts_d) if parts_d else empty[0]
+    fps = np.concatenate(parts_f) if parts_f else empty[1]
+    # distinct per doc, ordered (doc-in-batch, fp) — same output
+    # order as the per-doc np.unique loop produced
+    order = np.lexsort((fps, fp_doc))
+    fp_doc, fps = fp_doc[order], fps[order]
+    if fps.size:
+        keep = np.ones(fps.size, bool)
+        keep[1:] = (fp_doc[1:] != fp_doc[:-1]) | (fps[1:] != fps[:-1])
+        fp_doc, fps = fp_doc[keep], fps[keep]
+    return n, fp_doc, fps
+
+
 def winnow_fingerprint_stats(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4,
     base: int = 131, mod: int = 1_000_000_007,
@@ -78,35 +146,20 @@ def winnow_fingerprint_stats(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, ngs, nfs, xs = [], [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                ids.append(did)
-                m = len(text) if isinstance(text, str) else 0
-                n = m - k + 1
-                if n <= 0:
-                    ngs.append(0), nfs.append(0), xs.append(None)
-                    continue
-                codes = np.fromiter(map(ord, text), np.int64, count=m)
-                h = np.zeros(n, np.int64)
-                for j in range(k):
-                    h = (h * base + codes[j : j + n]) % mod
-                if n < w:
-                    fps = np.array([h.min()])
-                else:
-                    fps = np.unique(
-                        np.lib.stride_tricks.sliding_window_view(
-                            h, w
-                        ).min(axis=1)
-                    )
-                ngs.append(n)
-                nfs.append(len(fps))
-                xs.append(int(np.bitwise_xor.reduce(fps)))
+            n, fp_doc, fps = _batch_winnow(
+                pdf[text_col], k, w, base, mod
+            )
+            nfp = np.bincount(fp_doc, minlength=n.size).astype(np.int64)
+            xor = np.zeros(n.size, np.int64)
+            np.bitwise_xor.at(xor, fp_doc, fps)
+            xarr = pd.array(xor, dtype="Int64")
+            xarr[nfp == 0] = None
             yield pd.DataFrame(
                 {
-                    id_col: pd.array(ids, dtype="Int64"),
-                    "n_grams": pd.array(ngs, dtype="Int64"),
-                    "n_fp": pd.array(nfs, dtype="Int64"),
-                    "fp_xor": pd.array(xs, dtype="Int64"),
+                    id_col: pd.array(pdf[id_col], dtype="Int64"),
+                    "n_grams": pd.array(n, dtype="Int64"),
+                    "n_fp": pd.array(nfp, dtype="Int64"),
+                    "fp_xor": xarr,
                 }
             )
 
@@ -123,35 +176,16 @@ def winnow_fingerprints(
     per DISTINCT winnowed fingerprint — for inverted-index consumers
     (near-dup pair detection).  Same selection as
     winnow_fingerprint_stats; documents with no grams emit nothing."""
-    import numpy as np
-
     out_schema = f"{id_col} long, fp long"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fps = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                m = len(text) if isinstance(text, str) else 0
-                n = m - k + 1
-                if n <= 0:
-                    continue
-                codes = np.fromiter(map(ord, text), np.int64, count=m)
-                h = np.zeros(n, np.int64)
-                for j in range(k):
-                    h = (h * base + codes[j : j + n]) % mod
-                if n < w:
-                    sel = np.array([h.min()])
-                else:
-                    sel = np.unique(
-                        np.lib.stride_tricks.sliding_window_view(
-                            h, w
-                        ).min(axis=1)
-                    )
-                ids.extend([did] * len(sel))
-                fps.extend(int(x) for x in sel)
+            _, fp_doc, fps = _batch_winnow(pdf[text_col], k, w, base, mod)
             yield pd.DataFrame(
                 {
-                    id_col: pd.array(ids, dtype="Int64"),
+                    id_col: pd.array(
+                        pdf[id_col].to_numpy()[fp_doc], dtype="Int64"
+                    ),
                     "fp": pd.array(fps, dtype="Int64"),
                 }
             )

@@ -326,15 +326,20 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     token-shingle dedup family (operators/dedup.py).
 
     Scale shape: a pure per-document NumPy rolling-hash kernel behind
-    the row-group fan-out gate (operators/winnowing.py) — no shuffle;
-    the final orderBy exists only for the deterministic driver
-    compare."""
+    the row-group fan-out gate (operators/winnowing.py) — no shuffle
+    until the driver-compare sort; the final orderBy exists only for
+    the deterministic driver compare.  The hash repartition under it
+    is load-bearing (r13): a global sort's range-partitioner SAMPLES
+    its child to pick bounds, re-executing the child stage — with the
+    kernel directly below, every document was fingerprinted twice
+    (measured 0.37 s -> 1.00 s at sf0.1).  A cheap exchange of the
+    tiny stats rows turns the kernel into a shuffle map stage whose
+    output the sampling pass reuses, so the kernel runs once."""
     from ..operators.winnowing import winnow_fingerprint_stats
 
     docs = t(spark, sf, "documents")
-    return winnow_fingerprint_stats(docs, "doc_id", "text").orderBy(
-        "doc_id"
-    )
+    stats = winnow_fingerprint_stats(docs, "doc_id", "text")
+    return stats.repartition("doc_id").orderBy("doc_id")
 
 
 # ------------------------------------- referential-integrity audit
