@@ -82,11 +82,14 @@ def edit_distance_join(
 
     a = grams.select(F.col("_s").alias("s_a"), "g")
     b = grams.select(F.col("_s").alias("s_b"), "g")
+    # no distinct here: the post-union distinct below already dedupes
+    # candidate pairs, so an inner distinct only adds an exchange +
+    # aggregate pair for the same result (r13; the gram-multiplicity
+    # guard is grams' own distinct above, which caps the fan-out)
     gram_cand = (
         a.join(b, "g")
         .filter(F.col("s_a") < F.col("s_b"))
         .select("s_a", "s_b")
-        .distinct()
     )
     # short band: pairs where BOTH strings are under the q-gram
     # completeness bound (len < q+k·q) pair all-vs-all within length

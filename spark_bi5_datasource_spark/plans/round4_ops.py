@@ -501,6 +501,65 @@ def _copurchase_pairs(lineitem) -> DataFrame:
         .agg(F.expr("sort_array(collect_set(l_partkey))").alias("parts"))
         .where(F.expr("size(parts) >= 2"))
     )
+
+    # r13: the pair unfold runs as a vectorized Arrow kernel instead
+    # of the interpreted transform/slice/flatten HOF chain (Catalyst
+    # HOFs have no codegen; the chain was ~0.3 s of the sf0.1 pair
+    # stage vs ~0.14 for the kernel).  Pair (i, j) with i < j unfolds
+    # from the pair's rank via the closed-form inverse of the
+    # lexicographic triangular numbering; emitted (u, v) multisets
+    # are identical (pinned by test_copurchase_kernel_parity).
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            lst = b.column("parts")
+            offs = lst.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            vals = lst.values.to_numpy(zero_copy_only=False)[: offs[-1]]
+            sizes = offs[1:] - offs[:-1]
+            npairs = sizes * (sizes - 1) // 2
+            total = int(npairs.sum())
+            if total == 0:
+                e = pa.array([], type=pa.int64())
+                yield pa.RecordBatch.from_arrays([e, e], ["u", "v"])
+                continue
+            bidx = np.repeat(np.arange(sizes.size), npairs)
+            prank = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(npairs)))[:-1], npairs
+            )
+            s = sizes[bidx]
+            # rank -> (i, j): count r of pairs at or after this rank
+            # determines i (rows shrink by one as i grows), then j
+            # follows from the row offset
+            r = npairs[bidx] - 1 - prank
+            jj = np.floor((np.sqrt(8.0 * r + 1) - 1) / 2).astype(np.int64)
+            i = s - 2 - jj
+            j = prank - (i * (2 * s - i - 1)) // 2 + i + 1
+            base = offs[:-1][bidx]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vals[base + i], type=pa.int64()),
+                    pa.array(vals[base + j], type=pa.int64()),
+                ],
+                ["u", "v"],
+            )
+
+    return baskets.select("parts").mapInArrow(kernel, "u long, v long")
+
+
+def _copurchase_pairs_hof(lineitem) -> DataFrame:
+    """Pure-Catalyst twin of ``_copurchase_pairs`` (the pre-r13
+    unfold): the parity oracle for the Arrow kernel, and a fallback
+    for environments without NumPy on the workers."""
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.expr("sort_array(collect_set(l_partkey))").alias("parts"))
+        .where(F.expr("size(parts) >= 2"))
+    )
     return baskets.select(
         F.explode(
             F.expr(

@@ -39,17 +39,25 @@ from .tables import t
 TPCH_PACK: dict[str, tuple] = {}
 
 
-def _q(name: str, sql: str, tables: tuple[str, ...], bench: bool = False):
+def _q(
+    name: str,
+    sql: str,
+    tables: tuple[str, ...],
+    bench: bool = False,
+    spark_sql: str | None = None,
+):
     """Register a SQL-interface query: the Spark side materializes the
     needed fixture tables as prefixed temp views and runs the same
     logical statement DuckDB gets (prefix-free) — modulo the
     ``spark_fast_sql`` money-idiom rewrite, which keeps the scaled-
     BIGINT sums inside whole-stage codegen (see fastmoney.py; the
-    oracle text keeps ``round()``)."""
+    oracle text keeps ``round()``).  ``spark_sql`` substitutes a
+    restructured-but-hash-identical statement on the Spark side only
+    (the oracle always runs ``sql``)."""
 
     def wrap(doc: str):
         p = f"{name.rsplit('_', 1)[-1]}_"
-        ssql = spark_fast_sql(sql)
+        ssql = spark_fast_sql(spark_sql if spark_sql is not None else sql)
 
         def fn(spark: SparkSession, sf: str) -> DataFrame:
             for tb in tables:
@@ -533,19 +541,56 @@ _Q21_SQL = """
     LIMIT 100
 """
 
+# Spark-side r13 restructure: the EXISTS is equivalent to "the order
+# has >= 2 distinct suppliers" and the NOT EXISTS to "exactly one
+# distinct supplier ships late in the order" (the correlated o3 is
+# the SAME order row, already status 'F'), so both correlated
+# subqueries collapse into per-order count(DISTINCT l_suppkey)
+# aggregates: lineitem is read twice instead of three times and the
+# wide lineitem-vs-lineitem anti join becomes two joins against
+# per-order count rows.  sf0.1: 1.22 -> 1.03 s; result hash identical
+# to the untouched oracle text (_Q21_SQL) at every checked SF.
+_Q21_SPARK_SQL = """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM {p}lineitem l
+      JOIN {p}orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    ), ordsupp AS (
+      SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp
+      FROM {p}lineitem GROUP BY l_orderkey
+    ), latesupp AS (
+      SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_late
+      FROM late GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN ordsupp os ON os.l_orderkey = l1.l_orderkey AND os.n_supp >= 2
+    JOIN latesupp ls ON ls.l_orderkey = l1.l_orderkey AND ls.n_late = 1
+    JOIN {p}supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN {p}nation n ON s.s_nationkey = n.n_nationkey
+    JOIN {p}region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+"""
+
 sql_tpch_q21 = _q(
     "sql_tpch_q21",
     _Q21_SQL,
     ("supplier", "lineitem", "orders", "nation", "region"),
     bench=True,
+    spark_sql=_Q21_SPARK_SQL,
 )(
     """TPC-H q21 (suppliers who kept orders waiting): the hardest
     correlation shape in the suite — one EXISTS (another supplier
     contributed to the order) and one NOT EXISTS (no OTHER supplier
     was also late) against the same fact table, both correlated on
-    l_orderkey.  Lateness is the fixture-adapted shipdate test, which
-    makes the inner NOT EXISTS carry its own orders join — Catalyst
-    still plans both as semi/anti joins keyed on l_orderkey, so
-    lineitem is hash-exchanged three times but never nested-looped.
-    Region-filtered (a single nation can be empty at sf0.001)."""
+    l_orderkey.  Lateness is the fixture-adapted shipdate test.  The
+    oracle keeps the literal EXISTS/NOT EXISTS chain; the Spark side
+    runs the hash-identical distinct-supplier-count restructure
+    (_Q21_SPARK_SQL above).  Region-filtered (a single nation can be
+    empty at sf0.001)."""
 )

@@ -468,6 +468,34 @@ class TestSaltedJoin:
         )
 
 
+class TestCopurchaseKernel:
+    def test_copurchase_kernel_parity(self, spark):
+        """The r13 Arrow pair-unfold must emit the exact (u, v)
+        multiset of the HOF chain it replaced — including baskets
+        big enough to exercise the rank -> (i, j) closed form, and
+        the singleton/empty degenerate baskets."""
+        import random
+
+        from spark_bi5_datasource_spark.plans.round4_ops import (
+            _copurchase_pairs,
+            _copurchase_pairs_hof,
+        )
+
+        rng = random.Random(13)
+        rows = [(1, x) for x in range(53)] + [(2, 7), (3, 4)]
+        for o in range(10, 60):
+            for x in rng.sample(range(200), rng.randrange(0, 9)):
+                rows.append((o, x))
+        li = spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        )
+        new = _copurchase_pairs(li)
+        old = _copurchase_pairs_hof(li)
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
+        assert new.where("u >= v").count() == 0
+
+
 class TestDedupPolish:
     def test_minhash_arrow_kernel_parity(self, spark):
         """The r13 vectorized permutation-fold kernel must be
