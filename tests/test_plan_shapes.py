@@ -4,6 +4,8 @@ filters un-pushing, Python sneaking into relational hot paths)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from tests.conftest import TESTDATA_SF, has_testdata
@@ -362,12 +364,15 @@ def test_round5_plans(spark):
 
 
 def test_round6_plans(spark):
-    # TPC-H q21's double correlation must decorrelate to semi + anti
-    # hash joins on l_orderkey — any nested-loop fallback is fatal at
+    # TPC-H q21 runs the r13 distinct-supplier-count restructure: the
+    # correlated EXISTS/NOT EXISTS (formerly semi + anti joins) are
+    # replaced by two per-order count(DISTINCT l_suppkey) aggregates
+    # joined back on l_orderkey — any nested-loop fallback is fatal at
     # scale
     p = plan_of(spark, "sql_tpch_q21")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
-    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "LeftSemi" not in p and "LeftAnti" not in p
+    assert re.search(r"count\(distinct l_suppkey", p) is not None
 
     # q17's correlated AVG subquery must become an aggregate + join,
     # not a per-row re-scan
