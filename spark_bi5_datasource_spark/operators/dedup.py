@@ -535,39 +535,48 @@ def _minhash_dedup_once(
     """One linear pass: band → per-bucket representative → verify →
     drop verified near-dups of the representative.
 
-    The text rides through the banding explode (``carry``), and the
-    per-bucket representative comes from a window ``min(struct(id,
-    text))`` (struct comparison is lexicographic, so this IS min_by
-    id): signatures are computed once and ONE exchange — the window
-    shuffle on (band, bucket) — replaces round 1's
-    bucket-agg + rep-join + two id-lookup joins.  Candidates are
-    deduped on (id_a, id_b) BEFORE verification: true near-dups
-    collide in most of the 8 bands (~7× duplication measured), and a
-    shingle-Jaccard verification costs far more than shuffling the
-    small candidate frame once."""
+    Band frames carry IDS ONLY (r13 — the same posture as
+    ``minhash_delta_dedup``): the per-bucket representative is a
+    window ``min(id)`` over (band, bucket), so both candidate
+    exchanges (the window shuffle and the (id_a, id_b) pair dedup)
+    move ~16-byte rows.  The earlier shape carried the text through
+    the ``bands``-way banding explode, shuffling bands× the corpus
+    text bytes — exactly the x1000 spill mode the delta-dedup
+    docstring records.  Texts re-attach to the SMALL verified-
+    candidate frame by two id joins (planner-chosen build side:
+    broadcast at bench scale, shuffle at corpus scale via AQE — 2×
+    text exchanged worst-case vs bands×).  sf0.1: 1.32 → 1.29 s,
+    survivor set identical (scripts/exp_r13_unfolds.py).
+
+    Candidates are deduped on (id_a, id_b) BEFORE verification: true
+    near-dups collide in most of the 8 bands (~7× duplication
+    measured), and a shingle-Jaccard verification costs far more than
+    shuffling the small candidate frame once."""
     # explicit projection: the signature kernel is an opaque Arrow
     # stage, so Catalyst cannot prune the frame's other columns below
     # it — only (id, text) participate until the final anti-join
-    sigs = minhash_signatures(
-        df.select(id_col, text_col), id_col, text_col, n, num_perm
-    )
-    banded = _banded(sigs, id_col, num_perm, bands, carry=(text_col,))
+    texts = df.select(id_col, text_col)
+    sigs = minhash_signatures(texts, id_col, text_col, n, num_perm)
+    banded = _banded(sigs, id_col, num_perm, bands)
     w = Window.partitionBy("band", "bucket")
     cand = (
-        banded.withColumn(
-            "__rep", F.min(F.struct(F.col(id_col), F.col(text_col))).over(w)
-        )
-        .filter(F.col(id_col) > F.col(f"__rep.{id_col}"))
+        banded.withColumn("__rep", F.min(F.col(id_col)).over(w))
+        .filter(F.col(id_col) > F.col("__rep"))
         .select(
-            F.col(f"__rep.{id_col}").alias("id_a"),
-            F.col(f"__rep.{text_col}").alias("__ta"),
+            F.col("__rep").alias("id_a"),
             F.col(id_col).alias("id_b"),
-            F.col(text_col).alias("__tb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    ta = texts.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+    )
+    tb = texts.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+    )
+    withtext = cand.join(ta, "id_a").join(tb, "id_b")
     verified = (
-        with_shingles(cand, "__ta", n, "__sa")
+        with_shingles(withtext, "__ta", n, "__sa")
         .transform(lambda d: with_shingles(d, "__tb", n, "__sb"))
         .withColumn(
             "jaccard",

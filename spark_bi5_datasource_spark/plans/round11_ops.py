@@ -2134,6 +2134,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     fingerprint — never a raw self-join), one (a, b) count.  The df
     cap is the hub guard: pair volume is bounded by
     |fps| · C(50, 2)."""
+    from ..operators.pairs import unfold_sorted_pairs
     from ..operators.winnowing import winnow_fingerprints
 
     docs = t(spark, sf, "documents")
@@ -2143,15 +2144,13 @@ def dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.expr("sort_array(collect_set(doc_id))").alias("ds"))
         .where("size(ds) BETWEEN 2 AND 50")
     )
-    pairs = inv.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) ->"
-                " transform(slice(ds, i + 2, size(ds)),"
-                " y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    # r13: the pair unfold shares the co-purchase Arrow kernel
+    # (operators/pairs.py) instead of the interpreted HOF chain —
+    # same closed-form triangular-rank unfold, identical pair
+    # multisets (test_winnow_unfold_kernel_parity); sf0.1 1.25 →
+    # 1.20 s, and the interpreted per-pair cost it removes grows
+    # with C(df<=50, 2) pair volume at corpus scale
+    pairs = unfold_sorted_pairs(inv, "ds", "doc_a", "doc_b")
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))

@@ -505,49 +505,11 @@ def _copurchase_pairs(lineitem) -> DataFrame:
     # r13: the pair unfold runs as a vectorized Arrow kernel instead
     # of the interpreted transform/slice/flatten HOF chain (Catalyst
     # HOFs have no codegen; the chain was ~0.3 s of the sf0.1 pair
-    # stage vs ~0.14 for the kernel).  Pair (i, j) with i < j unfolds
-    # from the pair's rank via the closed-form inverse of the
-    # lexicographic triangular numbering; emitted (u, v) multisets
-    # are identical (pinned by test_copurchase_kernel_parity).
-    def kernel(batches):
-        import numpy as np
-        import pyarrow as pa
+    # stage vs ~0.14 for the kernel).  Emitted (u, v) multisets are
+    # identical (pinned by test_copurchase_kernel_parity).
+    from ..operators.pairs import unfold_sorted_pairs
 
-        for b in batches:
-            lst = b.column("parts")
-            offs = lst.offsets.to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            vals = lst.values.to_numpy(zero_copy_only=False)[: offs[-1]]
-            sizes = offs[1:] - offs[:-1]
-            npairs = sizes * (sizes - 1) // 2
-            total = int(npairs.sum())
-            if total == 0:
-                e = pa.array([], type=pa.int64())
-                yield pa.RecordBatch.from_arrays([e, e], ["u", "v"])
-                continue
-            bidx = np.repeat(np.arange(sizes.size), npairs)
-            prank = np.arange(total) - np.repeat(
-                np.concatenate(([0], np.cumsum(npairs)))[:-1], npairs
-            )
-            s = sizes[bidx]
-            # rank -> (i, j): count r of pairs at or after this rank
-            # determines i (rows shrink by one as i grows), then j
-            # follows from the row offset
-            r = npairs[bidx] - 1 - prank
-            jj = np.floor((np.sqrt(8.0 * r + 1) - 1) / 2).astype(np.int64)
-            i = s - 2 - jj
-            j = prank - (i * (2 * s - i - 1)) // 2 + i + 1
-            base = offs[:-1][bidx]
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(vals[base + i], type=pa.int64()),
-                    pa.array(vals[base + j], type=pa.int64()),
-                ],
-                ["u", "v"],
-            )
-
-    return baskets.select("parts").mapInArrow(kernel, "u long, v long")
+    return unfold_sorted_pairs(baskets, "parts")
 
 
 def _copurchase_pairs_hof(lineitem) -> DataFrame:

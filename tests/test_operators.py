@@ -495,6 +495,39 @@ class TestCopurchaseKernel:
         assert old.exceptAll(new).count() == 0
         assert new.where("u >= v").count() == 0
 
+    def test_winnow_unfold_kernel_parity(self, spark):
+        """The generalized unfold (operators/pairs.py) must match the
+        HOF chain on arbitrary sorted int arrays — including nulls,
+        empties and singletons, which contribute no pairs — and
+        preserve the element type (int, not long)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.operators.pairs import (
+            unfold_sorted_pairs,
+        )
+
+        rng = random.Random(17)
+        rows = [
+            (sorted(rng.sample(range(500), rng.randrange(0, 12))),)
+            for _ in range(80)
+        ] + [(None,), ([],), ([3],), (list(range(50)),)]
+        df = spark.createDataFrame(rows, "ds array<int>")
+        new = unfold_sorted_pairs(df, "ds", "doc_a", "doc_b")
+        old = df.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        ).select("p.doc_a", "p.doc_b")
+        assert new.schema == old.schema
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
+
 
 class TestDedupPolish:
     def test_minhash_arrow_kernel_parity(self, spark):
