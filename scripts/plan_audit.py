@@ -68,6 +68,17 @@ ARROW_KERNELS = {
     "dedup_video_fingerprint": "AVI synth + frame-sample/dHash/majority kernels (functions/multimodal.py)",
     "sim_ivf_index_merge": "IVF training collect + GEMM assignment/probe kernels (operators/ann_index.py)",
     "dedup_cross_modal_agreement": "image synth + decode/dHash kernels on the media leg (functions/multimodal.py; surfaced by the r10 reuse_gate exchange, which keeps the kernel in the final adaptive plan string)",
+    # r13 vectorized kernels: the minhash permutation fold (zero-shuffle
+    # mapInArrow, parity-pinned bit-identical to the Catalyst twin) and
+    # the triangular pair unfold (operators/pairs.py, parity-pinned)
+    "dedup_minhash": "minhash permutation-fold kernel (operators/dedup.py minhash_signatures)",
+    "dedup_incremental_delta": "minhash permutation-fold kernel (operators/dedup.py minhash_signatures)",
+    "dedup_band_index_merge": "minhash permutation-fold kernel (operators/dedup.py minhash_signatures)",
+    "corpus_build_production": "minhash permutation-fold kernel (operators/dedup.py minhash_signatures)",
+    "basket_association_lift": "triangular pair-unfold kernel (operators/pairs.py)",
+    "graph_degree_distribution": "triangular pair-unfold kernel (operators/pairs.py)",
+    "graph_triangle_count": "triangular pair-unfold kernel (operators/pairs.py)",
+    "graph_neighbor_jaccard": "triangular pair-unfold kernel (operators/pairs.py)",
 }
 
 # queries allowed an Exchange SinglePartition, with the bound
