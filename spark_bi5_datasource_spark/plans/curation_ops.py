@@ -803,10 +803,15 @@ def tok_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     from pyspark.sql import Window
 
+    # r13: distributed TakeOrdered(100) prefix before the rank window
+    # — the row_number used to run single-partition over the whole
+    # vocabulary; ranks over the prefix are identical ((cnt DESC,
+    # tok) is a total order).  Same scale-shape fix as
+    # tok_zipf_profile.
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(100)
     w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 100)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("tok", "cnt", "rank")
     )
 

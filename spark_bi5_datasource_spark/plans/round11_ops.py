@@ -546,18 +546,32 @@ def basket_association_lift(spark: SparkSession, sf: str) -> DataFrame:
     (_copurchase_pairs — one collect_set groupBy, no self-join); the
     per-item support frame keys on part (broadcast at dim scale) and
     the corpus total is a 1-row broadcast."""
-    from .round4_ops import _copurchase_pairs
+    from ..operators.pairs import unfold_sorted_pairs
 
     li = t(spark, sf, "lineitem")
-    dli = li.select("l_orderkey", "l_partkey").distinct()
+    # r13 shared exchange: the support frame (distinct pairs) and the
+    # basket frame (collect_set per order) each shuffled the full
+    # lineitem projection separately — hash(ok, pk) and hash(ok).  One
+    # explicit repartition on l_orderkey satisfies BOTH downstream
+    # clusterings (HashPartitioning([ok]) ⊆ ClusteredDistribution for
+    # the (ok, pk) distinct and the ok groupBy), so ReuseExchange
+    # runs the fact shuffle once.  sf0.1: 1.44 → 1.25 s same-window,
+    # result-equal; at scale it halves the fact bytes shuffled.
+    ex = li.select("l_orderkey", "l_partkey").repartition("l_orderkey")
+    dli = ex.distinct()
     n = dli.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )
     deg = dli.groupBy("l_partkey").agg(
         F.count("*").cast("bigint").alias("n_item")
     )
+    baskets = (
+        ex.groupBy("l_orderkey")
+        .agg(F.expr("sort_array(collect_set(l_partkey))").alias("parts"))
+        .where(F.expr("size(parts) >= 2"))
+    )
     pairs = (
-        _copurchase_pairs(li)
+        unfold_sorted_pairs(baskets, "parts")
         .groupBy("u", "v")
         .agg(F.count("*").cast("bigint").alias("n_uv"))
         .where("n_uv >= 2")

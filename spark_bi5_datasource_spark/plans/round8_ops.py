@@ -363,8 +363,19 @@ def tok_zipf_profile(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("term")
         .agg(F.sum("cnt").cast("bigint").alias("freq"))
     )
+    # r13: the rank/cumsum window used to run single-partition over
+    # the WHOLE vocabulary for a top-50 answer (bounded but
+    # single-threaded O(|vocab| log |vocab|), and the window subtree
+    # re-executed for the doubling branch).  A distributed
+    # TakeOrdered(100) prefix first makes the window a 100-row
+    # triviality; rk/cumfreq values over the prefix are identical by
+    # construction (prefix sums depend only on higher-ranked rows,
+    # and (freq DESC, term) is a total order).  sf0.1-neutral
+    # (0.878 → 0.873 same-window, result-equal) — this is a scale-
+    # shape fix, not a bench win.
+    top = c.orderBy(F.desc("freq"), "term").limit(100)
     wo = Window.orderBy(F.desc("freq"), "term")
-    r = c.select(
+    r = top.select(
         "term",
         "freq",
         F.row_number().over(wo).cast("bigint").alias("rk"),
@@ -374,7 +385,7 @@ def tok_zipf_profile(spark: SparkSession, sf: str) -> DataFrame:
         .alias("cumfreq"),
     )
     tot = c.agg(F.sum("freq").cast("bigint").alias("total"))
-    dbl = r.where("rk <= 100").select(
+    dbl = r.select(
         (F.col("rk")).alias("drk"), F.col("freq").alias("dfreq")
     )
     return (

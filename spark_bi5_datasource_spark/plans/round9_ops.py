@@ -752,8 +752,14 @@ def sim_mrl_prefix_recall(spark: SparkSession, sf: str) -> DataFrame:
         cosine_topk(pre, pre.filter(F.col("vec_id") < 10), k=5)
         .select("query_id", "nbr_id", F.lit(1).alias("hit"))
     )
+    # r13: pre_k is k·|queries| rows (50 here) but sits behind a
+    # window + filter, so Catalyst's size estimate blows past the
+    # broadcast threshold and planned a sort-merge join — two
+    # exchanges + sorts on 50-row inputs.  Explicit broadcast (the
+    # bound is k·|queries| by construction, the documented contract
+    # of this entry) makes it a BroadcastHashJoin.
     return (
-        full_k.join(pre_k, ["query_id", "nbr_id"], "left")
+        full_k.join(F.broadcast(pre_k), ["query_id", "nbr_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("hit").cast("bigint").alias("n_overlap"),
