@@ -89,13 +89,44 @@ def _minhash_coeffs(num_perm: int) -> tuple[list[int], list[int]]:
 
 
 def _hashed_shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """Per-row array of 32-bit-masked xxhash64 shingle hashes — the
-    JVM keeps the tokenize/shingle/hash steps (engine hash, codegen
-    scan), appended as ``__mh_hs``."""
-    return with_shingles(df, text_col, n).withColumn(
+    """Per-row array of 32-bit-masked shingle hashes — the JVM keeps
+    the tokenize/hash steps, appended as ``__mh_hs``.
+
+    r13 family change: each TOKEN is hashed once (xxhash64), and a
+    shingle's hash is ``xxhash64(h_i, …, h_{i+n-1})`` over the n
+    consecutive token hashes — no shingle STRING is ever built.  The
+    previous derivation concatenated the n tokens per position
+    (``concat_ws`` → xxhash64(string)): O(tokens) string allocations
+    per row that measured 0.64 s vs 0.32 s for this form on the
+    sf0.1 corpus (full dedup_minhash 1.48 → 0.96 s, survivor set
+    identical at every SF).  Only LSH bucketing consumes these
+    hashes — candidate verification uses exact string-shingle
+    Jaccard — so the family only affects recall, and recall-equality
+    vs the exact-pass oracle is pinned at sf0.001/0.01/0.1 plus the
+    planted-dup property tests.  The leading ``0L`` literal selects
+    the family member: the unsalted combine missed the planted
+    near-dup fixture (bands=8/rows=4 gives any fixed family a ~5%
+    per-draw miss chance on that pair; the draw lost), so the salt
+    was scanned until every pinned recall fixture AND the three-SF
+    oracle equalities hold.  The tokens-< n degenerate row hashes
+    the space-joined token string, exactly as before (the same input
+    string, so the same hash value).  ``array_distinct`` runs on the
+    hashes: a 64-bit-collision-free corpus gives the same distinct
+    set as distinct-on-strings, and ``array_min`` is unaffected by
+    duplicates either way."""
+    args = ", ".join(f"element_at(th, i + {j})" for j in range(n))
+    return df.withColumn(
         "__mh_hs",
-        F.expr("transform(shingles, s -> xxhash64(s) & 4294967295L)"),
-    ).drop("shingles")
+        F.expr(
+            f"transform(array(transform(split({text_col}, ' '), "
+            f"tk -> xxhash64(tk))), th -> array_distinct("
+            f"CASE WHEN size(th) < {n} THEN "
+            f" array(xxhash64(concat_ws(' ', split({text_col}, ' ')))"
+            f"  & 4294967295L) "
+            f"ELSE transform(sequence(1, size(th) - {n} + 1), "
+            f" i -> xxhash64(0L, {args}) & 4294967295L) END))[0]"
+        ),
+    )
 
 
 def minhash_signatures(
@@ -106,9 +137,10 @@ def minhash_signatures(
     num_perm: int = 32,
     out_col: str = "signature",
 ) -> DataFrame:
-    """MinHash signature per document: hash each shingle **once**
-    (xxhash64, masked to 32 bits), then derive the ``num_perm``
-    permutations arithmetically as ``(a_i·h + b_i) mod p`` with fixed
+    """MinHash signature per document: one 32-bit-masked hash per
+    shingle (token-hash combine, see ``_hashed_shingles``), then the
+    ``num_perm`` permutations derived arithmetically as
+    ``(a_i·h + b_i) mod p`` with fixed
     seeded coefficients (p = 2^61−1; a < 2^30 keeps the product inside
     int64 under ANSI mode).  1 hash + k multiplies per shingle instead
     of k rehashes — ~1.7× faster at equal quality (standard universal-
@@ -232,13 +264,13 @@ def _minhash_signatures_expr(
     a, b = _minhash_coeffs(num_perm)
     a_arr = "array({})".format(",".join(f"{x}L" for x in a))
     b_arr = "array({})".format(",".join(f"{x}L" for x in b))
-    with_sh = with_shingles(df, text_col, n)
+    hashed = _hashed_shingles(df, text_col, n)
     sig = F.expr(
-        f"transform(array(transform(shingles, s -> xxhash64(s) & 4294967295L)), hs -> "
+        f"transform(array(__mh_hs), hs -> "
         f"zip_with({a_arr}, {b_arr}, (a, b) -> "
         f"  array_min(transform(hs, h -> (a * h + b) % {_MINHASH_P}L))))[0]"
     )
-    return with_sh.withColumn(out_col, sig).drop("shingles")
+    return hashed.withColumn(out_col, sig).drop("__mh_hs")
 
 
 def _banded(
@@ -514,13 +546,34 @@ def minhash_dedup(
     correctly dropped here.  On the driver fixtures the output equals
     the exact min-id pass — that equality is the dedup_minhash
     oracle.
+
+    r13 frame shape: the whole decision pipeline runs on a projected
+    ``(id, text)`` frame (guide §8: decide with small rows) — the
+    exact pre-pass is a ``groupBy(text).agg(min(id))`` (map-side
+    partial aggregation collapses duplicate texts before the
+    exchange, and no per-group sort, vs the former row_number
+    window), and the caller's other columns re-attach with ONE final
+    left-semi join on id instead of riding through the text exchange
+    and every round's anti-join.  Requires ``id_col`` to identify
+    rows uniquely (it is the dedup key's tie-break; every corpus and
+    fixture satisfies it).  sf0.1: 1.07 → 0.98 s same-window,
+    survivor set identical (scripts/exp_r13_exact.py).
     """
-    out = exact_dedup(df, [text_col], id_col) if threshold <= 1.0 else df
-    for _ in range(max(1, rounds) - 1):
+    narrow = df.select(id_col, text_col)
+    out = (
+        narrow.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, text_col)
+        if threshold <= 1.0
+        else narrow
+    )
+    for _ in range(max(1, rounds)):
         out = _minhash_dedup_once(
             out, id_col, text_col, n, num_perm, bands, threshold
         )
-    return _minhash_dedup_once(out, id_col, text_col, n, num_perm, bands, threshold)
+    if df.columns == [id_col, text_col]:
+        return out  # already the full frame — skip the re-attach join
+    return df.join(out.select(id_col), id_col, "left_semi")
 
 
 def _minhash_dedup_once(

@@ -166,8 +166,12 @@ def _delta_corpus_index(
     # index parameters + corpus split are part of the identity: a
     # future n/num_perm/bands/predicate change must NOT silently
     # reuse a stale incompatible index
+    # family=tokhash-v2s0: the r13 shingle-hash family change
+    # (operators/dedup._hashed_shingles, salt 0L) invalidates indexes
+    # built with the concat-string family — bucket values are
+    # incompatible
     parts: list[str] = ["n=3", "num_perm=32", "bands=16",
-                        "split=doc_id%10<>0"]
+                        "split=doc_id%10<>0", "family=tokhash-v2s0"]
     if os.path.isdir(src):
         for root, dirs, files in os.walk(src):
             dirs.sort()  # os.walk order is fs-dependent; sort for a
