@@ -85,3 +85,44 @@ class TestWinnowKernel:
                     x ^= f
                 want_xor = x
             assert got[did] == (n, len(fps), want_xor), did
+
+
+class TestBatchWinnowPaths:
+    """r13 kernel internals: the grouped modular fold and the
+    packed-key dedup, including the lexsort fallback taken when the
+    modulus exceeds the 31-bit packing bound."""
+
+    def _reference(self, texts, k, w, base, mod):
+        out = []
+        for i, s in enumerate(texts):
+            for fp in winnow_py(s or "", k, w, base, mod):
+                out.append((i, fp))
+        return out
+
+    @pytest.mark.parametrize(
+        "k,base,mod",
+        [
+            (8, 131, 1_000_000_007),  # default: grouped fold + packed path
+            (7, 131, 1_000_000_007),  # k not divisible by the group size
+            (8, 131, (1 << 31) + 11),  # > 2^31: lexsort fallback path
+            (5, 1 << 20, (1 << 42) + 1),  # big base+mod: group size 1
+        ],
+    )
+    def test_batch_winnow_matches_reference(self, k, base, mod):
+        from spark_bi5_datasource_spark.operators.winnowing import (
+            _batch_winnow,
+        )
+
+        rng = random.Random(23)
+        alpha = "abcdefghij .?"
+        texts = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+            for _ in range(60)
+        ]
+        texts += [None, "", "abc", "aaaaaaaaaaaaaaaa"]
+        n, fp_doc, fps = _batch_winnow(texts, k, 4, base, mod)
+        got = list(zip(fp_doc.tolist(), fps.tolist()))
+        assert got == self._reference(texts, k, 4, base, mod)
+        assert n.tolist() == [
+            max(len(t or "") - k + 1, 0) for t in texts
+        ]
