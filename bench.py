@@ -69,6 +69,17 @@ def build_spark():
         # (layout_cobucketed_docs_emb) flipped it mid-session, making
         # later bucketed-scan plan shapes depend on execution order
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # shuffle/broadcast/spill codec, parameterised for cluster use
+        # (r14): on this no-network box zstd's CPU overhead shows no
+        # win over lz4 (R14_CODEC_AB.jsonl — q21 10.8-11.1 s lz4 vs
+        # 14.7 s zstd; basket/winnow inside drift), so the local
+        # default stays lz4; on a real cluster where the shuffle
+        # crosses NICs, zstd's better ratio is the documented
+        # production choice (guide §2.3) — set SPARK_GRAFT_IO_CODEC.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
@@ -471,6 +482,23 @@ def main() -> None:
         floor = min(floor, time.perf_counter() - t0)
     scaled_x100["spark_job_floor"] = round(floor, 3)
 
+    # r14 (VERDICT item 6): sentinel-normalized seconds so the PERF
+    # comparison can separate box drift from plan changes from the
+    # artifact alone.  REF is the healthy-box sentinel median across
+    # rounds (BENCH_r12/r13 windows: 0.157/0.100/0.068/0.050 →
+    # ~0.1 s); factor = this window's sentinel mean / REF, and
+    # value_norm = value / factor.  Normalization assumes query time
+    # scales with the storage layer the sentinel measures — exact for
+    # scan-bound legs, indicative for compute-bound ones — so the raw
+    # seconds stay the primary record and these fields are
+    # ADDITIONS-ONLY (every pre-existing key is unchanged).
+    _ref = 0.1
+    _svals = [v for v in sf_sentinels.values() if isinstance(v, float)]
+    _factor = round((sum(_svals) / len(_svals)) / _ref, 3) if _svals else 1.0
+    queries_norm = {
+        k: round(v / _factor, 3) for k, v in timings.items()
+    } if _factor > 0 else {}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
         "drift_protocol": (
@@ -484,6 +512,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_norm": queries_norm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scaled_vs_duckdb": scaled,
         "scaled_x100_vs_duckdb": scaled_x100,
@@ -501,6 +530,15 @@ def main() -> None:
     # line carries a pointer (the r12 sentinel fields pushed the line
     # to 1973 chars — one long float from the capture cliff)
     out["drift_protocol"] = "see BENCH_DETAIL.json (sentinel legs r12)"
+    # per-query normalized seconds live in BENCH_DETAIL.json (the
+    # printed line must stay under the driver's ~2000-char capture);
+    # inline, the factor + normalized total suffice to recompute them
+    out.pop("queries_norm", None)
+    out["sentinel_norm"] = {
+        "ref": _ref,
+        "factor": _factor,
+        "value_norm": round(detail["value"] / _factor, 3) if _factor else None,
+    }
     out["scaled_vs_duckdb"] = {
         k: v for k, v in scaled.items() if k not in ("spark", "duckdb")
     }

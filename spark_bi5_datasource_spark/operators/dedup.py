@@ -42,13 +42,34 @@ def exact_dedup(
     df: DataFrame, keys: Sequence[str], tie_break: str
 ) -> DataFrame:
     """Keep one deterministic representative per distinct key tuple
-    (lowest ``tie_break``).  One exchange on ``keys``."""
-    w = Window.partitionBy(*keys).orderBy(F.col(tie_break).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    (lowest ``tie_break``).
+
+    r14 shape (the ``minhash_dedup`` exact-pre-pass trick, guide
+    §2.4/§8): a projected ``groupBy(keys).min(tie_break)`` finds the
+    representatives — map-side partial aggregation collapses
+    duplicate keys BEFORE the exchange and no per-group sort runs —
+    and a null-safe left-semi join re-attaches the caller's columns.
+    The former ``row_number`` window shuffled every FULL-WIDTH row on
+    ``keys`` and sorted each group; now the wide rows cross one
+    (keys, tie_break) semi-join exchange at most (none when the
+    representative frame broadcasts), and heavy non-key columns the
+    caller drops never shuffle at all (column pruning reaches through
+    the join, not through a window).
+
+    Requires ``tie_break`` to be unique per (keys) group — it is the
+    representative's identity; with ties, every tied row survives
+    (the window kept an arbitrary one).  Null keys match null-safely,
+    exactly as a window partition groups them."""
+    minids = (
+        df.select(*keys, tie_break)
+        .groupBy(*keys)
+        .agg(F.min(tie_break).alias(tie_break))
     )
+    cond = None
+    for c in [*keys, tie_break]:
+        eq = df[c].eqNullSafe(minids[c])
+        cond = eq if cond is None else cond & eq
+    return df.join(minids, cond, "left_semi")
 
 
 def with_shingles(

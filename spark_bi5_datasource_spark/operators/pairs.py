@@ -19,7 +19,78 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["unfold_sorted_pairs"]
+__all__ = [
+    "unfold_sorted_pairs",
+    "prefilter_min2",
+    "maybe_prefilter_min2",
+    "scan_size_bytes",
+]
+
+#: conf key / default for the scale-adaptive singleton pre-filter gate
+#: (``maybe_prefilter_min2``).  256 MiB ≈ the x10 fixture tier: below
+#: it the pre-filter's two extra stages (~0.4 s measured at sf0.1)
+#: outweigh the shuffle it saves; above it the pair exchange dominates
+#: and the filter pays (x100: 58.5/26.5 → 35.7/20.7 s interleaved,
+#: scripts/exp_r14_basket_prefilter.py).  Set to 0 to force it on
+#: (tests), or a huge value to force it off.
+PAIR_PREFILTER_CONF = "spark.bi5.pairPrefilterBytes"
+PAIR_PREFILTER_DEFAULT = 256 * 1024 * 1024
+
+
+def scan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df``'s optimized plan — for a
+    parquet scan this is the file-size sum, read driver-side from
+    metadata (no job runs).  Used to pick scale-dependent plan shapes
+    deterministically from the input, never from a computed result."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def prefilter_min2(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Drop pair rows whose ``(u, v)`` value occurs exactly once
+    globally — the rows a downstream ``HAVING count(*) >= 2`` throws
+    away AFTER paying to shuffle them (measured 99.7% of distinct
+    co-purchase pairs at sf0.1).
+
+    Guide §8 "decide with small rows": the decision pass shuffles one
+    ``xxhash64(u, v)`` long per row (8 B key vs the full pair) into a
+    count, and the surviving hash set — bounded by the true
+    ``>= 2``-pair count — broadcast-semi-joins the pair stream BEFORE
+    the wide (u, v) exchange.  Hash collisions can only ADD a
+    singleton to the output (its hash matched a surviving value),
+    never remove a true duplicate, so any consumer that applies its
+    exact ``count >= 2`` filter downstream gets bit-identical results.
+    Callers MUST keep that downstream filter."""
+    from pyspark.sql import functions as F
+
+    surv = (
+        pairs.select(F.xxhash64(u, v).alias("__ph"))
+        .groupBy("__ph")
+        .agg(F.count("*").alias("__c"))
+        .where("__c >= 2")
+        .select("__ph")
+    )
+    return (
+        pairs.withColumn("__ph", F.xxhash64(u, v))
+        .join(F.broadcast(surv), "__ph", "left_semi")
+        .drop("__ph")
+    )
+
+
+def maybe_prefilter_min2(
+    pairs: DataFrame, sized_on: DataFrame, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """Apply ``prefilter_min2`` when ``sized_on``'s scan is big enough
+    for the saved shuffle to beat the filter's fixed two-stage cost.
+    The gate reads input-file metadata only (deterministic per
+    invocation — nothing is cached across runs)."""
+    thr = int(
+        pairs.sparkSession.conf.get(
+            PAIR_PREFILTER_CONF, str(PAIR_PREFILTER_DEFAULT)
+        )
+    )
+    if scan_size_bytes(sized_on) >= thr:
+        return prefilter_min2(pairs, u, v)
+    return pairs
 
 
 def unfold_sorted_pairs(

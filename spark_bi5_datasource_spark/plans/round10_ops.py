@@ -548,7 +548,13 @@ def graph_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     post-join distinct; clean x1000 head-to-head (234 s vs 250 s for
     the self-join + distinct shape) and the DuckDB disk-death story
     live in SCALE_NOTES.md "graph pair-counting"."""
-    pairs = _copurchase_pairs(t(spark, sf, "lineitem"))
+    from ..operators.pairs import maybe_prefilter_min2
+
+    li = t(spark, sf, "lineitem")
+    # r14: scale-adaptive singleton pre-filter ahead of the (u, v)
+    # exchange (see basket_association_lift; the exact ``c >= 2``
+    # filter below keeps it lossless)
+    pairs = maybe_prefilter_min2(_copurchase_pairs(li), li)
     e = (
         pairs.groupBy("u", "v")
         .agg(F.count("*").alias("c"))

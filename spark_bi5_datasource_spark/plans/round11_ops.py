@@ -546,7 +546,7 @@ def basket_association_lift(spark: SparkSession, sf: str) -> DataFrame:
     (_copurchase_pairs — one collect_set groupBy, no self-join); the
     per-item support frame keys on part (broadcast at dim scale) and
     the corpus total is a 1-row broadcast."""
-    from ..operators.pairs import unfold_sorted_pairs
+    from ..operators.pairs import maybe_prefilter_min2, unfold_sorted_pairs
 
     li = t(spark, sf, "lineitem")
     # r13 shared exchange: the support frame (distinct pairs) and the
@@ -570,8 +570,15 @@ def basket_association_lift(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.expr("sort_array(collect_set(l_partkey))").alias("parts"))
         .where(F.expr("size(parts) >= 2"))
     )
+    # r14: the (u, v) exchange is the query's dominant scale cost
+    # (3.6 GiB at x100) and 99.7% of distinct pairs are singletons the
+    # HAVING discards post-exchange; above the size gate a hash-count
+    # + broadcast-semi pre-filter drops them BEFORE the exchange
+    # (guide §8 / §2.3; x100 interleaved A/B 58.5/26.5 → 35.7/20.7 s,
+    # result-equal — exp_r14_basket_prefilter.py).  The exact
+    # ``n_uv >= 2`` below stays: it is what makes the filter lossless.
     pairs = (
-        unfold_sorted_pairs(baskets, "parts")
+        maybe_prefilter_min2(unfold_sorted_pairs(baskets, "parts"), li)
         .groupBy("u", "v")
         .agg(F.count("*").cast("bigint").alias("n_uv"))
         .where("n_uv >= 2")
@@ -629,11 +636,15 @@ def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: basket-pattern pair generation, one (u,v) count, one
     per-node count, one |buckets|-row rollup — every aggregate
     map-side-combines."""
+    from ..operators.pairs import maybe_prefilter_min2
     from .round4_ops import _copurchase_pairs
 
     li = t(spark, sf, "lineitem")
+    # r14: same scale-adaptive singleton pre-filter as
+    # basket_association_lift (shared pair pipeline, same exact
+    # ``n >= 2`` downstream filter keeps it lossless)
     e = (
-        _copurchase_pairs(li)
+        maybe_prefilter_min2(_copurchase_pairs(li), li)
         .groupBy("u", "v")
         .agg(F.count("*").alias("n"))
         .where("n >= 2")
@@ -2153,6 +2164,21 @@ def dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = t(spark, sf, "documents")
     fps = winnow_fingerprints(docs, "doc_id", "text")
+    # r14 negative result, kept for the record
+    # (scripts/exp_r14_q21_winnow_ab.py): a two-pass shape — one
+    # explicit fp exchange shared by a per-fp count (the df band
+    # BEFORE any set is built) and the surviving collect_set — was
+    # installed and REVERTED: x100 interleaved A/B 4.5/12.9 s (this
+    # shape) vs 7.1/17.0 s (two-pass), because the raw-row
+    # repartition forfeits the map-side partial collect_set that
+    # collapses each partition's duplicate-fp rows before the
+    # exchange (the x100 replica corpus multiplies every fp's df
+    # 100x, so the partial agg removes ~99% of exchange rows here).
+    # The kernel-twice variant (tiny partial-count exchange + semi
+    # filter) loses too: the winnow kernel is ~2.4 s of the 4.4 s
+    # x100 leg and would run twice.  The residual hazard — one
+    # df≫band hub fp's set building on a single reducer — is bounded
+    # map-side by the same partial aggregation.
     inv = (
         fps.groupBy("fp")
         .agg(F.expr("sort_array(collect_set(doc_id))").alias("ds"))

@@ -626,7 +626,13 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     (one collect_set groupBy + array HOF unfold, `_copurchase_pairs`)
     so the fan-out never enters a join or a distinct.  Returns the
     top-50 parts by triangle membership."""
-    pairs = _copurchase_pairs(t(spark, sf, "lineitem"))
+    from ..operators.pairs import maybe_prefilter_min2
+
+    li = t(spark, sf, "lineitem")
+    # r14: scale-adaptive singleton pre-filter ahead of the (u, v)
+    # exchange (see basket_association_lift; the exact ``c >= 2``
+    # filter below keeps it lossless)
+    pairs = maybe_prefilter_min2(_copurchase_pairs(li), li)
     e = (
         pairs.groupBy("u", "v")
         .agg(F.count("*").alias("c"))

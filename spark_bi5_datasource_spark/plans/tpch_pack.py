@@ -550,6 +550,19 @@ _Q21_SQL = """
 # wide lineitem-vs-lineitem anti join becomes two joins against
 # per-order count rows.  sf0.1: 1.22 -> 1.03 s; result hash identical
 # to the untouched oracle text (_Q21_SQL) at every checked SF.
+#
+# r14: the late CTE inlines twice (the l1 rows and the latesupp
+# aggregate) and the two copies missed ReuseExchange over ONE
+# divergent pushed filter — l1's supplier join pushes
+# isnotnull(l_suppkey) into its copy, latesupp's does not — so
+# lineitem was scanned AND shuffled three times at x100 (plan:
+# Exchange(4) 1831 MiB ≡ Exchange(35) 1831 MiB, only
+# IsNotNull(l_suppkey) apart).  The explicit `l_suppkey IS NOT NULL`
+# in the CTE aligns both copies (a no-op on results: the supplier
+# INNER join drops null-suppkey l1 rows anyway, and count(DISTINCT
+# l_suppkey) ignores nulls), so the second copy plans as a
+# ReusedExchange — one fewer lineitem-scale exchange + scan
+# (guide §2.4; plans/r14/sql_tpch_q21_{before,after}.txt).
 _Q21_SPARK_SQL = """
     WITH late AS (
       SELECT l.l_orderkey, l.l_suppkey
@@ -557,6 +570,7 @@ _Q21_SPARK_SQL = """
       JOIN {p}orders o ON o.o_orderkey = l.l_orderkey
       WHERE o.o_orderstatus = 'F'
         AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        AND l.l_suppkey IS NOT NULL
     ), ordsupp AS (
       SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp
       FROM {p}lineitem GROUP BY l_orderkey

@@ -41,6 +41,20 @@ class TestDedup:
         kept = sorted(r.doc_id for r in exact_dedup(docs, ["text"], "doc_id").collect())
         assert kept == [1, 2, 4, 5]  # 3 dropped (exact dup of 1)
 
+    def test_exact_dedup_null_keys_group(self, spark):
+        """Null keys form ONE group (window-partition semantics, kept
+        null-safely by the r14 semi-join shape), and column order is
+        the caller's."""
+        df = spark.createDataFrame(
+            [(1, None, "a"), (2, None, "b"), (3, "x", "c"), (4, "x", "d")],
+            "doc_id int, text string, extra string",
+        )
+        out = exact_dedup(df, ["text"], "doc_id")
+        assert out.columns == ["doc_id", "text", "extra"]
+        assert sorted((r.doc_id, r.extra) for r in out.collect()) == [
+            (1, "a"), (3, "c"),
+        ]
+
     def test_minhash_finds_planted_near_dup(self, spark, docs):
         kept = sorted(
             r.doc_id
@@ -494,6 +508,56 @@ class TestCopurchaseKernel:
         assert new.exceptAll(old).count() == 0
         assert old.exceptAll(new).count() == 0
         assert new.where("u >= v").count() == 0
+
+    def test_prefilter_min2_lossless(self, spark):
+        """The r14 singleton pre-filter must keep EVERY pair with
+        global multiplicity >= 2 (the downstream HAVING makes the
+        composition exact): counted results with the filter forced on
+        equal the unfiltered counts, on data with singletons, exact
+        duplicates and cross-basket repeats."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from spark_bi5_datasource_spark.operators.pairs import (
+            PAIR_PREFILTER_CONF,
+            prefilter_min2,
+        )
+        from spark_bi5_datasource_spark.plans.round4_ops import (
+            _copurchase_pairs,
+        )
+
+        rng = random.Random(29)
+        rows = []
+        for o in range(200):
+            for x in rng.sample(range(40), rng.randrange(2, 7)):
+                rows.append((o, x))
+        li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        pairs = _copurchase_pairs(li)
+
+        def counted(p):
+            return (
+                p.groupBy("u", "v")
+                .agg(F.count("*").alias("n"))
+                .where("n >= 2")
+            )
+
+        base = counted(pairs).collect()
+        filt = counted(prefilter_min2(pairs)).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, filt))
+        assert len(base) > 0  # the fixture actually exercises the band
+
+        # the conf gate: 0 forces the filter on through the public path
+        spark.conf.set(PAIR_PREFILTER_CONF, "0")
+        try:
+            from spark_bi5_datasource_spark.operators.pairs import (
+                maybe_prefilter_min2,
+            )
+
+            gated = counted(maybe_prefilter_min2(pairs, li)).collect()
+            assert sorted(map(tuple, base)) == sorted(map(tuple, gated))
+        finally:
+            spark.conf.unset(PAIR_PREFILTER_CONF)
 
     def test_winnow_unfold_kernel_parity(self, spark):
         """The generalized unfold (operators/pairs.py) must match the
