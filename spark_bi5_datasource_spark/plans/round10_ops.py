@@ -787,16 +787,17 @@ def tok_oov_by_source(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source", "tok")
         .agg(F.sum("cnt").cast("bigint").alias("c"))
     )
+    # r14 (catalog sweep for the zipf pattern): the vocabulary rank
+    # used to run a single-partition row_number over the WHOLE
+    # distinct-term frame for a top-20 answer; a distributed
+    # TakeOrdered(20) prefix over the SAME total order (cnt DESC,
+    # tok) selects an identical token set — the rank column was only
+    # a selector and is not emitted, so no window remains at all.
     vocab = (
         sc.groupBy("tok")
         .agg(F.sum("c").alias("cnt"))
-        .select(
-            "tok",
-            F.row_number()
-            .over(Window.orderBy(F.col("cnt").desc(), "tok"))
-            .alias("rnk"),
-        )
-        .where("rnk <= 20")
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(20)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
     return (

@@ -24,7 +24,12 @@ round4_ops) this completes all 22 TPC-H shapes.
 Oracle policy: both engines run the SAME SQL text (modulo view
 prefix); money sums ride the scaled-BIGINT idiom so totals are
 order-independent and engine-identical; every LIMIT has a total
-ORDER BY.  Reference parity note: the reference delegates ALL SQL to
+ORDER BY.  One escape hatch: ``_q(..., spark_sql=...)`` substitutes a
+restructured statement on the Spark side ONLY (the oracle always runs
+the original text), used when a Spark plan shape needs restructuring
+(q21's distinct-count rewrite); any such substitute carries the
+obligation of value-hash equality against the original at every
+checked SF.  Reference parity note: the reference delegates ALL SQL to
 stock Spark (spark-2.4/…/Bi5DataSourceReader.scala exposes only the
 scan), so this tier is certified against DuckDB, not reference code.
 """

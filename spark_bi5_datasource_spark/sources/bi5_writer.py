@@ -209,7 +209,18 @@ def write_bi5_tree(
     """Write a tick DataFrame (reader schema) as a bi5 tree.
 
     Repartitions by (ticker, hour) so each hour file is produced by
-    exactly one task, then invokes the ``bi5`` writer."""
+    exactly one task, then invokes the ``bi5`` writer.
+
+    The keyed repartition is left AQE-coalescible ON PURPOSE (r14
+    decomposition, recorded in OPTIMIZATION_r14.md): AQE fuses the
+    480k-row bench tree's 24 hour groups into 2 write tasks, which
+    LOOKS like a §2.5 fan-out collapse — but pinning the partition
+    count to the session's 32 was measured WORSE (steady-state write
+    1.0 → 2.1-2.8 s), because a Python-datasource write task costs
+    ~37 ms of worker/Arrow/commit overhead while one hour file's
+    LZMA encode (preset 1) costs 22 ms.  Per-group CPU is
+    proportional to bytes here, so AQE's byte-targeted coalesce
+    stays balanced at every archive size; do not pin."""
     from pyspark.sql import functions as F
 
     (
