@@ -546,9 +546,14 @@ def main() -> None:
         k: v for k, v in scaled_x100.items() if k not in ("spark", "duckdb")
     }
     line = json.dumps(out)
-    if len(line) > 1800:  # last-resort trim: drop per-query ratios too
+    if len(line) > 1800:  # trim rung 1: drop per-query ratios
         out["scaled_vs_duckdb"].pop("per_query_ratio", None)
         out["scaled_x100_vs_duckdb"].pop("per_query_ratio", None)
+        line = json.dumps(out)
+    if len(line) > 1800:  # rung 2: the scaled-tier sentinel legs
+        # (duplicated in BENCH_DETAIL.json) go before anything else
+        out["scaled_vs_duckdb"].pop("sentinel", None)
+        out["scaled_x100_vs_duckdb"].pop("sentinel", None)
         line = json.dumps(out)
     print(line)
     spark.stop()

@@ -594,7 +594,9 @@ def minhash_dedup(
         )
     if df.columns == [id_col, text_col]:
         return out  # already the full frame — skip the re-attach join
-    return df.join(out.select(id_col), id_col, "left_semi")
+    # a USING-name semi join moves the key to the first output column;
+    # re-select to preserve the caller's column order (r14, ADVICE)
+    return df.join(out.select(id_col), id_col, "left_semi").select(df.columns)
 
 
 def _minhash_dedup_once(

@@ -63,6 +63,16 @@ class TestDedup:
         assert 2 not in kept and 3 not in kept  # both collapse into 1
         assert {1, 4, 5} <= set(kept)
 
+    def test_minhash_dedup_preserves_column_order(self, spark):
+        """The re-attach semi join must not move id_col to the front
+        (ADVICE r13; a USING-name semi join reorders by default)."""
+        df = spark.createDataFrame(
+            [("x", 1, "one two three"), ("y", 2, "one two three")],
+            "extra string, doc_id int, text string",
+        )
+        out = minhash_dedup(df, "doc_id", "text", threshold=0.4)
+        assert out.columns == ["extra", "doc_id", "text"]
+
     def test_ngram_jaccard_exact_pairs(self, spark, docs):
         pairs = {
             (r.id_a, r.id_b): r.jaccard
